@@ -1,0 +1,47 @@
+"""Central registry of (query, oracle) pairs exposed to the driver."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from bd_spark.queries import relational
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(relational.QUERIES)
+    try:
+        from bd_spark.queries import pipeline
+
+        out.update(pipeline.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from bd_spark.queries import jsonq_queries
+
+        out.update(jsonq_queries.QUERIES)
+    except ImportError:
+        pass
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    from bd_spark.queries import relational
+
+    out: dict[str, str] = {}
+    out.update(relational.ORACLES)
+    try:
+        from bd_spark.queries import pipeline
+
+        out.update(pipeline.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from bd_spark.queries import jsonq_queries
+
+        out.update(jsonq_queries.ORACLES)
+    except ImportError:
+        pass
+    return out

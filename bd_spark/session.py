@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same configs are
+the ones we would ship to a 1000-executor cluster (AQE, skew-join
+handling, partition-size based coalescing) — nothing here is
+local-mode-specific except the master URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "bd_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    Design notes for cluster scale:
+      - AQE on: runtime coalescing of shuffle partitions + skew-join
+        splitting replaces hand-tuned ``spark.sql.shuffle.partitions``.
+      - ``autoBroadcastJoinThreshold`` raised to 64 MB: dimension tables
+        (region/nation/customer/supplier/part at any SF) should never
+        shuffle; fact-fact joins still sort-merge.
+      - Arrow enabled: every Pandas UDF path (minhash, embeddings,
+        multimodal decode) transfers columnar batches, not pickled rows.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects; read as long and convert in the catalog layer
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.log.level", "WARN")
+    )
+    return builder.getOrCreate()
