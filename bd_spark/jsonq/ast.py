@@ -1,0 +1,157 @@
+"""AST for the bd/jq expression language.
+
+Mirrors the reference's `Thunk` IR (query.rs:34-78) as plain Python
+dataclasses — one node per operator, each navigational node carrying
+the `?` error-suppression flag (which the reference parses but never
+implements, query_nom.rs:18; we implement the intended behavior).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Node:
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class Identity(Node):
+    """`.` or the empty program (ops.rs:8-33)."""
+
+
+@dataclass(frozen=True)
+class Recurse(Node):
+    """`..` — pre-order emission of doc + every descendant (ops.rs:36-92)."""
+
+
+@dataclass(frozen=True)
+class Literal(Node):
+    """null/bool/int/float/string literal (ops.rs:95-248).
+
+    ``text`` is the canonical JSON text of the value.
+    """
+
+    text: str
+
+
+@dataclass(frozen=True)
+class Index(Node):
+    """`.foo`, `."foo"`, `.["foo"]`, `.0`, `.[0]` (ops.rs:251-317).
+
+    ``key`` is a string key or an int position (negative wraps,
+    util.rs:25-29).
+    """
+
+    key: str | int
+    opt: bool = False
+
+
+@dataclass(frozen=True)
+class Identifier(Node):
+    """bare `foo` — like `.foo` with int-literal fallback to array
+    index (ops.rs:320-368)."""
+
+    name: str
+    opt: bool = False
+
+
+@dataclass(frozen=True)
+class Slice(Node):
+    """`.[a..b]` etc. (ops.rs:371-411). ``start``/``end`` may be None
+    (open); inclusive end is normalized to end+1 at parse time
+    (query_nom.rs:397,443)."""
+
+    start: int | None
+    end: int | None
+    opt: bool = False
+
+
+@dataclass(frozen=True)
+class IterValues(Node):
+    """`.[]` — explode array elements / object values (ops.rs:414-477)."""
+
+    opt: bool = False
+
+
+@dataclass(frozen=True)
+class Iter(Node):
+    """`.[e1,e2,...]` — evaluate each sub-expr against the same input
+    (ops.rs:480-540). Int/string items are rewritten to Index at parse
+    time (query_nom.rs:697-712)."""
+
+    items: tuple[Node, ...]
+    opt: bool = False
+
+
+@dataclass(frozen=True)
+class ListCons(Node):
+    """`[expr]` — collect one burst into one array (ops.rs:543-597)."""
+
+    expr: Node | None  # None for `[]`
+
+
+@dataclass(frozen=True)
+class DictPair:
+    """One `key: value` in `{...}`; key is a Node (Literal for static
+    keys, arbitrary expr for computed `(expr)` keys)."""
+
+    key: Node
+    value: Node
+
+
+@dataclass(frozen=True)
+class DictCons(Node):
+    """`{k:v, ident, (e):v}` — object construction with cartesian
+    product across multi-valued parts (ops.rs:600-739)."""
+
+    pairs: tuple[DictPair, ...]
+
+
+@dataclass(frozen=True)
+class Pipe(Node):
+    """`a | b` (also juxtaposition `.a.b`, query_nom.rs:106-129)."""
+
+    left: Node
+    right: Node
+
+
+@dataclass(frozen=True)
+class Unary(Node):
+    """`-x` (ops.rs:742-771) / `!x` (ops.rs:774-803)."""
+
+    op: str  # '-' | '!'
+    expr: Node
+
+
+@dataclass(frozen=True)
+class Binary(Node):
+    """All binary operators (ops.rs:806-1415); ``op`` is the surface
+    token: + - * / % << >> & ^ bor == != < <= > >= && ||.
+    The reference's `<=` bug (computes >=, ops.rs:1272) is NOT
+    replicated — we implement intended semantics."""
+
+    op: str
+    left: Node
+    right: Node
+
+
+@dataclass(frozen=True)
+class Builtin(Node):
+    """`length`, `chars`, `keys`, `has(x)`, `in(x)`, `map(f)`,
+    `any(f)`, `all(f)` (ops.rs:1418-1713, query.rs:226-242)."""
+
+    name: str
+    args: tuple[Node, ...] = field(default=())
+
+
+BUILTIN_ARITY = {
+    "length": 0,
+    "chars": 0,
+    "keys": 0,
+    "has": 1,
+    "in": 1,
+    "map": 1,
+    "any": 1,
+    "all": 1,
+}

@@ -1,0 +1,1003 @@
+"""AST -> Spark compiler for the bd/jq language.
+
+Compilation strategy (three tiers):
+
+1. **Staged projections** (default): every operator stage materializes
+   its result as a temp column via `withColumn` over *leaf* column
+   references. This keeps each Catalyst expression small — pure
+   expression substitution would duplicate the whole input subtree at
+   every pipe stage (type dispatch alone references its input ~8
+   times, so nesting is exponential). Spark's CollapseProject rule
+   keeps non-cheap duplicated refs in separate projects, so the plan
+   stays linear while whole-stage codegen still fuses the stages.
+
+2. **Pure column expressions**: used inside lambda bodies
+   (`map(f)`, `any(f)`, `all(f)` — transform/exists/forall) where only
+   a single expression is possible, and for leaf ops.
+
+3. **Stream transforms**: the jq sequence monad — `.[]`, `.[a,b]`,
+   `..`, `[...]`/`{...}` with multi-valued parts, zip-paired binary
+   operands — as DataFrame ops over
+   ``(seq BIGINT, ord ARRAY<BIGINT>, v VARIANT, err STRING)``.
+   ``ord`` is the lexicographic burst-position path (replaces the
+   reference's IterPosition tracking, entry.rs:50-86); fan-out is DAG
+   reuse instead of the reference's rescan `Repeater` (db.rs:17-19).
+
+Errors are data, not exceptions (entry.rs:30-32): a failing operator
+sets v to JSON null and fills `err`; downstream ops pass error rows
+through untouched (ops.rs:296). The `?` suffix drops the rows an op
+failed on (parsed but unimplemented in the reference, query_nom.rs:18;
+intended behavior implemented here).
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bd_spark.jsonq import ast
+from bd_spark.jsonq import vexpr as V
+
+CORE_COLS = ("seq", "ord", "v", "err")
+
+_ids = itertools.count()
+
+
+def _fresh(prefix: str) -> str:
+    return f"__{prefix}{next(_ids)}"
+
+
+def _carries(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c not in CORE_COLS]
+
+
+# ===================================================================
+# Column-mode results
+# ===================================================================
+@dataclass
+class CV:
+    """Column evaluation result: value + optional error/drop."""
+
+    v: Column
+    err: Column | None = None
+    drop: Column | None = None
+
+
+ColFn = Callable[[Column], CV]
+
+
+def _merge_err(a: Column | None, b: Column | None) -> Column | None:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return F.coalesce(a, b)
+
+
+def _merge_drop(a: Column | None, b: Column | None) -> Column | None:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a | b
+
+
+def _chain(cin: CV, fn: ColFn) -> CV:
+    """Apply fn to cin's value with error passthrough (ops.rs:296).
+    Only used inside lambda bodies — substitution-based."""
+    out = fn(cin.v)
+    if cin.err is None:
+        return CV(out.v, out.err, _merge_drop(cin.drop, out.drop))
+    v = F.when(cin.err.isNotNull(), cin.v).otherwise(out.v)
+    err = _merge_err(cin.err, out.err)
+    drop = _merge_drop(cin.drop, None if out.drop is None else (cin.err.isNull() & out.drop))
+    return CV(v, err, drop)
+
+
+def _guarded(cond: Column, ok: Column, msg: Column | str, opt: bool) -> CV:
+    """Value `ok` where cond holds, else error (or drop with `?`)."""
+    m = F.lit(msg) if isinstance(msg, str) else msg
+    v = F.when(cond, ok).otherwise(V.vnull())
+    if opt:
+        return CV(v, None, ~cond)
+    return CV(v, F.when(~cond, m), None)
+
+
+# ===================================================================
+# Multi-valuedness analysis
+# ===================================================================
+def is_multivalued(node: ast.Node) -> bool:
+    """Can this expression emit a number of outputs != 1 per input
+    (ignoring `?` drops, which staging handles by row removal)?"""
+    if isinstance(node, (ast.IterValues, ast.Iter, ast.Recurse)):
+        return True
+    if isinstance(node, ast.Pipe):
+        return is_multivalued(node.left) or is_multivalued(node.right)
+    if isinstance(node, ast.Unary):
+        return is_multivalued(node.expr)
+    if isinstance(node, ast.Binary):
+        return is_multivalued(node.left) or is_multivalued(node.right)
+    if isinstance(node, ast.DictCons):
+        return any(
+            is_multivalued(p.key) or is_multivalued(p.value) for p in node.pairs
+        )
+    # ListCons collects its burst -> exactly one output
+    # Builtin args are zipped per-input scalars in practice
+    return False
+
+
+# ===================================================================
+# Pure column expressions (leaf ops + lambda bodies)
+# ===================================================================
+def compile_col(node: ast.Node) -> ColFn | None:
+    """Pure-expression compile; None when stream machinery is needed.
+    Used for leaf ops and inside higher-order-function lambdas."""
+    if isinstance(node, ast.Identity):
+        return lambda v: CV(v)
+    if isinstance(node, ast.Literal):
+        text = node.text
+        return lambda v: CV(F.parse_json(F.lit(text)))
+    if isinstance(node, ast.Index):
+        return _col_index(node.key, node.opt)
+    if isinstance(node, ast.Identifier):
+        return _col_index(node.name, node.opt)
+    if isinstance(node, ast.Slice):
+        return _col_slice(node)
+    if isinstance(node, ast.Pipe):
+        lf, rf = compile_col(node.left), compile_col(node.right)
+        if lf is None or rf is None:
+            return None
+        return lambda v: _chain(lf(v), rf)
+    if isinstance(node, ast.Unary):
+        ef = compile_col(node.expr)
+        if ef is None:
+            return None
+        op = _col_neg if node.op == "-" else _col_not
+        return lambda v: _chain(ef(v), op)
+    if isinstance(node, ast.Binary):
+        lf, rf = compile_col(node.left), compile_col(node.right)
+        if lf is None or rf is None:
+            return None
+        op = node.op
+        return lambda v: _col_binary(op, lf(v), rf(v))
+    if isinstance(node, ast.Builtin):
+        argfns = [compile_col(a) for a in node.args]
+        if any(f is None for f in argfns):
+            return None
+        return lambda v: _col_builtin(node.name, v, [f(v) for f in argfns])
+    if isinstance(node, ast.ListCons):
+        return _col_list(node)
+    if isinstance(node, ast.DictCons):
+        fns = []
+        for p in node.pairs:
+            kf, vf = compile_col(p.key), compile_col(p.value)
+            if kf is None or vf is None:
+                return None
+            fns.append((kf, vf))
+        return lambda v: _col_dict([(kf(v), vf(v)) for kf, vf in fns])
+    return None
+
+
+def _col_index(key: str | int, opt: bool) -> ColFn:
+    if isinstance(key, str):
+
+        def fn(v: Column) -> CV:
+            t = V.vtype(v)
+            m = V.as_map(v)
+            hit = (t == "object") & F.map_contains_key(m, F.lit(key))
+            val = F.try_element_at(m, F.lit(key))
+            return _guarded(hit, val, F.concat(F.lit(f"cannot index {key!r} in "), t), opt)
+
+        return fn
+
+    idx = key
+
+    def fn(v: Column) -> CV:
+        t = V.vtype(v)
+        arr = V.as_array(v)
+        n = F.size(arr)
+        # negative index wraps once (util.rs:25-29)
+        pos = F.lit(idx) + F.when(F.lit(idx) < 0, n).otherwise(F.lit(0))
+        hit = (t == "array") & (pos >= 0) & (pos < n)
+        val = F.try_element_at(arr, (pos + 1).cast("int"))
+        return _guarded(hit, val, F.concat(F.lit(f"cannot index {idx} in "), t), opt)
+
+    return fn
+
+
+def _col_slice(node: ast.Slice) -> ColFn:
+    s_, e_ = node.start, node.end
+
+    def fn(v: Column) -> CV:
+        t = V.vtype(v)
+        arr = V.as_array(v)
+        s = V.as_string(v)
+        n = F.when(t == "array", F.size(arr)).otherwise(F.length(s))
+
+        # normalize (util.rs:4-23): negative -> n+x, clamp to [0,n]
+        def norm(x: int | None, default: Column) -> Column:
+            if x is None:
+                return default
+            c = F.lit(x) + F.when(F.lit(x) < 0, n).otherwise(F.lit(0))
+            return F.greatest(F.least(c, n), F.lit(0))
+
+        a = norm(s_, F.lit(0))
+        b = norm(e_, n)
+        ln = F.greatest(b - a, F.lit(0))
+        out = F.when(
+            t == "array", V.varray(F.slice(arr, (a + 1).cast("int"), ln.cast("int")))
+        ).otherwise(V.vstring(F.substring(s, (a + 1).cast("int"), ln.cast("int"))))
+        return _guarded(
+            t.isin("array", "string"), out, F.concat(F.lit("cannot slice "), t), node.opt
+        )
+
+    return fn
+
+
+def _col_neg(v: Column) -> CV:
+    t = V.vtype(v)
+    out = (
+        F.when(t == "int", V.vlong(-V.as_long(v)))
+        .when(t == "float", V.vdouble(-V.as_double(v)))
+        .otherwise(V.vnull())
+    )
+    return CV(out)
+
+
+def _col_not(v: Column) -> CV:
+    return CV(V.vbool(~V.truthy(v)))
+
+
+def _col_binary(op: str, l: CV, r: CV) -> CV:
+    err = _merge_err(l.err, r.err)
+    drop = _merge_drop(l.drop, r.drop)
+    a, b = l.v, r.v
+    v = _binary_value(op, a, b)
+    if err is not None:
+        v = F.when(err.isNotNull(), V.vnull()).otherwise(v)
+    return CV(v, err, drop)
+
+
+def _binary_value(op: str, a: Column, b: Column) -> Column:
+    ta, tb = V.vtype(a), V.vtype(b)
+    bothint = (ta == "int") & (tb == "int")
+    bothnum = V.is_number(ta) & V.is_number(tb)
+    la, lb = V.as_long(a), V.as_long(b)
+    da, db = V.as_double(a), V.as_double(b)
+
+    if op == "+":
+        # int+int->int, mixed->float (json.rs:900-905); str/arr
+        # concat; obj shallow union rhs-wins (json.rs:963-995)
+        return (
+            F.when(bothint, V.vlong(F.try_add(la, lb)))
+            .when(bothnum, V.vdouble(da + db))
+            .when(
+                (ta == "string") & (tb == "string"),
+                V.vstring(F.concat(V.as_string(a), V.as_string(b))),
+            )
+            .when(
+                (ta == "array") & (tb == "array"),
+                V.varray(F.concat(V.as_array(a), V.as_array(b))),
+            )
+            .when((ta == "object") & (tb == "object"), _obj_union(a, b))
+            .otherwise(V.vnull())
+        )
+    if op == "-":
+        # arr-arr removes rhs elements (json.rs:997-1017; ALL
+        # occurrences — jq semantics, SURVEY §2.4 note)
+        rhs_texts = F.transform(V.as_array(b), lambda y: F.to_json(y))
+        removed = F.filter(
+            V.as_array(a), lambda x: ~F.array_contains(rhs_texts, F.to_json(x))
+        )
+        return (
+            F.when(bothint, V.vlong(F.try_subtract(la, lb)))
+            .when(bothnum, V.vdouble(da - db))
+            .when((ta == "array") & (tb == "array"), V.varray(removed))
+            .otherwise(V.vnull())
+        )
+    if op == "*":
+        # str*int repeat, *<=0 -> null (json.rs:906-907); obj*obj deep
+        # merge (json.rs:1103-1122) via pandas UDF (unbounded recursion)
+        return (
+            F.when(bothint, V.vlong(F.try_multiply(la, lb)))
+            .when(bothnum, V.vdouble(da * db))
+            .when(
+                (ta == "string") & (tb == "int") & (lb > 0),
+                V.vstring(F.repeat(V.as_string(a), lb.cast("int"))),
+            )
+            .when(
+                (ta == "int") & (tb == "string") & (la > 0),
+                V.vstring(F.repeat(V.as_string(b), la.cast("int"))),
+            )
+            .when((ta == "object") & (tb == "object"), _obj_deep_merge(a, b))
+            .otherwise(V.vnull())
+        )
+    if op == "/":
+        # int/int -> float ALWAYS (json.rs:930); /0 -> null; str/str
+        # splits (json.rs:934-937)
+        sep = V.as_string(b)
+        esc = F.regexp_replace(sep, r"([^a-zA-Z0-9])", r"\\$1")
+        parts = F.split(V.as_string(a), esc)
+        parts_json = F.concat(
+            F.lit("["), F.concat_ws(",", F.transform(parts, V.json_quote)), F.lit("]")
+        )
+        return (
+            F.when(bothnum & (db == 0), V.vnull())
+            .when(bothnum, V.vdouble(da / db))
+            .when((ta == "string") & (tb == "string"), F.parse_json(parts_json))
+            .otherwise(V.vnull())
+        )
+    if op == "%":
+        return (
+            F.when(bothnum & (db == 0), V.vnull())
+            .when(bothint, V.vlong(la % lb))
+            .when(bothnum, V.vdouble(da % db))
+            .otherwise(V.vnull())
+        )
+    if op in ("<<", ">>", "&", "^", "bor"):
+        expr = {
+            "<<": lambda: F.call_function("shiftleft", la, lb.cast("int")),
+            ">>": lambda: F.call_function("shiftright", la, lb.cast("int")),
+            "&": lambda: la.bitwiseAND(lb),
+            "^": lambda: la.bitwiseXOR(lb),
+            "bor": lambda: la.bitwiseOR(lb),
+        }[op]()
+        return F.when(bothint, V.vlong(expr)).otherwise(V.vnull())
+    if op == "==":
+        return V.vbool(V.deep_eq(a, b, ta, tb))
+    if op == "!=":
+        return V.vbool(~V.deep_eq(a, b, ta, tb))
+    if op == "<":
+        return V.vbool(V.compare_lt(a, b, ta, tb))
+    if op == "<=":
+        # reference's Le computes >= (ops.rs:1272 bug); intended
+        # semantics implemented instead
+        return V.vbool(~V.compare_lt(b, a, tb, ta))
+    if op == ">":
+        return V.vbool(V.compare_lt(b, a, tb, ta))
+    if op == ">=":
+        return V.vbool(~V.compare_lt(a, b, ta, tb))
+    if op == "&&":
+        return V.vbool(V.truthy(a) & V.truthy(b))
+    if op == "||":
+        return V.vbool(V.truthy(a) | V.truthy(b))
+    raise ValueError(f"unknown operator {op}")
+
+
+def _obj_union(a: Column, b: Column) -> Column:
+    """Shallow union, rhs wins — map_concat under LAST_WIN policy."""
+    m = F.map_concat(V.as_map(a), V.as_map(b))
+    entries = F.transform(
+        F.map_entries(m),
+        lambda e: F.struct(e["key"].alias("k"), F.to_json(e["value"]).alias("j")),
+    )
+    return F.parse_json(V.json_of_entries(entries))
+
+
+_DEEP_MERGE_UDF = None
+
+
+def _obj_deep_merge(a: Column, b: Column) -> Column:
+    """Recursive object mixin (json.rs:1103-1122): depth-unbounded
+    recursion is inexpressible in Catalyst -> Arrow-batched pandas UDF
+    over canonical JSON text."""
+    global _DEEP_MERGE_UDF
+    if _DEEP_MERGE_UDF is None:
+
+        def deep_merge(xs, ys):
+            import json
+
+            import pandas as pd
+
+            def merge(x, y):
+                if isinstance(x, dict) and isinstance(y, dict):
+                    out = dict(x)
+                    for k, yv in y.items():
+                        out[k] = merge(out.get(k), yv) if k in out else yv
+                    return out
+                return y
+
+            return pd.Series(
+                [
+                    json.dumps(merge(json.loads(x), json.loads(y)), ensure_ascii=False)
+                    if x is not None and y is not None
+                    else None
+                    for x, y in zip(xs, ys)
+                ]
+            )
+
+        _DEEP_MERGE_UDF = F.pandas_udf(deep_merge, "string", F.PandasUDFType.SCALAR)
+    return F.parse_json(_DEEP_MERGE_UDF(F.to_json(a), F.to_json(b)))
+
+
+def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
+    """Builtin applied to input v with pre-evaluated args
+    (ops.rs:1418-1713)."""
+    if name == "length":
+        t = V.vtype(v)
+        out = (
+            F.when(t == "null", V.vlong(F.lit(0)))
+            # byte length — reference parity (json.rs:632)
+            .when(t == "string", V.vlong(F.octet_length(V.as_string(v))))
+            .when(t == "array", V.vlong(F.size(V.as_array(v))))
+            .when(t == "object", V.vlong(F.size(V.as_map(v))))
+            .otherwise(V.vnull())
+        )
+        ok = t.isin("null", "string", "array", "object")
+        return _guarded(ok, out, F.concat(t, F.lit(" has no length")), False)
+
+    if name == "chars":
+        t = V.vtype(v)
+        s = V.as_string(v)
+        # codepoints (json.rs:790-801): ascii() yields the full
+        # codepoint; substring is char-indexed
+        cps = F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.ascii(F.substring(s, i, F.lit(1))),
+        )
+        arr_json = F.concat(
+            F.lit("["),
+            F.concat_ws(",", F.transform(cps, lambda c: c.cast("string"))),
+            F.lit("]"),
+        )
+        out = F.when(t == "string", F.parse_json(arr_json)).otherwise(v)
+        ok = t.isin("string", "array")
+        return _guarded(ok, out, F.concat(F.lit("chars on "), t), False)
+
+    if name == "keys":
+        t = V.vtype(v)
+        ks = F.array_sort(F.map_keys(V.as_map(v)))
+        obj_json = F.concat(
+            F.lit("["), F.concat_ws(",", F.transform(ks, V.json_quote)), F.lit("]")
+        )
+        n = F.size(V.as_array(v))
+        arr_json = F.when(n == 0, F.lit("[]")).otherwise(
+            F.concat(
+                F.lit("["),
+                F.concat_ws(
+                    ",", F.transform(F.sequence(F.lit(0), n - 1), lambda i: i.cast("string"))
+                ),
+                F.lit("]"),
+            )
+        )
+        out = F.when(t == "object", F.parse_json(obj_json)).otherwise(F.parse_json(arr_json))
+        ok = t.isin("object", "array")
+        return _guarded(ok, out, F.concat(F.lit("keys on "), t), False)
+
+    if name in ("has", "in"):
+        k = args[0]
+        container, member = (v, k.v) if name == "has" else (k.v, v)
+        t = V.vtype(container)
+        tk = V.vtype(member)
+        inobj = (t == "object") & (tk == "string") & F.map_contains_key(
+            V.as_map(container), V.as_string(member)
+        )
+        n = F.size(V.as_array(container))
+        ik = V.as_long(member)
+        inarr = (t == "array") & (tk == "int") & (ik >= 0) & (ik < n)
+        ok = t.isin("object", "array")
+        out = _guarded(ok, V.vbool(inobj | inarr), F.concat(F.lit(name + " on "), t), False)
+        return CV(out.v, _merge_err(k.err, out.err), k.drop)
+
+    raise ValueError(f"unknown builtin {name}")
+
+
+def _col_hof(name: str, f: ast.Node) -> ColFn:
+    """map/any/all — higher-order builtins whose argument is a lambda
+    body (ops.rs:1631-1713). The body must be pure-expression."""
+    argfn = compile_col(f)
+    if argfn is None:
+        raise NotImplementedError(
+            f"{name}(...) body must be a scalar expression (no .[], .., .[a,b])"
+        )
+
+    if name == "map":
+
+        def fn(v: Column) -> CV:
+            t = V.vtype(v)
+
+            def apply_elem(x: Column) -> Column:
+                cv = argfn(x)
+                r = F.to_json(cv.v)
+                if cv.err is not None:
+                    r = F.when(cv.err.isNotNull(), F.lit("null")).otherwise(r)
+                return r
+
+            arr_json = F.concat(
+                F.lit("["),
+                F.concat_ws(",", F.transform(V.as_array(v), apply_elem)),
+                F.lit("]"),
+            )
+            obj_entries = F.transform(
+                F.map_entries(V.as_map(v)),
+                lambda e: F.struct(e["key"].alias("k"), apply_elem(e["value"]).alias("j")),
+            )
+            out = F.when(t == "array", F.parse_json(arr_json)).otherwise(
+                F.parse_json(V.json_of_entries(obj_entries))
+            )
+            ok = t.isin("array", "object")
+            return _guarded(ok, out, F.concat(F.lit("map on "), t), False)
+
+        return fn
+
+    want_all = name == "all"
+
+    def fn(v: Column) -> CV:
+        t = V.vtype(v)
+        elems = F.when(t == "array", V.as_array(v)).otherwise(F.map_values(V.as_map(v)))
+
+        def pred(x: Column) -> Column:
+            cv = argfn(x)
+            p = V.truthy(cv.v)
+            if cv.err is not None:
+                p = F.when(cv.err.isNotNull(), F.lit(False)).otherwise(p)
+            return p
+
+        agg = F.forall(elems, pred) if want_all else F.exists(elems, pred)
+        ok = t.isin("array", "object")
+        return _guarded(ok, V.vbool(agg), F.concat(F.lit(name + " on "), t), False)
+
+    return fn
+
+
+def _col_list(node: ast.ListCons) -> ColFn | None:
+    """`[...]` with scalar payload: each comma item contributes exactly
+    one element."""
+    if node.expr is None:
+        return lambda v: CV(F.parse_json(F.lit("[]")))
+    items = list(node.expr.items) if isinstance(node.expr, ast.Iter) else [node.expr]
+    fns = [compile_col(i) for i in items]
+    if any(f is None for f in fns):
+        return None
+
+    def fn(v: Column) -> CV:
+        cvs = [f(v) for f in fns]
+        err = None
+        drop = None
+        for cv in cvs:
+            err = _merge_err(err, cv.err)
+            drop = _merge_drop(drop, cv.drop)
+        arr_json = F.concat(
+            F.lit("["),
+            F.concat_ws(",", F.array(*[F.to_json(cv.v) for cv in cvs])),
+            F.lit("]"),
+        )
+        return CV(F.parse_json(arr_json), err, drop)
+
+    return fn
+
+
+def _col_dict(parts: list[tuple[CV, CV]]) -> CV:
+    entries = []
+    err = None
+    drop = None
+    for kc, vc in parts:
+        err = _merge_err(_merge_err(err, kc.err), vc.err)
+        drop = _merge_drop(_merge_drop(drop, kc.drop), vc.drop)
+        entries.append(F.struct(V.as_string(kc.v).alias("k"), F.to_json(vc.v).alias("j")))
+    arr = F.filter(F.array(*entries), lambda e: e["k"].isNotNull())
+    out = F.parse_json(V.json_of_entries(V.dedup_last_wins(arr)))
+    return CV(out, err, drop)
+
+
+# ===================================================================
+# Staged stream compilation
+# ===================================================================
+StreamFn = Callable[[DataFrame], DataFrame]
+
+
+def lift(colfn: ColFn) -> StreamFn:
+    """One projection stage: apply a column fn to `v` with error
+    passthrough and `?`-drop filtering."""
+
+    def run(df: DataFrame) -> DataFrame:
+        cv = colfn(F.col("v"))
+        newv = F.when(F.col("err").isNotNull(), F.col("v")).otherwise(cv.v)
+        newerr = F.col("err") if cv.err is None else F.coalesce(F.col("err"), cv.err)
+        out = df.withColumn("__nv", newv).withColumn("__ne", newerr)
+        if cv.drop is not None:
+            out = out.withColumn(
+                "__dropf", F.col("err").isNull() & F.coalesce(cv.drop, F.lit(False))
+            ).where(~F.col("__dropf"))
+        return out.select(
+            "seq", "ord", F.col("__nv").alias("v"), F.col("__ne").alias("err"),
+            *_carries(df),
+        )
+
+    return run
+
+
+def _stage(df: DataFrame, node: ast.Node, name: str) -> DataFrame:
+    """Evaluate `node` against the current value, leaving the result in
+    columns `{name}_v` / `{name}_e` while restoring v/err. Row-count
+    preserving for single-valued nodes; `?` drops remove rows (which is
+    exactly the zip/product semantics for empty bursts)."""
+    sv, se = _fresh("sv"), _fresh("se")
+    pre = df.withColumn(sv, F.col("v")).withColumn(se, F.col("err"))
+    s = compile_stream(node)(pre)
+    return (
+        s.withColumn(f"{name}_v", F.col("v"))
+        .withColumn(f"{name}_e", F.col("err"))
+        .withColumn("v", F.col(sv))
+        .withColumn("err", F.col(se))
+        .drop(sv, se)
+    )
+
+
+def compile_stream(node: ast.Node) -> StreamFn:
+    """Compile any node to a stream transform (staged by default)."""
+    if isinstance(node, (ast.Identity,)):
+        return lambda df: df
+    if isinstance(node, (ast.Literal, ast.Index, ast.Identifier, ast.Slice)):
+        return lift(compile_col(node))  # leaf ops: small expressions
+
+    if isinstance(node, ast.Pipe):
+        lf, rf = compile_stream(node.left), compile_stream(node.right)
+        return lambda df: rf(lf(df))
+
+    if isinstance(node, ast.Unary):
+        inner = node.expr
+        op = _col_neg if node.op == "-" else _col_not
+
+        def run_unary(df: DataFrame) -> DataFrame:
+            nm = _fresh("u")
+            df = _stage(df, inner, nm)
+            cv = _chain(CV(F.col(f"{nm}_v"), F.col(f"{nm}_e")), op)
+            return _finish(df, cv, drop_cols=[f"{nm}_v", f"{nm}_e"])
+
+        return run_unary
+
+    if isinstance(node, ast.Binary):
+        if is_multivalued(node.left) or is_multivalued(node.right):
+            return _stream_binary_zip(node)
+        op = node.op
+        left, right = node.left, node.right
+
+        def run_binary(df: DataFrame) -> DataFrame:
+            ln, rn = _fresh("bl"), _fresh("br")
+            df = _stage(df, left, ln)
+            df = _stage(df, right, rn)
+            cv = _col_binary(
+                op,
+                CV(F.col(f"{ln}_v"), F.col(f"{ln}_e")),
+                CV(F.col(f"{rn}_v"), F.col(f"{rn}_e")),
+            )
+            return _finish(df, cv, drop_cols=[f"{ln}_v", f"{ln}_e", f"{rn}_v", f"{rn}_e"])
+
+        return run_binary
+
+    if isinstance(node, ast.Builtin):
+        if node.name in ("map", "any", "all"):
+            return lift(_col_hof(node.name, node.args[0]))
+        if node.name in ("has", "in"):
+            arg = node.args[0]
+
+            def run_hasin(df: DataFrame) -> DataFrame:
+                an = _fresh("a")
+                df = _stage(df, arg, an)
+                cv = _col_builtin(
+                    node.name, F.col("v"), [CV(F.col(f"{an}_v"), F.col(f"{an}_e"))]
+                )
+                return _finish(df, cv, drop_cols=[f"{an}_v", f"{an}_e"])
+
+            return run_hasin
+        return lift(lambda v: _col_builtin(node.name, v, []))
+
+    if isinstance(node, ast.IterValues):
+        return _stream_itervalues(node.opt)
+    if isinstance(node, ast.Iter):
+        return _stream_iter(node.items)
+    if isinstance(node, ast.Recurse):
+        return _stream_recurse()
+    if isinstance(node, ast.ListCons):
+        return _stream_list(node.expr)
+    if isinstance(node, ast.DictCons):
+        return _stream_dict(node.pairs)
+
+    raise NotImplementedError(f"cannot compile {node!r}")
+
+
+def _finish(df: DataFrame, cv: CV, drop_cols: list[str]) -> DataFrame:
+    """Replace v/err from a staged CV (error passthrough + drops)."""
+    newv = F.when(F.col("err").isNotNull(), F.col("v")).otherwise(cv.v)
+    newerr = F.col("err") if cv.err is None else F.coalesce(F.col("err"), cv.err)
+    out = df.withColumn("__nv", newv).withColumn("__ne", newerr)
+    if cv.drop is not None:
+        out = out.withColumn(
+            "__dropf", F.col("err").isNull() & F.coalesce(cv.drop, F.lit(False))
+        ).where(~F.col("__dropf"))
+    keep = [c for c in _carries(df) if c not in drop_cols]
+    return out.select(
+        "seq", "ord", F.col("__nv").alias("v"), F.col("__ne").alias("err"), *keep
+    )
+
+
+# ------------------------------------------------------------ streams
+def _stream_itervalues(opt: bool) -> StreamFn:
+    """`.[]` — array elements / object values in key order
+    (ops.rs:414-477); scalar -> error entry (or dropped with `?`)."""
+
+    def run(df: DataFrame) -> DataFrame:
+        t = V.vtype(F.col("v"))
+        elems = (
+            F.when(t == "array", V.as_array(F.col("v")))
+            .when(t == "object", F.map_values(V.as_map(F.col("v"))))
+            .otherwise(F.lit(None))
+        )
+        base = df.withColumn("__t", t).withColumn("__elems", elems)
+        ex = base.select(
+            "seq", "ord", "v", "err", *_carries(df), "__t",
+            F.posexplode_outer("__elems").alias("__pos", "__ev"),
+            F.col("__elems").isNotNull().alias("__iterable"),
+        )
+        keep = (
+            F.col("err").isNotNull()
+            | F.col("__pos").isNotNull()
+            | (~F.col("__iterable") & F.lit(not opt))
+        )
+        ex = ex.where(keep)
+        newv = (
+            F.when(F.col("err").isNotNull(), F.col("v"))
+            .when(F.col("__pos").isNotNull(), F.col("__ev"))
+            .otherwise(V.vnull())
+        )
+        newerr = F.when(F.col("err").isNotNull(), F.col("err")).when(
+            F.col("__pos").isNull() & ~F.col("__iterable"),
+            F.concat(F.lit("cannot iterate "), F.col("__t")),
+        )
+        neword = F.concat("ord", F.array(F.coalesce(F.col("__pos").cast("long"), F.lit(0))))
+        return ex.select(
+            "seq", neword.alias("ord"), newv.alias("v"), newerr.alias("err"),
+            *_carries(df),
+        )
+
+    return run
+
+
+def _burst_pos(df: DataFrame, g: str) -> DataFrame:
+    w = Window.partitionBy(g).orderBy("ord")
+    return df.withColumn("__pos", (F.row_number().over(w) - 1).cast("long"))
+
+
+def _stream_iter(items: tuple[ast.Node, ...]) -> StreamFn:
+    """`.[e1,e2,...]` — one burst per branch, output order (cycle,
+    branch) reproducing the corpus order (query.rs:579-591)."""
+
+    def run(df: DataFrame) -> DataFrame:
+        g = _fresh("g")
+        base = df.withColumn(g, F.struct("seq", "ord"))
+        outs = []
+        for bi, item in enumerate(items):
+            s = compile_stream(item)(base)
+            s = _burst_pos(s, g)
+            outs.append(
+                s.select(
+                    F.col(g)["seq"].alias("seq"),
+                    F.concat(
+                        F.col(g)["ord"],
+                        F.array(F.col("__pos"), F.lit(bi).cast("long")),
+                    ).alias("ord"),
+                    "v",
+                    "err",
+                    *[c for c in _carries(df)],
+                )
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
+    return run
+
+
+def _stream_binary_zip(node: ast.Binary) -> StreamFn:
+    """Binary op with multi-valued operand(s): the reference zips the
+    two bursts pairwise, stopping at the shorter (ops.rs:827-833) —
+    an inner join on (input, burst position)."""
+
+    def run(df: DataFrame) -> DataFrame:
+        g = _fresh("g")
+        base = df.withColumn(g, F.struct("seq", "ord"))
+        sides = []
+        for side_node in (node.left, node.right):
+            s = compile_stream(side_node)(base)
+            s = _burst_pos(s, g)
+            sides.append(s)
+        l = sides[0].select(
+            F.col(g), F.col("__pos"), F.col("v").alias("__lv"), F.col("err").alias("__le"),
+            *_carries(df),
+        )
+        r = sides[1].select(
+            F.col(g), F.col("__pos"), F.col("v").alias("__rv"), F.col("err").alias("__re")
+        )
+        j = l.join(r, on=[g, "__pos"])
+        cv = _col_binary(
+            node.op, CV(F.col("__lv"), F.col("__le")), CV(F.col("__rv"), F.col("__re"))
+        )
+        err = cv.err if cv.err is not None else F.lit(None).cast("string")
+        return j.select(
+            F.col(g)["seq"].alias("seq"),
+            F.concat(F.col(g)["ord"], F.array(F.col("__pos"))).alias("ord"),
+            cv.v.alias("v"),
+            err.alias("err"),
+            *_carries(df),
+        )
+
+    return run
+
+
+def _stream_list(expr: ast.Node | None) -> StreamFn:
+    """`[expr]` — collect each input's burst into one array
+    (ops.rs:543-597); left join back preserves empty bursts as []."""
+    if expr is None:
+        return lift(lambda v: CV(F.parse_json(F.lit("[]"))))
+
+    def run(df: DataFrame) -> DataFrame:
+        g = _fresh("g")
+        base = df.withColumn(g, F.struct("seq", "ord"))
+        s = compile_stream(expr)(base)
+        collected = s.groupBy(g).agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ord"), F.col("err"), F.to_json("v").alias("j")))
+            ).alias("__items")
+        )
+        joined = base.select("seq", "ord", "err", g, *_carries(df)).join(
+            collected, on=g, how="left"
+        )
+        items = F.coalesce(F.col("__items"), F.array())
+        errs = F.filter(items, lambda x: x["err"].isNotNull())
+        burst_err = F.when(F.size(errs) > 0, F.element_at(errs, 1)["err"])
+        arr_json = F.concat(
+            F.lit("["), F.concat_ws(",", F.transform(items, lambda x: x["j"])), F.lit("]")
+        )
+        newv = (
+            F.when(F.col("err").isNotNull(), V.vnull())
+            .when(burst_err.isNotNull(), V.vnull())
+            .otherwise(F.parse_json(arr_json))
+        )
+        newerr = F.coalesce(F.col("err"), burst_err)
+        return joined.select(
+            "seq", "ord", newv.alias("v"), newerr.alias("err"), *_carries(df)
+        )
+
+    return run
+
+
+def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
+    """`{...}` — cartesian product across every key/value burst
+    (ops.rs:665-681), non-string keys skipped, dup keys last-wins
+    (json.rs:501-507).
+
+    Scalar parts (the common case) stay in staged projections — no
+    joins; only multi-valued parts pay the burst-join."""
+    scalar = all(
+        not is_multivalued(p.key) and not is_multivalued(p.value) for p in pairs
+    )
+    if scalar:
+
+        def run_scalar(df: DataFrame) -> DataFrame:
+            names = []
+            for pi, pair in enumerate(pairs):
+                kn, vn = _fresh("dk"), _fresh("dv")
+                df = _stage(df, pair.key, kn)
+                df = _stage(df, pair.value, vn)
+                names.append((kn, vn))
+            cvs = [
+                (CV(F.col(f"{kn}_v"), F.col(f"{kn}_e")), CV(F.col(f"{vn}_v"), F.col(f"{vn}_e")))
+                for kn, vn in names
+            ]
+            cv = _col_dict(cvs)
+            drops = [c for kn, vn in names for c in (f"{kn}_v", f"{kn}_e", f"{vn}_v", f"{vn}_e")]
+            return _finish(df, cv, drop_cols=drops)
+
+        return run_scalar
+
+    def run(df: DataFrame) -> DataFrame:
+        g = _fresh("g")
+        base = df.withColumn(g, F.struct("seq", "ord"))
+        part_cols: list[tuple[str, str, str]] = []
+        joined: DataFrame | None = None
+        for pi, pair in enumerate(pairs):
+            for role, expr in (("k", pair.key), ("v", pair.value)):
+                s = compile_stream(expr)(base)
+                s = _burst_pos(s, g)
+                pc, vc, ec = f"__p{pi}{role}", f"__v{pi}{role}", f"__e{pi}{role}"
+                sel = s.select(
+                    F.col(g),
+                    F.col("__pos").alias(pc),
+                    F.col("v").alias(vc),
+                    F.col("err").alias(ec),
+                    *([] if joined is not None else _carries(df)),
+                )
+                part_cols.append((pc, vc, ec))
+                joined = sel if joined is None else joined.join(sel, on=g)
+        ordcol = F.concat(F.col(g)["ord"], F.array(*[F.col(pc) for pc, _, _ in part_cols]))
+        entries = F.array(
+            *[
+                F.struct(
+                    V.as_string(F.col(part_cols[2 * i][1])).alias("k"),
+                    F.to_json(F.col(part_cols[2 * i + 1][1])).alias("j"),
+                )
+                for i in range(len(pairs))
+            ]
+        )
+        valid = F.filter(entries, lambda e: e["k"].isNotNull())
+        obj = F.parse_json(V.json_of_entries(V.dedup_last_wins(valid)))
+        err = F.coalesce(*[F.col(ec) for _, _, ec in part_cols]) if part_cols else F.lit(None)
+        newv = F.when(err.isNotNull(), V.vnull()).otherwise(obj)
+        return joined.select(
+            F.col(g)["seq"].alias("seq"),
+            ordcol.alias("ord"),
+            newv.alias("v"),
+            err.alias("err"),
+            *_carries(df),
+        )
+
+    return run
+
+
+_RECURSE_UDF = None
+
+
+def _stream_recurse() -> StreamFn:
+    """`..` — pre-order doc + every descendant (ops.rs:36-92,
+    json.rs:694-718). Unbounded recursion = one Arrow-batched pandas
+    UDF producing the descendant list; Spark explodes it."""
+    global _RECURSE_UDF
+    if _RECURSE_UDF is None:
+
+        def descendants(js):
+            import json
+
+            import pandas as pd
+
+            def walk(x, out):
+                out.append(json.dumps(x, ensure_ascii=False))
+                if isinstance(x, list):
+                    for e in x:
+                        walk(e, out)
+                elif isinstance(x, dict):
+                    for k in x:  # to_json already sorted the keys
+                        walk(x[k], out)
+
+            res = []
+            for t in js:
+                if t is None:
+                    res.append(None)
+                    continue
+                acc: list[str] = []
+                walk(json.loads(t), acc)
+                res.append(acc)
+            return pd.Series(res)
+
+        _RECURSE_UDF = F.pandas_udf(descendants, "array<string>", F.PandasUDFType.SCALAR)
+
+    def run(df: DataFrame) -> DataFrame:
+        descs = F.when(F.col("err").isNotNull(), F.array(F.lit("null"))).otherwise(
+            _RECURSE_UDF(F.to_json("v"))
+        )
+        ex = df.withColumn("__descs", descs).select(
+            "seq", "ord", "v", "err", *_carries(df),
+            F.posexplode("__descs").alias("__pos", "__dj"),
+        )
+        newv = F.when(F.col("err").isNotNull(), F.col("v")).otherwise(
+            F.parse_json(F.col("__dj"))
+        )
+        return ex.select(
+            "seq",
+            F.concat("ord", F.array(F.col("__pos").cast("long"))).alias("ord"),
+            newv.alias("v"),
+            "err",
+            *_carries(df),
+        )
+
+    return run
+
+
+def compile_query(node: ast.Node) -> StreamFn:
+    """Top-level compile entry point."""
+    return compile_stream(node)

@@ -1,0 +1,438 @@
+"""Recursive-descent parser for the bd/jq expression language.
+
+Grammar per the reference's nom PEG (query_nom.rs:73-104):
+
+    Expr   <- Or ('|'? Or)*          pipe lowest; optional '|' makes
+                                     juxtaposition chains (`.a.b`)
+    Or     <- And ('||' And)*
+    And    <- Compar ('&&' Compar)*
+    Compar <- BitOr (('=='|'!='|'<='|'>='|'<'|'>') BitOr)*
+    BitOr  <- BitXor ('bor' BitXor)*
+    BitXor <- BitAnd ('^' BitAnd)*
+    BitAnd <- Shift ('&' Shift)*
+    Shift  <- Add (('<<'|'>>') Add)*
+    Add    <- Mul (('+'|'-') Mul)*
+    Mul    <- Unary (('*'|'/'|'%') Unary)*
+    Unary  <- '-' Unary | '!' Unary | Primary
+    Primary<- '(' Expr ')' | literal | '..' | dot-form | '[' Expr? ']'
+              | '{' pairs '}' | builtin '(' args ')' | identifier
+
+Parse-time rewrites (matching query_nom.rs):
+  - `.[k]` with a single int/string item -> Index (query_nom.rs:697-712)
+  - `{ident}` -> `{"ident": .ident}` (query_nom.rs:523-528)
+  - inclusive slice end `..=b` -> b+1 (query_nom.rs:397,443)
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from bd_spark.jsonq import ast
+
+
+class ParseError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<dotdoteq>\.\.=)
+  | (?P<dotdot>\.\.(?!\.))
+  | (?P<number>\d+(?:\.\d+(?!\.))?(?:[eE][+-]?\d+)?)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<op><<|>>|<=|>=|==|!=|&&|\|\||[-+*/%<>=!&^|?,:(){}\[\].])
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+
+def tokenize(src: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise ParseError(f"unexpected character {src[i]!r} at {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        toks.append((kind, m.group()))
+    toks.append(("eof", ""))
+    return toks
+
+
+class Parser:
+    def __init__(self, src: str):
+        self.toks = tokenize(src)
+        self.i = 0
+
+    # -- token helpers -------------------------------------------------
+    def peek(self, k: int = 0) -> tuple[str, str]:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def at(self, text: str) -> bool:
+        return self.peek()[1] == text and self.peek()[0] != "string"
+
+    def at_kind(self, kind: str) -> bool:
+        return self.peek()[0] == kind
+
+    def take(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> None:
+        if not self.at(text):
+            raise ParseError(f"expected {text!r}, got {self.peek()[1]!r}")
+        self.take()
+
+    def opt_flag(self) -> bool:
+        if self.at("?"):
+            self.take()
+            return True
+        return False
+
+    # -- grammar -------------------------------------------------------
+    def parse_program(self) -> ast.Node:
+        if self.at_kind("eof"):
+            return ast.Identity()  # empty program == identity (query.rs:88)
+        node = self.parse_expr()
+        if not self.at_kind("eof"):
+            raise ParseError(f"trailing input at {self.peek()[1]!r}")
+        return node
+
+    _PIPE_STARTERS = frozenset(
+        ["(", "[", "{", ".", "!", "-"]
+    )
+
+    def parse_expr(self) -> ast.Node:
+        node = self.parse_or()
+        while True:
+            if self.at("|"):
+                self.take()
+                node = ast.Pipe(node, self.parse_or())
+            elif (
+                self.peek()[1] in self._PIPE_STARTERS
+                or self.at_kind("ident")
+                or self.at_kind("dotdot")
+            ) and not self.at_kind("eof"):
+                # juxtaposition pipe: `.a.b`, `.[] foo` (query_nom.rs:125)
+                node = ast.Pipe(node, self.parse_or())
+            else:
+                return node
+
+    def parse_or(self) -> ast.Node:
+        node = self.parse_and()
+        while self.at("||"):
+            self.take()
+            node = ast.Binary("||", node, self.parse_and())
+        return node
+
+    def parse_and(self) -> ast.Node:
+        node = self.parse_compar()
+        while self.at("&&"):
+            self.take()
+            node = ast.Binary("&&", node, self.parse_compar())
+        return node
+
+    def parse_compar(self) -> ast.Node:
+        node = self.parse_bitor()
+        while self.peek()[1] in ("==", "!=", "<", "<=", ">", ">=") and not self.at_kind("string"):
+            op = self.take()[1]
+            node = ast.Binary(op, node, self.parse_bitor())
+        return node
+
+    def parse_bitor(self) -> ast.Node:
+        node = self.parse_bitxor()
+        while self.at_kind("ident") and self.peek()[1] == "bor":
+            self.take()
+            node = ast.Binary("bor", node, self.parse_bitxor())
+        return node
+
+    def parse_bitxor(self) -> ast.Node:
+        node = self.parse_bitand()
+        while self.at("^"):
+            self.take()
+            node = ast.Binary("^", node, self.parse_bitand())
+        return node
+
+    def parse_bitand(self) -> ast.Node:
+        node = self.parse_shift()
+        while self.at("&"):
+            self.take()
+            node = ast.Binary("&", node, self.parse_shift())
+        return node
+
+    def parse_shift(self) -> ast.Node:
+        node = self.parse_add()
+        while self.peek()[1] in ("<<", ">>"):
+            op = self.take()[1]
+            node = ast.Binary(op, node, self.parse_add())
+        return node
+
+    def parse_add(self) -> ast.Node:
+        node = self.parse_mul()
+        while self.peek()[1] in ("+", "-"):
+            op = self.take()[1]
+            node = ast.Binary(op, node, self.parse_mul())
+        return node
+
+    def parse_mul(self) -> ast.Node:
+        node = self.parse_unary()
+        while self.peek()[1] in ("*", "/", "%"):
+            op = self.take()[1]
+            node = ast.Binary(op, node, self.parse_unary())
+        return node
+
+    def parse_unary(self) -> ast.Node:
+        if self.at("-"):
+            self.take()
+            return ast.Unary("-", self.parse_unary())
+        if self.at("!"):
+            self.take()
+            return ast.Unary("!", self.parse_unary())
+        return self.parse_primary()
+
+    # -- primaries -----------------------------------------------------
+    def parse_primary(self) -> ast.Node:
+        kind, text = self.peek()
+        if self.at("("):
+            self.take()
+            node = self.parse_expr()
+            self.expect(")")
+            return node
+        if kind == "dotdot":
+            self.take()
+            return ast.Recurse()
+        if self.at("."):
+            return self.parse_dot_form()
+        if kind == "number":
+            self.take()
+            return ast.Literal(_canon_number(text))
+        if kind == "string":
+            self.take()
+            return ast.Literal(_canon_string(text))
+        if self.at("["):
+            return self.parse_list_cons()
+        if self.at("{"):
+            return self.parse_dict_cons()
+        if kind == "ident":
+            return self.parse_ident_form()
+        raise ParseError(f"unexpected token {text!r}")
+
+    def parse_dot_form(self) -> ast.Node:
+        self.expect(".")
+        kind, text = self.peek()
+        if kind == "ident":
+            self.take()
+            return ast.Index(text, self.opt_flag())
+        if kind == "string":
+            self.take()
+            return ast.Index(json.loads(text), self.opt_flag())
+        if kind == "number":
+            # `.0` positional index (ops.rs:251-317)
+            self.take()
+            if "." in text or "e" in text or "E" in text:
+                raise ParseError(f"non-integer index .{text}")
+            return ast.Index(int(text), self.opt_flag())
+        if self.at("["):
+            return self.parse_bracket_suffix()
+        # lone `.` = identity
+        return ast.Identity()
+
+    def parse_bracket_suffix(self) -> ast.Node:
+        """Everything after `.[` — itervalues / slice / iterate / index."""
+        self.expect("[")
+        if self.at("]"):
+            self.take()
+            return ast.IterValues(self.opt_flag())
+        slice_node = self.try_parse_slice()
+        if slice_node is not None:
+            return slice_node
+        items = [self.parse_iter_item()]
+        while self.at(","):
+            self.take()
+            items.append(self.parse_iter_item())
+        self.expect("]")
+        opt = self.opt_flag()
+        if len(items) == 1 and isinstance(items[0], ast.Index):
+            return ast.Index(items[0].key, opt)  # `.[0]` / `.["k"]`
+        return ast.Iter(tuple(items), opt)
+
+    def parse_iter_item(self) -> ast.Node:
+        """Items that are int/string literals become Index
+        (query_nom.rs:697-712); otherwise a full expression."""
+        kind, text = self.peek()
+        nxt = self.peek(1)[1]
+        if kind == "number" and nxt in (",", "]") and "." not in text:
+            self.take()
+            return ast.Index(int(text))
+        if kind == "string" and nxt in (",", "]"):
+            self.take()
+            return ast.Index(json.loads(text))
+        neg = self.i
+        if self.at("-") and self.peek(1)[0] == "number" and self.peek(2)[1] in (",", "]"):
+            self.take()
+            t = self.take()[1]
+            if "." not in t:
+                return ast.Index(-int(t))
+            self.i = neg
+        return self.parse_expr_until_bracket()
+
+    def parse_expr_until_bracket(self) -> ast.Node:
+        # expressions inside `.[ ... ]` stop at ',' or ']'
+        return self.parse_expr_until_comma()
+
+    def try_parse_slice(self) -> ast.Node | None:
+        """`a..b`, `a..=b`, `..b`, `a..`, `..` inside brackets
+        (ops.rs:371-411, util.rs:4-23)."""
+        start_i = self.i
+        start: int | None = None
+        sign = 1
+        if self.at("-"):
+            self.take()
+            sign = -1
+        if self.at_kind("number"):
+            t = self.peek()[1]
+            if "." not in t and "e" not in t and "E" not in t:
+                self.take()
+                start = sign * int(t)
+            else:
+                self.i = start_i
+                return None
+        elif sign == -1:
+            self.i = start_i
+            return None
+        if not (self.at_kind("dotdot") or self.at_kind("dotdoteq")):
+            self.i = start_i
+            return None
+        inclusive = self.at_kind("dotdoteq")
+        self.take()
+        end: int | None = None
+        esign = 1
+        if self.at("-"):
+            self.take()
+            esign = -1
+        if self.at_kind("number"):
+            t = self.take()[1]
+            if "." in t:
+                raise ParseError("non-integer slice bound")
+            end = esign * int(t)
+        elif esign == -1:
+            raise ParseError("dangling '-' in slice")
+        if not self.at("]"):
+            self.i = start_i
+            return None
+        self.take()
+        if inclusive:
+            if end is None:
+                raise ParseError("..= requires an end bound")
+            end += 1  # query_nom.rs:397,443
+        return ast.Slice(start, end, self.opt_flag())
+
+    def parse_list_cons(self) -> ast.Node:
+        self.expect("[")
+        if self.at("]"):
+            self.take()
+            return ast.ListCons(None)
+        inner = self.parse_expr_list_as_iter()
+        self.expect("]")
+        return ast.ListCons(inner)
+
+    def parse_expr_list_as_iter(self) -> ast.Node:
+        """`[a, b]` collects the combined burst of a then b — comma at
+        top level of a list literal behaves like Iter branches."""
+        items = [self.parse_expr_until_comma()]
+        while self.at(","):
+            self.take()
+            items.append(self.parse_expr_until_comma())
+        if len(items) == 1:
+            return items[0]
+        return ast.Iter(tuple(items))
+
+    def parse_expr_until_comma(self) -> ast.Node:
+        node = self.parse_or()
+        while True:
+            if self.at("|"):
+                self.take()
+                node = ast.Pipe(node, self.parse_or())
+            elif (
+                self.peek()[1] in self._PIPE_STARTERS
+                or self.at_kind("ident")
+                or self.at_kind("dotdot")
+            ):
+                node = ast.Pipe(node, self.parse_or())
+            else:
+                return node
+
+    def parse_dict_cons(self) -> ast.Node:
+        self.expect("{")
+        pairs: list[ast.DictPair] = []
+        if not self.at("}"):
+            pairs.append(self.parse_dict_pair())
+            while self.at(","):
+                self.take()
+                pairs.append(self.parse_dict_pair())
+        self.expect("}")
+        return ast.DictCons(tuple(pairs))
+
+    def parse_dict_pair(self) -> ast.DictPair:
+        kind, text = self.peek()
+        if self.at("("):
+            self.take()
+            key: ast.Node = self.parse_expr()
+            self.expect(")")
+            self.expect(":")
+            return ast.DictPair(key, self.parse_expr_until_comma())
+        if kind == "string":
+            self.take()
+            key = ast.Literal(_canon_string(text))
+            self.expect(":")
+            return ast.DictPair(key, self.parse_expr_until_comma())
+        if kind == "ident":
+            name = self.take()[1]
+            if self.at(":"):
+                self.take()
+                return ast.DictPair(ast.Literal(json.dumps(name)), self.parse_expr_until_comma())
+            # `{ident}` -> {"ident": .ident} (query_nom.rs:523-528)
+            return ast.DictPair(ast.Literal(json.dumps(name)), ast.Index(name))
+        raise ParseError(f"bad dict key {text!r}")
+
+    def parse_ident_form(self) -> ast.Node:
+        name = self.take()[1]
+        if name in ("null", "true", "false"):
+            return ast.Literal(name)
+        if name in ast.BUILTIN_ARITY:
+            arity = ast.BUILTIN_ARITY[name]
+            if arity == 0:
+                return ast.Builtin(name, ())
+            self.expect("(")
+            args = [self.parse_expr()]
+            while self.at(","):
+                self.take()
+                args.append(self.parse_expr())
+            self.expect(")")
+            if len(args) != arity:
+                raise ParseError(f"{name} takes {arity} arg(s)")
+            return ast.Builtin(name, tuple(args))
+        # bare identifier ≡ `.name` with int fallback (ops.rs:320-368)
+        return ast.Identifier(name, self.opt_flag())
+
+
+def _canon_number(text: str) -> str:
+    if "." in text or "e" in text or "E" in text:
+        return repr(float(text))
+    return str(int(text))
+
+
+def _canon_string(tok: str) -> str:
+    return json.dumps(json.loads(tok), ensure_ascii=False)
+
+
+def parse(src: str) -> ast.Node:
+    """Parse a bd/jq query string into an AST."""
+    return Parser(src).parse_program()

@@ -1,0 +1,89 @@
+"""Execution entry points for jsonq queries.
+
+The document-stream schema is
+``(seq BIGINT, ord ARRAY<BIGINT>, v VARIANT, err STRING)``:
+`seq` is the input document index (jq output order is semantic; Spark
+rows are unordered, so order is data), `ord` the burst-position path,
+`err` the in-band error channel (entry.rs:30-32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bd_spark.jsonq import parser
+from bd_spark.jsonq.compiler import compile_query
+
+
+class JsonQ:
+    """Compile and run bd/jq queries on a SparkSession.
+
+    >>> jq = JsonQ(spark)
+    >>> jq.run_texts(".foo", ['{"foo": 10}'])
+    [(10, None)]
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # -- building document streams ------------------------------------
+    def stream_from_texts(self, texts: list[str]) -> DataFrame:
+        df = self.spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "seq long, doc_text string"
+        )
+        return self.stream_from_text_column(df, "doc_text")
+
+    def stream_from_text_column(
+        self, df: DataFrame, col: str, seq_col: str | None = "seq"
+    ) -> DataFrame:
+        """Document stream from a JSON-text column. Unparseable text
+        becomes an error entry (in-band, like the reference's parse
+        errors)."""
+        seq = (
+            F.col(seq_col)
+            if seq_col and seq_col in df.columns
+            else F.monotonically_increasing_id()
+        )
+        v = F.try_parse_json(F.col(col))
+        err = F.when(
+            v.isNull() & F.col(col).isNotNull(), F.concat(F.lit("parse error: "), F.col(col))
+        )
+        return df.select(
+            seq.cast("long").alias("seq"),
+            F.array().cast("array<long>").alias("ord"),
+            F.when(err.isNotNull(), F.parse_json(F.lit("null"))).otherwise(v).alias("v"),
+            err.alias("err"),
+        )
+
+    def stream_from_table(self, df: DataFrame) -> DataFrame:
+        """Any relational DataFrame as a document stream: each row is
+        one JSON object doc (FIXTURES.md §5 star-schema bridge)."""
+        return df.select(
+            F.monotonically_increasing_id().alias("seq"),
+            F.array().cast("array<long>").alias("ord"),
+            F.parse_json(F.to_json(F.struct(*df.columns))).alias("v"),
+            F.lit(None).cast("string").alias("err"),
+        )
+
+    # -- running -------------------------------------------------------
+    def run(self, query: str, stream: DataFrame) -> DataFrame:
+        """Run a query on a document stream; returns the output stream
+        ordered by (seq, ord)."""
+        fn = compile_query(parser.parse(query))
+        return fn(stream).orderBy("seq", "ord")
+
+    def run_texts(self, query: str, texts: list[str]) -> list[tuple[object, str | None]]:
+        """Convenience for tests: returns [(python_value, err), ...]
+        in output order."""
+        import json
+
+        out = self.run(query, self.stream_from_texts(texts))
+        rows = out.select(F.to_json("v").alias("j"), "err").collect()
+        return [
+            (json.loads(r.j) if r.j is not None else None, r.err) for r in rows
+        ]
+
+    def run_values(self, query: str, texts: list[str]) -> list[object]:
+        """Non-error output values only (error entries excluded)."""
+        return [val for val, err in self.run_texts(query, texts) if err is None]

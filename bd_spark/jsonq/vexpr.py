@@ -1,0 +1,201 @@
+"""Variant-column expression helpers for the jsonq compiler.
+
+Everything here builds pyspark Column expressions over VariantType —
+the dynamic-typing dispatch of the reference (`Json` enum,
+json.rs:469-478) becomes CASE-on-`schema_of_variant` templates that
+stay inside Catalyst / whole-stage codegen. No Python UDFs.
+
+Type universe (db.rs:21-30): null bool int float string array object.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The jq null VALUE (distinct from SQL NULL, which we reserve for
+# "no value because an error occurred").
+def vnull() -> Column:
+    return F.parse_json(F.lit("null"))
+
+
+def vbool(b: Column) -> Column:
+    return F.parse_json(F.when(b, "true").otherwise("false"))
+
+
+def vlong(x: Column) -> Column:
+    return F.parse_json(x.cast("string"))
+
+
+def vdouble(x: Column) -> Column:
+    # cast(double as string) yields '1.0E32' / '180.0' forms that
+    # parse_json accepts; canonical text formatting happens only in
+    # the serializer (canonical.py), not here.
+    return F.parse_json(x.cast("string"))
+
+
+def vstring(s: Column) -> Column:
+    # JSON-escape via to_json(array(s)) then take element 0.
+    return F.variant_get(F.parse_json(F.to_json(F.array(s))), "$[0]", "variant")
+
+
+def vparse(text: Column) -> Column:
+    return F.try_parse_json(text)
+
+
+# ---------------------------------------------------------------- types
+def vtype(v: Column) -> Column:
+    """Doctype tag: null|bool|int|float|string|array|object.
+
+    Numbers: parse_json yields BIGINT for small ints, DECIMAL(p,0) for
+    big ints (int tower, json.rs:473) and DECIMAL(p,s>0)/DOUBLE for
+    anything with . or eE (float tower, json.rs:474).
+    """
+    st = F.schema_of_variant(v)
+    return (
+        F.when(v.isNull(), F.lit(None).cast("string"))
+        .when(st == "VOID", "null")
+        .when(st == "BOOLEAN", "bool")
+        .when((st == "BIGINT") | st.rlike(r"^DECIMAL\(\d+,0\)$"), "int")
+        .when((st == "DOUBLE") | (st == "FLOAT") | st.startswith("DECIMAL"), "float")
+        .when(st == "STRING", "string")
+        .when(st.startswith("ARRAY"), "array")
+        .otherwise("object")
+    )
+
+
+def is_number(t: Column) -> Column:
+    return t.isin("int", "float")
+
+
+def truthy(v: Column) -> Column:
+    """Only null and false are falsy; 0 and "" are truthy
+    (json.rs:553-557)."""
+    t = vtype(v)
+    return ~(
+        (t == "null")
+        | ((t == "bool") & ~F.coalesce(F.variant_get(v, "$", "boolean"), F.lit(False)))
+    )
+
+
+# --------------------------------------------------------------- access
+def as_double(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "double")
+
+
+def as_long(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "long")
+
+
+def as_string(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "string")
+
+
+def as_bool(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "boolean")
+
+
+def as_array(v: Column) -> Column:
+    """ARRAY<VARIANT> or SQL NULL if not an array."""
+    return F.try_variant_get(v, "$", "array<variant>")
+
+
+def as_map(v: Column) -> Column:
+    """MAP<STRING,VARIANT> (keys in sorted order — variant objects
+    store fields key-sorted, matching json.rs:501-507) or NULL."""
+    return F.try_variant_get(v, "$", "map<string,variant>")
+
+
+# ------------------------------------------------------------ rebuild
+def json_quote(s: Column) -> Column:
+    """JSON text of a string value (escaped, quoted)."""
+    j = F.to_json(F.array(s))  # ["..."]
+    return F.substring(j, F.lit(2), F.length(j) - F.lit(2))
+
+
+def json_of_array(arr: Column) -> Column:
+    """JSON text of an ARRAY<VARIANT> (to_json rejects array<variant>
+    directly, so assemble element-wise)."""
+    return F.concat(
+        F.lit("["),
+        F.concat_ws(",", F.transform(arr, lambda x: F.to_json(x))),
+        F.lit("]"),
+    )
+
+
+def varray(arr: Column) -> Column:
+    """Variant array from ARRAY<VARIANT>."""
+    return F.parse_json(json_of_array(arr))
+
+
+def json_of_entries(entries: Column) -> Column:
+    """JSON text of ARRAY<STRUCT<k: STRING, j: STRING>> (j = value
+    JSON text). Caller must have deduped keys (parse_json rejects
+    duplicates)."""
+    return F.concat(
+        F.lit("{"),
+        F.concat_ws(
+            ",", F.transform(entries, lambda e: F.concat(json_quote(e["k"]), F.lit(":"), e["j"]))
+        ),
+        F.lit("}"),
+    )
+
+
+def dedup_last_wins(entries: Column) -> Column:
+    """Keep only the LAST entry per key (json.rs:501-507 dup policy).
+    entries: ARRAY<STRUCT<k,j>>."""
+    n = F.size(entries)
+    return F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + F.lit(2), n), lambda later: later["k"] == e["k"]
+        ),
+    )
+
+
+def vobject(entries: Column) -> Column:
+    """Variant object from ARRAY<STRUCT<k: STRING, j: STRING>>, with
+    dup-last-wins; parse_json canonicalizes key order."""
+    return F.parse_json(json_of_entries(dedup_last_wins(entries)))
+
+
+# ------------------------------------------------------------- compare
+_TYPE_RANK = "CASE {t} WHEN 'null' THEN 0 WHEN 'bool' THEN 1 WHEN 'int' THEN 2 WHEN 'float' THEN 2 WHEN 'string' THEN 3 WHEN 'array' THEN 4 ELSE 5 END"
+
+
+def type_rank(t: Column) -> Column:
+    """jq total order: null < bool < number < string < array < object.
+    (Intended semantics; the reference's enum-variant order
+    json.rs:469 puts every Integer below every Float — flagged as a
+    quirk in SURVEY.md §2.3 and not replicated.)"""
+    return (
+        F.when(t == "null", 0)
+        .when(t == "bool", 1)
+        .when(is_number(t), 2)
+        .when(t == "string", 3)
+        .when(t == "array", 4)
+        .otherwise(5)
+    )
+
+
+def deep_eq(a: Column, b: Column, ta: Column, tb: Column) -> Column:
+    """Deep structural equality: numeric compare for numbers, else
+    canonical-JSON equality (to_json on variant sorts object keys, so
+    text equality IS deep equality)."""
+    return F.when(
+        is_number(ta) & is_number(tb), as_double(a) == as_double(b)
+    ).otherwise((ta == tb) & (F.to_json(a) == F.to_json(b)))
+
+
+def compare_lt(a: Column, b: Column, ta: Column, tb: Column) -> Column:
+    """a < b under the jq total order. Within arrays/objects the
+    comparison falls back to canonical-JSON text order (documented
+    deviation: not element-wise recursive, SURVEY.md §2.3)."""
+    ra, rb = type_rank(ta), type_rank(tb)
+    return F.when(ra != rb, ra < rb).otherwise(
+        F.when(is_number(ta), as_double(a) < as_double(b))
+        .when(ta == "string", as_string(a) < as_string(b))
+        .when(ta == "bool", (~as_bool(a)) & as_bool(b))
+        .when(ta == "null", F.lit(False))
+        .otherwise(F.to_json(a) < F.to_json(b))
+    )

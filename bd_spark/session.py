@@ -43,6 +43,11 @@ def get_spark(app_name: str = "bd_spark", master: str | None = None) -> SparkSes
         # driver testdata stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read as long and convert in the catalog layer
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # jq semantics: type mismatches degrade to null, never throw
+        # (reference json.rs:914,938,1014 behavior)
+        .config("spark.sql.ansi.enabled", "false")
+        # object union `+` is rhs-wins (reference json.rs:963-995)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

@@ -1,0 +1,174 @@
+"""End-to-end jsonq conformance corpus.
+
+Re-expresses the reference's commented-out query test corpus
+(query.rs:274-1138 — the de-facto semantics spec per SURVEY.md §5)
+as (input doc, query, expected output values). Expected values encode
+the *intended* semantics: true `<=` (not the ops.rs:1272 bug), deep
+equality, `?` suppression.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bd_spark.jsonq.runtime import JsonQ
+
+# (query, input_doc, expected_output_values)
+CORPUS = [
+    # identity & literals (query.rs:280-370)
+    (".", '{"foo": 10}', [{"foo": 10}]),
+    ("", '"hello"', ["hello"]),
+    ("null", '{"x": 1}', [None]),
+    ("true", "1", [True]),
+    ("false", "1", [False]),
+    ("10", "null", [10]),
+    ("10.2", "null", [10.2]),
+    ('"hello"', "null", ["hello"]),
+    # index (query.rs:372-460)
+    (".foo", '{"foo": 10}', [10]),
+    (".foo?", '{"nonfoo": 10}', []),
+    ('."foo"', '{"foo": "bar"}', ["bar"]),
+    ('.["foo"]', '{"foo": [1,2]}', [[1, 2]]),
+    (".0", "[10, 20, 30]", [10]),
+    (".[0]", "[10, 20, 30]", [10]),
+    (".[1]", "[10, 20, 30]", [20]),
+    (".[-1]", "[10, 20, 30]", [30]),
+    (".[-3]", "[10, 20, 30]", [10]),
+    # slices (query.rs:464-539)
+    (".[2..4]", '["a","b","c","d","e"]', [["c", "d"]]),
+    (".[2..=3]", '["a","b","c","d","e"]', [["c", "d"]]),
+    (".[..2]", '["a","b","c","d","e"]', [["a", "b"]]),
+    (".[3..]", '["a","b","c","d","e"]', [["d", "e"]]),
+    (".[..]", '["a","b"]', [["a", "b"]]),
+    (".[-2..]", '["a","b","c","d","e"]', [["d", "e"]]),
+    (".[2..4]", '"abcdefghi"', ["cd"]),
+    (".[2..=3]", '"abcdefghi"', ["cd"]),
+    # itervalues (query.rs:541-577)
+    (".[]", "[1, 2, 3]", [1, 2, 3]),
+    (".[]", '{"a": true, "b": 2, "c": null}', [True, 2, None]),
+    (".[]", '{"b": 2, "a": 1}', [1, 2]),  # object values in key order
+    (".[]?", "10", []),
+    # iterate expressions (query.rs:579-591)
+    ('.["user", "projects"]', '{"user":"sted","projects":["jq","wikiflow"]}',
+     ["sted", ["jq", "wikiflow"]]),
+    (".[user, projects.[]]", '{"user":"stedolan","projects":["jq","wikiflow"]}',
+     ["stedolan", "jq", "wikiflow"]),
+    # pipe & juxtaposition (query.rs:596-636)
+    (".[] | foo", '[{"foo": 10}, {"foo": 20}]', [10, 20]),
+    (".a.b", '{"a": {"b": 42}}', [42]),
+    (".a | .b", '{"a": {"b": 42}}', [42]),
+    # arithmetic (query.rs:638-700, 763-907)
+    ("(2 + .) * 15", "10", [180]),
+    ("1 + 2", "null", [3]),
+    ("1 + 2.5", "null", [3.5]),
+    ("a + b", '{"a": 1, "b": 2}', [3]),
+    ('a + b', '{"a": "foo", "b": "bar"}', ["foobar"]),
+    ("a + b", '{"a": [1,2], "b": [3]}', [[1, 2, 3]]),
+    ("a + b + c", '{"a":{"x":1},"b":{"x":2},"c":{"y":2}}', [{"x": 2, "y": 2}]),
+    ("a - b", '{"a": 10, "b": 4}', [6]),
+    ("a - b", '{"a": [1,2], "b": [2]}', [[1]]),
+    ("a * b", '{"a": 3, "b": 4}', [12]),
+    ("a * b", '{"a": "hello", "b": 2}', ["hellohello"]),
+    ("a * b", '{"a": "hello", "b": 0}', [None]),
+    ("a / b", '{"a": 7, "b": 2}', [3.5]),
+    ("a / b", '{"a": 1, "b": 0}', [None]),
+    ("a / b", '{"a": "a,b,c,d", "b": ","}', [["a", "b", "c", "d"]]),
+    ("a % b", '{"a": 7, "b": 3}', [1]),
+    ("a % b", '{"a": 7, "b": 0}', [None]),
+    ("true + 1", "null", [None]),  # type mismatch -> null (json.rs:992)
+    # unary (ops.rs:742-803)
+    ("-a", '{"a": 5}', [-5]),
+    ("-a", '{"a": 5.5}', [-5.5]),
+    ("!a", '{"a": true}', [False]),
+    ("!a", '{"a": null}', [True]),
+    ("!a", '{"a": 0}', [False]),  # 0 is truthy (json.rs:553-557)
+    # bitwise / shifts (ops.rs:976-1143)
+    ("a << b", '{"a": 1, "b": 4}', [16]),
+    ("a >> b", '{"a": 16, "b": 2}', [4]),
+    ("a & b", '{"a": 6, "b": 3}', [2]),
+    ("a ^ b", '{"a": 6, "b": 3}', [5]),
+    ("a bor b", '{"a": 6, "b": 3}', [7]),
+    ("a & b", '{"a": 6, "b": "x"}', [None]),
+    # comparisons (ops.rs:1146-1347; Le bug NOT replicated)
+    ("a == b", '{"a": 1, "b": 1}', [True]),
+    ("a == b", '{"a": 1, "b": 1.0}', [True]),
+    ("a == b", '{"a": {"x":[1]}, "b": {"x":[1]}}', [True]),
+    ("a != b", '{"a": 1, "b": 2}', [True]),
+    ("a < b", '{"a": 1, "b": 2}', [True]),
+    ("a <= b", '{"a": 2, "b": 2}', [True]),
+    ("a <= b", '{"a": 3, "b": 2}', [False]),
+    ("a > b", '{"a": 3, "b": 2}', [True]),
+    ("a >= b", '{"a": 2, "b": 2}', [True]),
+    ('a < b', '{"a": "abc", "b": "abd"}', [True]),
+    ("a < b", '{"a": null, "b": false}', [True]),  # type rank
+    ("a && b", '{"a": true, "b": 0}', [True]),
+    ("a && b", '{"a": true, "b": null}', [False]),
+    ("a || b", '{"a": false, "b": false}', [False]),
+    ("a || b", '{"a": false, "b": ""}', [True]),
+    # collections (query.rs:672-758)
+    ("[.items.[].name]", '{"items": [{"name":"x"},{"name":"y"}]}', [["x", "y"]]),
+    ("[.[]]", "[1,2]", [[1, 2]]),
+    ("[]", "null", [[]]),
+    ("[1, 2, .]", "3", [[1, 2, 3]]),
+    ("{user, title: .titles.[]}",
+     '{"user":"sted","titles":["JQ Primer","More JQ"]}',
+     [{"title": "JQ Primer", "user": "sted"},
+      {"title": "More JQ", "user": "sted"}]),
+    ('{("a"):1}', "null", [{"a": 1}]),
+    ('{(."a"+"-"+."b"):59}', '{"a":"firstname","b":"lastname"}',
+     [{"firstname-lastname": 59}]),
+    ('{"a": 1, "b": 2}', "null", [{"a": 1, "b": 2}]),
+    # recurse (query.rs:753-758)
+    ("..|.a?", '[[{"a":1},{"a":2}],{"a":3}]', [1, 2, 3]),
+    # builtins (query.rs:951-1137)
+    (". | length", '[[1,2], "string", {"a":2}, null]', [4]),
+    (".[] | length", '[[1,2], "string", {"a":2}, null]', [2, 6, 1, 0]),
+    (".foo | length", '{"foo": [1,2,3]}', [3]),
+    ("chars", '"ab"', [[97, 98]]),
+    (". | chars | length", '"汉语"', [2]),
+    (". | keys", '{"abc":1,"abcd":2,"Foo":3}', [["Foo", "abc", "abcd"]]),
+    (". | keys", '[9, 8]', [[0, 1]]),
+    ('has("foo")', '{"foo":1,"abcd":2,"Foo":3}', [True]),
+    ('has("bar")', '{"foo":1}', [False]),
+    ("has(1)", '[9, 8]', [True]),
+    ("has(2)", '[9, 8]', [False]),
+    ('.[] | in({"foo": 42})', '["foo", "bar"]', [True, False]),
+    ("map(.+1)", "[1, 2]", [[2, 3]]),
+    ("map(.+1)", '{"foo":1,"bar":2}', [{"bar": 3, "foo": 2}]),
+    ("any(. == 1)", "[1, 2]", [True]),
+    ("any(. == 5)", "[1, 2]", [False]),
+    ('all(. == "a")', '{"x":"a","y":"b"}', [False]),
+    ('all(. == "a")', '["a", "a"]', [True]),
+    # dict cartesian + dedup (ops.rs:600-739)
+    ('{"a": .[], "b": .[]}', "[1,2]",
+     [{"a": 1, "b": 1}, {"a": 1, "b": 2}, {"a": 2, "b": 1}, {"a": 2, "b": 2}]),
+    ('{"z": 1, "a": 2}', "null", [{"a": 2, "z": 1}]),
+]
+
+
+@pytest.fixture(scope="module")
+def jq(spark):
+    return JsonQ(spark)
+
+
+@pytest.mark.parametrize("query,doc,expected", CORPUS, ids=[c[0][:40] for c in CORPUS])
+def test_corpus(jq, query, doc, expected):
+    got = jq.run_values(query, [doc])
+    assert got == expected, f"{query} on {doc}: {got} != {expected}"
+
+
+def test_error_entries_pass_through(jq):
+    out = jq.run_texts(".foo", ['{"nonfoo": 10}'])
+    assert len(out) == 1
+    val, err = out[0]
+    assert val is None and err is not None
+
+
+def test_multi_doc_stream(jq):
+    got = jq.run_values(".a", ['{"a": 1}', '{"a": 2}', '{"a": 3}'])
+    assert got == [1, 2, 3]
+
+
+def test_order_across_explodes(jq):
+    got = jq.run_values(".[].[]", "[[[1,2],[3]],[[4]]]".split("\x00"))
+    assert got == [[1, 2], [3], [4]]
