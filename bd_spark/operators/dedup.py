@@ -1,0 +1,288 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design (the point of this module — see SURVEY.md §7.2 step 8):
+
+- Signatures (minhash / simhash / fingerprints) are computed as
+  row-local Column expressions: zero shuffle, whole-stage codegen,
+  O(tokens) per row.  No Python touches the data path.
+- Candidate generation is the only shuffle, and it shuffles on a
+  uniformly-distributed hash key (LSH band / simhash chunk), so it
+  partitions evenly on a 1000-executor cluster.  Bucket-join (self
+  equi-join on the band key with id< id) instead of collect_list so
+  a pathological bucket (e.g. a billion identical docs) becomes an
+  AQE-splittable skew join, not an executor OOM.
+- Verification (exact Jaccard / Hamming) runs only on candidate
+  pairs, i.e. output-size cost, not corpus² cost.
+
+All hashes are DuckDB-reproducible (bd_spark.operators.hashing) so
+every operator ships an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bd_spark.operators.hashing import P31, h31, h60, minhash_coefficients
+from bd_spark.operators.text import char_ngrams, tokens, word_shingles
+
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = MINHASH_K // LSH_BANDS  # 4
+
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # pigeonhole: hamming<=3 pairs share >=1 of 4 chunks
+_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest id.
+
+    Hash-groupBy on md5(text) — a single shuffle on a uniform key.
+    At 100 TB this is the canonical map-side-combinable pattern: the
+    partial min(id) aggregates before the exchange.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      k: int = MINHASH_K, shingle_n: int = 3) -> DataFrame:
+    """(id, sig array<long>[k], shingles array<string>) — row-local.
+
+    sig[j] = min over shingles s of (a_j * h31(s) + b_j) mod P31.
+    The md5 per shingle is computed once (hashes array), then k
+    permutations transform it — O(shingles * k) integer ops per row,
+    all inside codegen.
+    """
+    a, b = minhash_coefficients(k)
+    a_arr = F.array(*[F.lit(x) for x in a])
+    b_arr = F.array(*[F.lit(x) for x in b])
+    # Single-pass fold: the md5-per-shingle array appears exactly ONCE
+    # in the expression tree.  The naive transform-per-permutation
+    # formulation gets inlined k times by CollapseProject and costs
+    # k*|shingles| md5 calls per row (measured 30x slower).
+    sig_fold = F.aggregate(
+        F.col("shingle_hashes"),
+        F.array_repeat(F.lit(P31).cast("long"), k),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda m, j: F.least(
+                m,
+                (F.element_at(a_arr, j + 1) * h + F.element_at(b_arr, j + 1))
+                % F.lit(P31),
+            ),
+        ),
+    )
+    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            sh.alias("shingles"),
+        )
+        .withColumn("shingle_hashes", F.transform(F.col("shingles"), h31))
+        .select(
+            "id",
+            F.when(F.size("shingle_hashes") > 0, sig_fold).alias("sig"),
+            "shingles",
+        )
+    )
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int = LSH_BANDS,
+                        rows: int = LSH_ROWS) -> DataFrame:
+    """Banding: explode each signature into `bands` (band_idx, key)
+    rows, self-join per bucket with id_a < id_b, distinct pairs.
+
+    The join key (band_idx, band string) is uniformly distributed for
+    non-duplicate docs, so the shuffle balances; duplicate clusters
+    concentrate but AQE skew-join splits them.
+    """
+    bandrow = sig_df.where(F.col("sig").isNotNull()).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.concat_ws(
+                    "_",
+                    F.transform(
+                        F.slice(F.col("sig"), j * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    left = bandrow.alias("l")
+    right = bandrow.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.7, shingle_n: int = 3) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature -> banded
+    candidates -> exact Jaccard verify on candidate pairs only.
+
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    # The signature frame feeds both sides of the band self-join AND
+    # the verify joins; persist so shingling/hashing runs once.  At
+    # cluster scale this is the standard pattern: signatures are tiny
+    # (k longs + shingle set) next to the raw text.
+    sig = minhash_signature(df, id_col, text_col, shingle_n=shingle_n).persist()
+    pairs = lsh_candidate_pairs(sig)
+    sets_ = sig.select("id", "shingles")
+    ja = sets_.alias("a")
+    jb = sets_.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = (
+        F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    )
+    jacc = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        pairs.join(ja, pairs.id_a == F.col("a.id"))
+        .join(jb, pairs.id_b == F.col("b.id"))
+        .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_column(text_col: str, bits: int = SIMHASH_BITS):
+    """60-bit count-weighted SimHash (Charikar) — one row-local
+    expression.
+
+    bit i is set when the occurrence-weighted vote of token hashes
+    with bit i set beats those with it clear.  Count weighting
+    matters on small vocabularies where distinct-token sets barely
+    differ.  O(distinct_tokens * (tokens + bits)) integer ops inside
+    codegen; no shuffle, no UDF.
+    """
+    toks = tokens(F.col(text_col))
+    dt = F.array_distinct(toks)
+    # (hash, count) pairs built ONCE; a per-bit formulation would get
+    # inlined `bits` times by CollapseProject (60x the md5 work).
+    # h60 (not h31): the full 60 bits of the md5 prefix carry entropy.
+    weighted = F.zip_with(
+        F.transform(dt, h60),
+        F.transform(dt, lambda t: F.size(F.filter(toks, lambda x: x == t)).cast("long")),
+        lambda h, c: F.struct(h.alias("h"), c.alias("c")),
+    )
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    votes = F.aggregate(
+        weighted,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, hc: F.zip_with(
+            acc,
+            pow2,
+            lambda v, p: v
+            + F.when(hc.getField("h").bitwiseAND(p) != 0, hc.getField("c")).otherwise(
+                -hc.getField("c")
+            ),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            pow2,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: chunk-bucket candidates + exact
+    Hamming verify.
+
+    Pigeonhole: two 60-bit hashes within Hamming distance 3 agree on
+    at least one of 4 disjoint 15-bit chunks, so bucketing each doc 4
+    times (chunk_idx, chunk_value) finds every qualifying pair with
+    one uniform-key shuffle.
+    """
+    # persist: the chunk explode self-join would otherwise recompute
+    # the simhash expression on both join sides
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash_column(text_col).alias("simhash")
+    ).persist()
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * _CHUNK_BITS)
+                    .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
+                    for i in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("long").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        block_cols: list[str], n: int = 5,
+                        threshold: float = 0.6) -> DataFrame:
+    """Exact character-n-gram Jaccard within blocking keys.
+
+    Blocking (e.g. lang + length bucket) bounds the pair count; the
+    join shuffles on the block key only.  This is the exact
+    verifier — at corpus scale prefer minhash_lsh_dedup for candidate
+    generation and keep this as the confirm step.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("grams"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    jacc = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jacc, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the blueprint:
+
+- **Brute-force cosine top-k** — exact baseline.  The query set is
+  broadcast (it is small by definition); the corpus streams through
+  map-side only — no shuffle of the corpus, embarrassingly parallel
+  at any scale.  Ranking shuffles only (n_queries * k') rows.
+- **Random-hyperplane LSH bucketing** — the scale path: each vector
+  gets a b-bit sign bucket from b fixed pseudo-random hyperplanes;
+  candidates join per bucket.  Hyperplanes are integer-LCG derived
+  so the DuckDB oracle reproduces them exactly.
+
+All arithmetic is double-precision folds in index order, so Spark
+and DuckDB agree to far more than the oracle's 6 significant digits.
+No Python UDFs: dot products run as Catalyst higher-order functions
+inside codegen.  (A Pandas-UDF/numpy variant was measured slower at
+this dimensionality (64) than codegen'd zip_with/aggregate.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bd_spark.operators.hashing import P31, _LCG_A, _LCG_C
+
+ANN_PLANES = 8
+
+
+def _dvec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _dvec(a), _dvec(b)
+    return dot(da, db) / (l2norm(da) * l2norm(db))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact cosine top-k: broadcast queries, scan corpus once.
+
+    Plan shape at scale: BroadcastNestedLoopJoin (no corpus shuffle)
+    -> local ranking -> exchange of n_queries*k rows only.  Ties
+    break by corpus id for determinism.
+    """
+    q = F.broadcast(queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    ))
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col)
+    ).crossJoin(q).select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cos"),
+    )
+    # rank on cos rounded to 9 digits so the DuckDB oracle (which sums
+    # doubles in a possibly different association order) ranks identically
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(F.round(F.col("cos"), 9)), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def hyperplane(j: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane j (values in [-0.5, 0.5]).
+
+    Integer LCG -> double division; exactly reproducible in SQL:
+      ((1103515245*(j*dim+d) + 12345) % 2147483647) / 2147483647 - 0.5
+    """
+    return [
+        ((_LCG_A * (j * dim + d) + _LCG_C) % P31) / P31 - 0.5
+        for d in range(dim)
+    ]
+
+
+def lsh_bucket(vec_col: Column, dim: int, planes: int = ANN_PLANES) -> Column:
+    """b-bit sign bucket: bit j = (v . r_j >= 0)."""
+    v = _dvec(vec_col)
+    bucket = F.lit(0).cast("long")
+    for j in range(planes):
+        r = F.array(*[F.lit(x) for x in hyperplane(j, dim)])
+        bucket = bucket + F.when(dot(v, r) >= 0, F.lit(2 ** j)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def embedding_near_dupes(df: DataFrame, dim: int, threshold: float = 0.95,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         planes: int = ANN_PLANES) -> DataFrame:
+    """Near-duplicate vector pairs via sign-LSH blocking + exact
+    cosine verify within buckets.
+
+    One shuffle on the (uniformly distributed) bucket key; candidate
+    count ~ n²/2^planes instead of n².  Trade-off documented: pairs
+    whose hyperplane signs differ are missed — raise `planes`
+    banding (multiple tables) for recall at scale.
+    """
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cos = cosine(F.col("l.vec"), F.col("r.vec"))
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cos, 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

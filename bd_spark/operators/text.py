@@ -1,0 +1,163 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are row-local Column builders (whole-stage codegen, no
+shuffle, no Python in the data path) so they scale linearly with
+input bytes on any cluster size.  Each has an exact DuckDB-SQL twin
+in ``bd_spark.queries.pipeline`` for the driver's correctness gate.
+
+Reference parity note: the reference (bnclabs/bd) has no text
+functions beyond `length`/`chars` (ops.rs:1418-1519); this module is
+the beyond-reference LLM-pipeline surface (SURVEY.md §7.2 step 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from bd_spark.operators.hashing import P31, h31, h60
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately small and hardcoded: the same literals are
+# embedded in the DuckDB oracle so both engines score identically.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "zu", "den", "ist", "ein"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+    "zh": ["de5", "le5", "shi4", "zai4", "you3", "he2", "wo3", "ni3"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization -> array<string> (lowercased).
+
+    split + filter stays in codegen; empty strings from repeated
+    blanks are dropped so Spark's regex split and DuckDB's plain
+    split agree.
+    """
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def _index_range(hi_exclusive: Column, limit: Column) -> Column:
+    """0..limit-1 as an array, empty when limit <= 0.
+
+    Spark's sequence(a, b) DESCENDS when b < a instead of returning
+    empty, so 0..hi (hi >= 0 always) is generated and filtered.
+    """
+    return F.filter(
+        F.sequence(F.lit(0), hi_exclusive), lambda i: i < limit
+    )
+
+
+def word_shingles(toks: Column, n: int) -> Column:
+    """Word n-gram shingles: array of space-joined n-token windows.
+
+    Row-local; used by minhash / jaccard dedup.  Returns an empty
+    array for docs shorter than n tokens.
+    """
+    idx = _index_range(F.size(toks), F.size(toks) - n + 1)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Character n-grams of the normalized text (distinct not applied)."""
+    s = F.lower(F.trim(text))
+    idx = _index_range(F.length(s), F.length(s) - n + 1)
+    return F.transform(idx, lambda i: s.substr(i + 1, F.lit(n)))
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Heuristic quality signals: length, token stats, alpha/space
+    ratio, stopword ratio.  Mirrors common pre-training filters
+    (Gopher/C4-style) with only engine-portable functions.
+    """
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    # characters that are neither lowercase ascii letters nor spaces
+    stripped = F.regexp_replace(F.lower(text), "[a-z ]", "")
+    non_alpha_ratio = F.when(n_chars > 0, F.length(stripped) / n_chars).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    en_stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_stops, t)))
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "mean_token_len": mean_tok_len.cast("double"),
+        "non_alpha_ratio": non_alpha_ratio.cast("double"),
+        "stopword_ratio": stop_ratio.cast("double"),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar quality score in [0, 1]: product of clamped signals."""
+    m = quality_metrics(text)
+    len_ok = F.least(m["n_tokens"] / F.lit(20.0), F.lit(1.0))
+    alpha_ok = F.lit(1.0) - F.least(m["non_alpha_ratio"] * 2, F.lit(1.0))
+    wordlen_ok = F.when(
+        (m["mean_token_len"] >= 2) & (m["mean_token_len"] <= 12), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return (len_ok * alpha_ok * wordlen_ok).cast("double")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit ratio per language (the language-ID heuristic)."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    out: dict[str, Column] = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        out[lang] = F.when(n_tok > 0, hits / n_tok).otherwise(F.lit(0.0)).cast("double")
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by stopword ratio; 'und' when all scores are 0.
+
+    Ties break by the fixed language order in LANG_STOPWORDS (stable
+    across engines because both evaluate the same CASE chain).
+    """
+    scores = lang_scores(text)
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
+def fingerprint_minhash(text: Column) -> Column:
+    """Single 31-bit document fingerprint: min over token-5-gram hashes
+    (rolling-hash winnowing collapsed to its global minimum).
+
+    Equal fingerprints => near-identical token streams; used as a
+    cheap pre-cluster key.  Row-local.
+    """
+    sh = word_shingles(tokens(text), 5)
+    return F.when(F.size(sh) > 0, F.array_min(F.transform(sh, h31))).otherwise(
+        h60(F.lower(F.trim(text))) % F.lit(P31)
+    )
+
+
+def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer et al., SIGMOD'03): hash
+    token k-grams, then keep the min hash of every w-window; distinct
+    sorted result.  Row-local; output size ~ n/w per doc.
+    """
+    hashes = F.transform(word_shingles(tokens(text), k), h31)
+    n = F.size(hashes)
+    win_idx = _index_range(n, n - w + 1)
+    mins = F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i + 1, w)))
+    return F.array_sort(F.array_distinct(mins))

@@ -1,0 +1,414 @@
+"""LLM-data-pipeline queries (dedup / similarity / text / multimodal)
+with exact DuckDB oracle twins.
+
+Every hash, hyperplane, and heuristic constant is engine-portable
+(bd_spark.operators.hashing), so the oracles reproduce the Spark
+results bit-for-bit — these are full correctness gates, not
+rows-only checks, even for MinHash-LSH and sign-LSH ANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bd_spark.catalog import table
+from bd_spark.operators import dedup, multimodal, similarity
+from bd_spark.operators import text as T
+from bd_spark.operators.hashing import P31, minhash_coefficients
+
+# ---------------------------------------------------------------- shared SQL
+
+# tokenizer twin of operators.text.tokens (regex split + drop empties)
+_TOKS = r"""[t for t in regexp_split_to_array(lower(trim(text)), '\s+') if t <> '']"""
+
+
+def _h60(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _h31(expr: str) -> str:
+    return f"({_h60(expr)} % {P31})"
+
+
+_A32, _B32 = minhash_coefficients(dedup.MINHASH_K)
+
+
+# ---------------------------------------------------------------- dedup
+
+def pipe_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-hash groupBy, keep min doc_id (map-side
+    combinable single shuffle)."""
+    return dedup.exact_dedup(table(spark, "documents", sf_dir), "doc_id", "text")
+
+
+PIPE_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def pipe_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands x 4 rows) near-dup pairs, exact
+    Jaccard >= 0.7 verified on candidates only."""
+    return dedup.minhash_lsh_dedup(
+        table(spark, "documents", sf_dir), "doc_id", "text", threshold=0.7
+    )
+
+
+PIPE_DEDUP_MINHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i+1:i+3], ' ')
+                        for i in range(greatest(len(w) - 2, 0))]) AS shingles
+  FROM toks
+), hs AS (
+  SELECT doc_id, shingles, [{_h31('s')} for s in shingles] AS hh FROM sh
+), sig AS (
+  SELECT doc_id, shingles,
+         [list_min([({_A32}[j+1] * h + {_B32}[j+1]) % {P31} for h in hh])
+          for j in range(32)] AS sig
+  FROM hs WHERE len(hh) > 0
+), bands AS (
+  SELECT doc_id, j AS band_idx,
+         array_to_string([CAST(x AS VARCHAR) for x in sig[j*4+1:j*4+4]], '_') AS band_key
+  FROM sig, range(8) t(j)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+  FROM cand JOIN sh a ON cand.id_a = a.doc_id
+            JOIN sh b ON cand.id_b = b.doc_id
+) WHERE jaccard >= 0.7
+"""
+
+
+def pipe_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit count-weighted SimHash near-dup pairs (Hamming <= 2)
+    via 4x15-bit chunk bucketing (pigeonhole-complete for <= 3)."""
+    return dedup.simhash_near_dupes(
+        table(spark, "documents", sf_dir), "doc_id", "text", max_hamming=2
+    )
+
+
+PIPE_DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), th AS (
+  SELECT doc_id, w, list_distinct(w) AS dt FROM toks
+), sim AS (
+  SELECT doc_id,
+         CAST(coalesce(list_sum(
+           [CASE WHEN CAST(coalesce(list_sum(
+                  [CASE WHEN ({_h60('t')} >> i) & 1 = 1
+                        THEN len([x for x in w if x = t])
+                        ELSE -len([x for x in w if x = t]) END for t in dt]
+                ), 0) AS BIGINT) > 0
+                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END for i in range(60)]
+         ), 0) AS BIGINT) AS simhash
+  FROM th
+), chunks AS (
+  SELECT doc_id, simhash, j AS chunk_idx,
+         (simhash >> CAST(j * 15 AS INTEGER)) & 32767 AS chunk_val
+  FROM sim, range(4) t(j)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                  l.simhash AS sa, r.simhash AS sb
+  FROM chunks l JOIN chunks r
+    ON l.chunk_idx = r.chunk_idx AND l.chunk_val = r.chunk_val
+   AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand
+) WHERE hamming <= 2
+"""
+
+
+def pipe_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-5-gram Jaccard >= 0.6 within (lang, length-bucket)
+    blocks — the exact verifier; LSH is the at-scale candidate path."""
+    docs = table(spark, "documents", sf_dir).withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100)
+    )
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["lang", "len_bucket"], n=5, threshold=0.6
+    )
+
+
+PIPE_DEDUP_NGRAM_SQL = """
+WITH g AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+         list_distinct([substr(s, i+1, 5)
+                        for i in range(greatest(length(s) - 4, 0))]) AS grams
+  FROM (SELECT doc_id, lang, n_chars, lower(trim(text)) AS s FROM documents)
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / (len(a.grams) + len(b.grams)
+                  - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+  FROM g a JOIN g b
+    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.6
+"""
+
+
+def pipe_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding high-similarity pairs: 8-plane sign-LSH blocking +
+    exact cosine verify within buckets.
+
+    Threshold 0.3 (not the real-world near-dup 0.95) because the
+    synthetic embeddings are near-orthogonal random vectors — max
+    pairwise cosine in the corpus is ~0.51; 0.95 would be vacuous.
+    """
+    return similarity.embedding_near_dupes(
+        table(spark, "embeddings", sf_dir), dim=64, threshold=0.3
+    )
+
+
+_HYPER = (
+    f"((((1103515245 * (j*64 + d) + 12345) % {P31}) / {P31}.0) - 0.5)"
+)
+
+PIPE_EMBED_NEARDUP_SQL = f"""
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v, j,
+         list_sum([v[d+1] * {_HYPER} for d in range(64)]) AS sgn
+  FROM v, range(8) t(j)
+), bk AS (
+  SELECT vec_id, v,
+         CAST(SUM(CASE WHEN sgn >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM s GROUP BY vec_id, v
+)
+SELECT id_a, id_b, cos FROM (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         round(list_sum([l.v[i+1] * r.v[i+1] for i in range(64)])
+               / (sqrt(list_sum([x*x for x in l.v]))
+                  * sqrt(list_sum([x*x for x in r.v]))), 6) AS cos
+  FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+) WHERE cos >= 0.3
+"""
+
+
+# ---------------------------------------------------------------- similarity
+
+def pipe_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 8 query vectors: broadcast
+    queries, one corpus scan, rank-shuffle of q*k rows only."""
+    emb = table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, q, k=5)
+
+
+PIPE_ANN_TOPK_SQL = """
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_sum([c.v[i+1] * q.qv[i+1] for i in range(64)])
+           / (sqrt(list_sum([x*x for x in c.v]))
+              * sqrt(list_sum([x*x for x in q.qv]))) AS cos
+  FROM v c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY round(cos, 9) DESC, neighbor_id
+  ) AS rank FROM scored
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------- text
+
+def pipe_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics + composite score per document (Gopher/C4-style
+    filters), all row-local codegen expressions."""
+    docs = table(spark, "documents", sf_dir)
+    m = T.quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars_m"),
+        m["n_tokens"].alias("n_tokens"),
+        F.round(m["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(m["non_alpha_ratio"], 6).alias("non_alpha_ratio"),
+        F.round(m["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality_score"),
+    )
+
+
+PIPE_TEXT_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS nc, {_TOKS} AS w FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(nc AS BIGINT) AS n_chars_m,
+    CAST(len(w) AS BIGINT) AS n_tokens,
+    CASE WHEN len(w) > 0
+         THEN CAST(coalesce(list_sum([length(t) for t in w]), 0) AS DOUBLE) / len(w)
+         ELSE 0.0 END AS mean_token_len,
+    CASE WHEN nc > 0
+         THEN CAST(length(regexp_replace(lower(text), '[a-z ]', '', 'g')) AS DOUBLE) / nc
+         ELSE 0.0 END AS non_alpha_ratio,
+    CASE WHEN len(w) > 0
+         THEN CAST(len([t for t in w if list_contains(['the','a','of','and','to','in','is','it'], t)]) AS DOUBLE) / len(w)
+         ELSE 0.0 END AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, n_chars_m, n_tokens,
+       round(mean_token_len, 6) AS mean_token_len,
+       round(non_alpha_ratio, 6) AS non_alpha_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(least(n_tokens / 20.0, 1.0)
+             * (1.0 - least(non_alpha_ratio * 2, 1.0))
+             * (CASE WHEN mean_token_len >= 2 AND mean_token_len <= 12
+                     THEN 1.0 ELSE 0.5 END), 6) AS quality_score
+FROM m
+"""
+
+
+def pipe_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID (argmax over 5 fixed lists)."""
+    docs = table(spark, "documents", sf_dir)
+    scores = T.lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        F.round(scores["en"], 6).alias("en_score"),
+    )
+
+
+def _lang_list_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+    return (
+        f"CASE WHEN len(w) > 0 THEN "
+        f"CAST(len([t for t in w if list_contains([{words}], t)]) AS DOUBLE) / len(w) "
+        f"ELSE 0.0 END"
+    )
+
+
+PIPE_TEXT_LANGID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKS} AS w FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    {_lang_list_sql('en')} AS s_en,
+    {_lang_list_sql('es')} AS s_es,
+    {_lang_list_sql('de')} AS s_de,
+    {_lang_list_sql('fr')} AS s_fr,
+    {_lang_list_sql('zh')} AS s_zh
+  FROM t
+)
+SELECT doc_id, lang AS lang_true,
+  CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN
+    CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+         WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+         WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+         WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+         ELSE 'zh' END
+  ELSE 'und' END AS lang_pred,
+  round(s_en, 6) AS en_score
+FROM s
+"""
+
+
+def pipe_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: global min-hash fingerprint + the
+    winnowing fingerprint set (k=5 token shingles, window w=4)."""
+    docs = table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        T.fingerprint_minhash(F.col("text")).alias("fp"),
+        T.winnowing_fingerprints(F.col("text"), k=5, w=4).alias("winnow"),
+    )
+
+
+PIPE_TEXT_FINGERPRINT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_TOKS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, text,
+         [array_to_string(w[i+1:i+5], ' ')
+          for i in range(greatest(len(w) - 4, 0))] AS sh5
+  FROM toks
+), hs AS (
+  SELECT doc_id, text, [{_h31('s')} for s in sh5] AS hh FROM sh
+)
+SELECT doc_id,
+  CASE WHEN len(hh) > 0 THEN list_min(hh)
+       ELSE (CAST('0x' || substr(md5(lower(trim(text))), 1, 15) AS BIGINT) % {P31})
+  END AS fp,
+  list_sort(list_distinct([list_min(hh[i+1:i+4])
+                           for i in range(greatest(len(hh) - 3, 0))])) AS winnow
+FROM hs
+"""
+
+
+# ---------------------------------------------------------------- multimodal
+
+def pipe_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode over binary payloads
+    (deterministic fake codec; real codec stubbed, see
+    operators.multimodal)."""
+    assets = multimodal.assets_from_documents(table(spark, "documents", sf_dir))
+    return multimodal.decode_assets(assets, fake=True)
+
+
+PIPE_MM_DECODE_SQL = """
+WITH c AS (
+  SELECT doc_id, text,
+         [unicode(ch) for ch in str_split(text, '')] AS codes
+  FROM documents
+)
+SELECT doc_id AS asset_id, 'image' AS media_type,
+       CAST(len(codes) AS BIGINT) AS byte_len,
+       CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS byte_sum,
+       [CAST(len([x for x in codes if x % 16 = i]) AS BIGINT)
+        for i in range(16)] AS hist16
+FROM c
+"""
+
+
+QUERIES = {
+    "pipe_dedup_exact": pipe_dedup_exact,
+    "pipe_dedup_minhash": pipe_dedup_minhash,
+    "pipe_dedup_simhash": pipe_dedup_simhash,
+    "pipe_dedup_ngram": pipe_dedup_ngram,
+    "pipe_embed_neardup": pipe_embed_neardup,
+    "pipe_ann_topk": pipe_ann_topk,
+    "pipe_text_stats": pipe_text_stats,
+    "pipe_text_langid": pipe_text_langid,
+    "pipe_text_fingerprint": pipe_text_fingerprint,
+    "pipe_mm_decode": pipe_mm_decode,
+}
+
+ORACLES = {
+    "pipe_dedup_exact": PIPE_DEDUP_EXACT_SQL,
+    "pipe_dedup_minhash": PIPE_DEDUP_MINHASH_SQL,
+    "pipe_dedup_simhash": PIPE_DEDUP_SIMHASH_SQL,
+    "pipe_dedup_ngram": PIPE_DEDUP_NGRAM_SQL,
+    "pipe_embed_neardup": PIPE_EMBED_NEARDUP_SQL,
+    "pipe_ann_topk": PIPE_ANN_TOPK_SQL,
+    "pipe_text_stats": PIPE_TEXT_STATS_SQL,
+    "pipe_text_langid": PIPE_TEXT_LANGID_SQL,
+    "pipe_text_fingerprint": PIPE_TEXT_FINGERPRINT_SQL,
+    "pipe_mm_decode": PIPE_MM_DECODE_SQL,
+}

@@ -1,0 +1,195 @@
+"""Unit tests for the LLM-pipeline operators (dedup / similarity /
+text / multimodal) on tiny hand-built frames — semantics, not scale.
+The sf0.01 oracle differential (tools/check_oracle.py) is the
+integration gate; these pin the operator behavior on known inputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bd_spark.operators import dedup, multimodal, similarity
+from bd_spark.operators import text as T
+from bd_spark.operators.hashing import P31, h60, minhash_coefficients
+
+
+def h31_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P31
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and the dog sat too"),
+        (2, "the cat sat on the mat and the dog sat too"),          # exact dup of 1
+        (3, "the cat sat on the mat and the dog slept too"),        # near dup of 1
+        (4, "completely different words about spark and shuffles"),
+        (5, "a b"),                                                 # shorter than shingle width
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_h60_matches_python_md5(spark, docs):
+    got = docs.select(h60(F.col("text")).alias("h")).where(F.col("doc_id").isNotNull()).collect()
+    want = [int(hashlib.md5(r.text.encode()).hexdigest()[:15], 16)
+            for r in docs.collect()]
+    assert sorted(r.h for r in got) == sorted(want)
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("  The  cat\tsat ",)], ["text"])
+    row = df.select(
+        T.tokens(F.col("text")).alias("t"),
+        T.word_shingles(T.tokens(F.col("text")), 2).alias("s2"),
+        T.word_shingles(T.tokens(F.col("text")), 5).alias("s5"),
+        T.char_ngrams(F.lit("abcd"), 3).alias("g3"),
+    ).first()
+    assert row.t == ["the", "cat", "sat"]
+    assert row.s2 == ["the cat", "cat sat"]
+    assert row.s5 == []          # shorter than n -> empty, not sequence-descend
+    assert row.g3 == ["abc", "bcd"]
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs, "doc_id", "text").collect()
+    by_keep = {r.keep_id: r.n_copies for r in out}
+    assert by_keep[1] == 2      # docs 1 and 2 collapse
+    assert by_keep[3] == 1 and by_keep[4] == 1
+    assert len(out) == 4
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    sig = dedup.minhash_signature(docs, "doc_id", "text").collect()
+    rows = {r.id: r for r in sig}
+    assert rows[1].sig == rows[2].sig          # identical text, identical sig
+    assert rows[1].sig != rows[4].sig
+    assert rows[5].sig is None                 # no 3-shingles -> null sig
+    # spot-check sig[0] against a pure-python reimplementation
+    a, b = minhash_coefficients(dedup.MINHASH_K)
+    shingles = set(rows[1].shingles)
+    want0 = min((a[0] * h31_py(s) + b[0]) % P31 for s in shingles)
+    assert rows[1].sig[0] == want0
+
+
+def test_minhash_lsh_finds_near_dup_pair(spark, docs):
+    pairs = dedup.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got                       # exact dup: jaccard 1.0
+    jacc = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert jacc[(1, 2)] == 1.0
+    assert all(p[0] < p[1] for p in got)
+
+
+def test_simhash_near_dupes(spark, docs):
+    pairs = dedup.simhash_near_dupes(docs, "doc_id", "text", max_hamming=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got[(1, 2)] == 0                    # identical docs, distance 0
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    blocked = docs.withColumn("blk", F.lit(1))
+    pairs = dedup.ngram_jaccard_pairs(
+        blocked, "doc_id", "text", ["blk"], n=5, threshold=0.9
+    ).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got[(1, 2)] == 1.0
+    assert (1, 4) not in got
+
+
+def test_cosine_and_topk(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.70710678, 0.70710678, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, q, k=3).collect()
+    assert [r.neighbor_id for r in out] == [0, 1, 3]
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].cos == 1.0 and out[1].cos == 1.0
+    assert abs(out[2].cos - 0.707107) < 1e-6
+
+
+def test_embedding_near_dupes_bucketed(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0] * 8),
+            (1, [1.0] * 8),                    # identical -> same bucket, cos 1
+            (2, [-1.0] * 8),                   # opposite bucket
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = similarity.embedding_near_dupes(emb, dim=8, threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+    assert pairs[0].cos == 1.0
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the hat and it is flat"),
+            (2, "el perro y la casa que es un gato en la calle"),
+            (3, "xxyy zzqq ppmm"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in df.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang"),
+        F.round(T.quality_score(F.col("text")), 6).alias("q"),
+    ).collect()}
+    assert out[1].lang == "en"
+    assert out[2].lang == "es"
+    assert out[3].lang == "und"
+    assert 0.0 <= out[3].q <= 1.0
+
+
+def test_winnowing_fingerprints_subset_of_hashes(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    row = df.select(
+        T.winnowing_fingerprints(F.col("text"), k=2, w=2).alias("w"),
+        T.fingerprint_minhash(F.col("text")).alias("fp"),
+    ).first()
+    toks = "one two three four five six seven eight nine ten".split()
+    grams2 = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+    all_h = [h31_py(g) for g in grams2]
+    assert set(row.w) <= set(all_h)
+    assert row.w == sorted(set(row.w))
+    grams5 = [" ".join(toks[i:i + 5]) for i in range(len(toks) - 4)]
+    assert row.fp == min(h31_py(g) for g in grams5)
+
+
+def test_multimodal_decode_fake(spark):
+    docs = spark.createDataFrame([(7, "abc", "en", "s", 3)],
+                                 ["doc_id", "text", "lang", "source", "n_chars"])
+    out = multimodal.decode_assets(
+        multimodal.assets_from_documents(docs), fake=True
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.asset_id == 7 and r.byte_len == 3
+    assert r.byte_sum == ord("a") + ord("b") + ord("c")
+    assert len(r.hist16) == 16 and sum(r.hist16) == 3
+
+
+def test_multimodal_decode_real_is_stubbed(spark):
+    docs = spark.createDataFrame([(1, "x", "en", "s", 1)],
+                                 ["doc_id", "text", "lang", "source", "n_chars"])
+    df = multimodal.decode_assets(
+        multimodal.assets_from_documents(docs), fake=False
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real image"):
+        df.collect()
