@@ -1,0 +1,95 @@
+"""``bdq`` — command-line query runner.
+
+Supersedes the reference CLI stub (bin/q.rs:44-49, which only prints
+``--version``): parses a bd/jq expression, runs it over JSON documents
+from files or stdin on a local SparkSession, and prints canonical
+output (sorted keys, ``{:e}`` floats) one document per line.
+
+Usage:
+    bdq '.foo | length' data.jsonl …
+    cat docs.json | bdq --concat '.[] | .name'
+    bdq --version
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+__version__ = "0.1.0"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bdq", description="Run a bd/jq query over JSON documents on Spark."
+    )
+    p.add_argument("query", nargs="?", help="bd/jq expression (e.g. '.foo | length')")
+    p.add_argument("files", nargs="*", help="input files (JSON-Lines; stdin if none)")
+    p.add_argument(
+        "--concat", action="store_true",
+        help="inputs are concatenated/multi-line JSON docs, not one per line",
+    )
+    p.add_argument(
+        "--errors", action="store_true",
+        help="print in-band error entries to stderr instead of dropping them",
+    )
+    p.add_argument("--master", default=None, help="Spark master (default local[N])")
+    p.add_argument("--version", action="store_true", help="print version and exit")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.version:
+        print(f"bdq {__version__}")
+        return 0
+    if not args.query:
+        build_parser().print_usage(sys.stderr)
+        return 2
+
+    from bd_spark.jsonq import parser as qparser
+
+    try:
+        ast = qparser.parse(args.query)
+    except Exception as e:  # noqa: BLE001 - surface parse errors cleanly
+        print(f"bdq: parse error: {e}", file=sys.stderr)
+        return 2
+
+    from bd_spark.jsonq.compiler import compile_query
+    from bd_spark.jsonq.runtime import JsonQ
+    from bd_spark.session import get_spark
+    from bd_spark.sources import jsons
+
+    spark = get_spark("bdq", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    jq = JsonQ(spark)
+
+    if args.files:
+        reader = jsons.read_json_concat if args.concat else jsons.read_jsonl
+        stream = reader(spark, args.files)
+    else:
+        text = sys.stdin.read()
+        if args.concat:
+            from bd_spark.sources.jsons import _parse_concat
+
+            docs = [d for d, err in _parse_concat(text) if err is None]
+            stream = jq.stream_from_texts(docs)
+        else:
+            stream = jq.stream_from_texts(
+                [ln for ln in text.splitlines() if ln.strip()]
+            )
+
+    out = compile_query(ast)(stream)
+    rows = jsons.canonical_text(out).orderBy("seq", "ord")
+    err_rows = out.orderBy("seq", "ord").select("err") if args.errors else None
+    for r in rows.select("line").collect():
+        print(r.line)
+    if err_rows is not None:
+        for r in err_rows.collect():
+            if r.err is not None:
+                print(f"bdq: {r.err}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,151 @@
+"""Sources/sinks: lenient parser golden-corpus parity, Spark readers,
+canonical sink, and the bdq CLI."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from bd_spark.jsonq.canonical import canonicalize
+from bd_spark.sources.lenient_json import (
+    JsonParseError,
+    iter_documents,
+    parse_many,
+    parse_one,
+)
+
+REF = "/root/reference/testdata"
+
+
+def _load_rust_vec(path: str) -> list[str]:
+    """The reference corpus files are Rust `vec!` source: one string
+    literal per line. Strip the literal syntax, keep the payload."""
+    out = []
+    for line in open(path, encoding="utf-8"):
+        line = line.strip().rstrip(",")
+        if line in ("[", "]", ""):
+            continue
+        if line.startswith('r#"'):
+            out.append(line[3 : line.rindex('"#')])
+        else:
+            out.append(line[1 : line.rindex('"')])
+    return out
+
+
+# ---------------------------------------------------------- golden corpus
+
+CORPUS = list(zip(_load_rust_vec(f"{REF}/test_simple.jsons"),
+                  _load_rust_vec(f"{REF}/test_simple.jsons.ref.jsons")))
+
+
+def test_corpus_loaded():
+    assert len(CORPUS) == 52  # 54 lines minus the two bracket lines
+
+
+@pytest.mark.parametrize("src,expect", CORPUS, ids=[s[:25] for s, _ in CORPUS])
+def test_golden_parse_serialize(src: str, expect: str):
+    """Parse the lenient input, canonical-serialize, match the golden
+    output byte-for-byte (json.rs:1130-1187 test_simple_jsons)."""
+    assert canonicalize(parse_one(src)) == expect
+
+
+# ---------------------------------------------------------- lenient units
+
+def test_lenient_numbers():
+    assert parse_one("+1") == 1
+    assert parse_one("00") == 0
+    assert parse_one(".2") == 0.2
+    assert parse_one("-.00") == 0.0
+    assert canonicalize(parse_one("-.00")) == "0e0"
+
+
+def test_optional_commas():
+    assert parse_one('[1 2 3]') == [1, 2, 3]
+    assert parse_one('{"a":1 "b":2}') == {"a": 1, "b": 2}
+
+
+def test_dup_keys_last_wins():
+    assert parse_one('{"a":1,"a":2}') == {"a": 2}
+    assert canonicalize(parse_one('{"z":1,"a":2}')) == '{"a":2,"z":1}'
+
+
+def test_surrogate_pair():
+    assert parse_one('"\\uD834\\uDD1E"') == "\U0001d11e"
+
+
+def test_parse_many():
+    assert parse_many('1 "two" [3] {"f":4} null') == [1, "two", [3], {"f": 4}, None]
+
+
+def test_parse_error_position():
+    with pytest.raises(JsonParseError):
+        parse_one("{bad}")
+
+
+def test_iter_documents_chunk_boundaries():
+    text = '12 345 {"a":1}[1,2]"x" true'
+    for bs in (1, 2, 3, 7, 1024):
+        got = list(iter_documents(io.StringIO(text), block_size=bs))
+        assert got == [12, 345, {"a": 1}, [1, 2], "x", True], f"block_size={bs}"
+
+
+# ---------------------------------------------------------- spark readers
+
+def test_read_jsonl(spark, tmp_path):
+    from bd_spark.sources import jsons
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"a": 1}\n{"a": 2}\nnot json\n[3, 4]\n')
+    df = jsons.read_jsonl(spark, str(p)).orderBy("seq")
+    rows = df.selectExpr("to_json(v) AS j", "err").collect()
+    assert [json.loads(r.j) for r in rows] == [{"a": 1}, {"a": 2}, None, [3, 4]]
+    assert [r.err is not None for r in rows] == [False, False, True, False]
+
+
+def test_read_json_concat(spark, tmp_path):
+    from bd_spark.sources import jsons
+
+    p = tmp_path / "docs.json"
+    p.write_text('{"a":\n 1}\n{"b": 2} [1,\n2] 7')
+    df = jsons.read_json_concat(spark, str(p)).orderBy("seq")
+    rows = df.selectExpr("to_json(v) AS j", "err").collect()
+    assert [json.loads(r.j) for r in rows] == [{"a": 1}, {"b": 2}, [1, 2], 7]
+    assert all(r.err is None for r in rows)
+
+
+def test_canonical_sink(spark, tmp_path):
+    from bd_spark.jsonq.runtime import JsonQ
+    from bd_spark.sources import jsons
+
+    jq = JsonQ(spark)
+    stream = jq.stream_from_texts(['{"z":1,"a":10.2}', "[1,2]"])
+    assert jsons.canonical_lines(stream) == ['{"a":1.02e1,"z":1}', "[1,2]"]
+
+    out = tmp_path / "out"
+    jsons.write_canonical(stream, str(out))
+    lines = sorted(
+        ln
+        for f in out.glob("part-*")
+        for ln in f.read_text().splitlines()
+    )
+    assert lines == sorted(['{"a":1.02e1,"z":1}', "[1,2]"])
+
+
+# ---------------------------------------------------------- CLI
+
+def test_cli_version(capsys):
+    from bd_spark.cli import main
+
+    assert main(["--version"]) == 0
+    assert capsys.readouterr().out.startswith("bdq ")
+
+
+def test_cli_query_file(spark, tmp_path, capsys):
+    from bd_spark.cli import main
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"foo": {"bar": 41}}\n{"foo": {"bar": 1}}\n')
+    assert main([".foo.bar + 1", str(p)]) == 0
+    assert capsys.readouterr().out == "42\n2\n"
