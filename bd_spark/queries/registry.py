@@ -24,6 +24,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(jsonq_queries.QUERIES)
     except ImportError:
         pass
+    try:
+        from bd_spark.queries import streaming_queries
+
+        out.update(streaming_queries.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -42,6 +48,12 @@ def all_oracles() -> dict[str, str]:
         from bd_spark.queries import jsonq_queries
 
         out.update(jsonq_queries.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from bd_spark.queries import streaming_queries
+
+        out.update(streaming_queries.ORACLES)
     except ImportError:
         pass
     return out

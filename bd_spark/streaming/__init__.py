@@ -1,0 +1,17 @@
+"""Structured Streaming surface.
+
+The reference's only streaming capability is the incremental
+multi-document JSON reader (json.rs:123-160) — it has no watermarks,
+windows, or state (SURVEY.md §2.6). Here the same document-stream
+model runs on Structured Streaming, plus the windowed / sessionized /
+stateful operators a 100 TB event pipeline needs.
+"""
+
+from bd_spark.streaming.ops import (  # noqa: F401
+    read_events_stream,
+    run_to_memory,
+    sessionized_stats,
+    stream_documents,
+    user_running_totals,
+    windowed_event_stats,
+)

@@ -1,0 +1,193 @@
+"""Streaming operators over the events stream and document streams.
+
+Design for scale: every operator here is a *streaming* DataFrame
+transform — state lives in Spark's state store (RocksDB on a real
+cluster), watermarks bound it, and the same code runs unmodified on a
+continuous source (Kafka) by swapping the reader. Tests and the
+driver's correctness gate run the file source with
+``Trigger.AvailableNow`` so results are deterministic and comparable
+to a batch/DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# ------------------------------------------------------------- sources
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``readStream`` over the events parquet (TESTDATA.md schema).
+
+    File sources need an explicit schema; we take it from the batch
+    reader and restore the TIMESTAMP(NANOS) ``ts`` exactly like the
+    batch catalog does.
+    """
+    import os
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the testdata table is a single parquet FILE; the file-stream
+    # source requires a directory, so expose it through a symlink dir
+    # (zero-copy; a real deployment streams a directory or Kafka)
+    link_dir = tempfile.mkdtemp(prefix="bd_events_stream_")
+    os.symlink(path, os.path.join(link_dir, "events.parquet"))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(link_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def stream_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming JSON-Lines → document stream — the streaming twin of
+    sources.read_jsonl and of the reference's incremental ``Jsons``
+    reader. ``seq`` is absent (unbounded source); order is carried by
+    the source offsets instead."""
+    raw = spark.readStream.text(path)
+    v = F.try_parse_json("value")
+    err = F.when(
+        v.isNull() & (F.trim("value") != ""),
+        F.concat(F.lit("parse error: "), F.col("value")),
+    )
+    return raw.where(F.trim("value") != "").select(
+        F.array().cast("array<long>").alias("ord"),
+        F.when(err.isNotNull(), F.parse_json(F.lit("null"))).otherwise(v).alias("v"),
+        err.alias("err"),
+    )
+
+
+# ------------------------------------------------------------- operators
+
+def windowed_event_stats(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window per-type stats with a watermark bounding state.
+
+    At scale this is the canonical streaming shuffle: partial
+    aggregation per microbatch, state keyed by (window, event_type) —
+    cardinality stays tiny no matter the event rate.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+def sessionized_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (gap-based). ``session_window`` merges
+    adjacent state as events arrive; the watermark closes sessions and
+    evicts their state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) via
+    ``applyInPandasWithState`` — the engine's example of arbitrary
+    state beyond built-in aggregations (reference has nothing
+    comparable; SURVEY.md §2.6 streaming gap).
+
+    Emits the updated running totals for every user touched in each
+    microbatch (update semantics); state is two numbers per user.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 6)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------------------------- execution
+
+def run_to_memory(
+    stream: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion on the currently
+    available data (Trigger.AvailableNow) into a memory sink; return
+    the sink table. This is how the driver's batch-shaped correctness
+    gate exercises real streaming execution."""
+    name = name or f"s_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return stream.sparkSession.table(name)

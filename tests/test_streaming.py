@@ -1,0 +1,147 @@
+"""Structured Streaming: windowed/sessionized/stateful operators agree
+with their batch equivalents; watermarks drop late data; document
+streams parse in-band."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bd_spark.catalog import table
+from bd_spark.streaming import (
+    read_events_stream,
+    run_to_memory,
+    sessionized_stats,
+    stream_documents,
+    user_running_totals,
+    windowed_event_stats,
+)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_windowed_stats_match_batch(spark, sf_dir):
+    stream = windowed_event_stats(read_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "complete")
+
+    batch = (
+        table(spark, "events", sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, *cols) == _rows(batch, *cols)
+
+
+def test_sessionized_match_batch(spark, sf_dir):
+    stream = sessionized_stats(read_events_stream(spark, sf_dir), gap="30 minutes")
+    got = run_to_memory(stream, "complete")
+
+    batch = (
+        table(spark, "events", sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("session_value"))
+        .select("user_id", F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"), "n_events", "session_value")
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events", "session_value"]
+    assert _rows(got, *cols) == _rows(batch, *cols)
+
+
+def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
+    """State must survive microbatch boundaries: split events into 3
+    files, one file per trigger, and check the final running totals
+    equal the batch aggregate."""
+    src = tmp_path / "events_split"
+    table(spark, "events", sf_dir).repartition(3).write.parquet(str(src))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream_src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = run_to_memory(user_running_totals(stream_src), "update")
+    # update mode emits one row per touched user per batch; the final
+    # state per user is the row with the largest n_events
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        got.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    )
+
+    batch = (
+        table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("total_value"))
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    got_rows = _rows(final, *cols)
+    batch_rows = _rows(batch, *cols)
+    # rounding of a running float sum can differ from a batch sum in
+    # the last ulp; compare values with tolerance
+    assert len(got_rows) == len(batch_rows)
+    for (u1, n1, t1), (u2, n2, t2) in zip(got_rows, batch_rows):
+        assert (u1, n1) == (u2, n2)
+        assert t1 == pytest.approx(t2, abs=1e-3)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append mode + watermark: an event arriving after the watermark
+    passed its window is dropped, not merged."""
+    src = tmp_path / "late"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"ts": "2024-01-01 10:05:00", "user_id": 1, "value": 1.0}\n'
+        '{"ts": "2024-01-01 10:20:00", "user_id": 2, "value": 1.0}\n'
+        '{"ts": "2024-01-01 12:00:00", "user_id": 3, "value": 1.0}\n'
+    )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .json(str(src))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()  # batch 1: watermark advances to 11:30
+    (src / "b.json").write_text(
+        '{"ts": "2024-01-01 10:30:00", "user_id": 4, "value": 1.0}\n'
+    )
+    q.processAllAvailable()  # batch 2: 10:30 is behind the watermark
+    q.stop()
+    rows = {
+        r.ws.strftime("%H:%M"): r.n for r in spark.table("late_test").collect()
+    }
+    # the 10:00 window closed at watermark 11:30 (after file a), so the
+    # late 10:30 event in file b was dropped: count stays 2
+    assert rows.get("10:00") == 2
+    # the 12:00 window never closed (watermark never passed 13:00)
+    assert "12:00" not in rows
+
+
+def test_stream_documents(spark, tmp_path):
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "d.jsonl").write_text('{"a": 1}\nnot json\n{"a": 2}\n')
+    got = run_to_memory(
+        stream_documents(spark, str(src)), "append"
+    )
+    rows = got.selectExpr("to_json(v) AS j", "err").collect()
+    vals = sorted(r.j for r in rows)
+    assert vals == ["null", '{"a":1}', '{"a":2}']
+    assert sum(r.err is not None for r in rows) == 1
