@@ -21,7 +21,7 @@ every operator ships an exact SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bd_spark.operators.hashing import P31, h31, h60, minhash_coefficients
@@ -258,31 +258,71 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         block_cols: list[str], n: int = 5,
                         threshold: float = 0.6) -> DataFrame:
-    """Exact character-n-gram Jaccard within blocking keys.
+    """Exact character-n-gram Jaccard >= threshold within blocking
+    keys, via frequency-ordered PREFIX FILTERING (Bayardo et al.
+    All-Pairs / PPJoin family) — lossless for the threshold, so the
+    output is identical to the naive blocked all-pairs join.
 
-    Blocking (e.g. lang + length bucket) bounds the pair count; the
-    join shuffles on the block key only.  This is the exact
-    verifier — at corpus scale prefer minhash_lsh_dedup for candidate
-    generation and keep this as the confirm step.
+    Why not all-pairs: blocked all-pairs is O(block²) pairs each
+    paying an array_intersect over the full gram sets (measured 150 s
+    at sf0.1; unrunnable at corpus scale).  Here:
+
+      1. per-block document frequency of every gram (one groupBy);
+      2. each doc's grams sorted rarest-first (total order (df,
+         gram)); a pair with J >= t must share a gram within the
+         first ``ng - ceil(t*ng) + 1`` of each side's ordering
+         (s >= ceil(t*ng) because s/(na+nb-s) >= t implies
+         s >= t*max(na, nb));
+      3. candidates = equi-join of PREFIX grams only — rare grams, so
+         per-gram fan-out is tiny (12x fewer join rows at sf0.1, and
+         the gap widens with corpus size);
+      4. exact array_intersect verify on the candidates only.
+
+    Every shuffle is on (block, gram) or id — uniform keys; frequent
+    grams never enter the join.
     """
-    grams = df.select(
+    docs = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         F.array_distinct(char_ngrams(F.col(text_col), n)).alias("grams"),
+    ).persist()
+    e = docs.select(
+        "id",
+        *block_cols,
+        F.size("grams").alias("ng"),
+        F.explode("grams").alias("gram"),
     )
-    a, b = grams.alias("a"), grams.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
+    freq = e.groupBy(*block_cols, "gram").agg(F.count("*").alias("df_"))
+    w = Window.partitionBy("id").orderBy("df_", "gram")
+    prefix_len = (
+        F.col("ng") - F.ceil(F.lit(threshold) * F.col("ng")).cast("long") + 1
+    )
+    prefix = (
+        # freq is |distinct grams| rows (tiny next to the exploded e);
+        # broadcasting it keeps e un-shuffled for this join
+        e.join(F.broadcast(freq), [*block_cols, "gram"])
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= prefix_len)
+        .select("id", *block_cols, "gram")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cond = F.col("pa.id") < F.col("pb.id")
     for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+        cond = cond & (F.col(f"pa.{c}") == F.col(f"pb.{c}"))
+    cond = cond & (F.col("pa.gram") == F.col("pb.gram"))
+    cand = (
+        pa.join(pb, cond)
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .distinct()
+    )
+    ga = docs.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = docs.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size("grams_a") + F.size("grams_b") - inter
     jacc = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
-        a.join(b, cond)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(jacc, 6).alias("jaccard"),
-        )
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

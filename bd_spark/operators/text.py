@@ -44,32 +44,38 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
-def _index_range(hi_exclusive: Column, limit: Column) -> Column:
-    """0..limit-1 as an array, empty when limit <= 0.
-
-    Spark's sequence(a, b) DESCENDS when b < a instead of returning
-    empty, so 0..hi (hi >= 0 always) is generated and filtered.
-    """
-    return F.filter(
-        F.sequence(F.lit(0), hi_exclusive), lambda i: i < limit
-    )
-
-
 def word_shingles(toks: Column, n: int) -> Column:
     """Word n-gram shingles: array of space-joined n-token windows.
 
-    Row-local; used by minhash / jaccard dedup.  Returns an empty
-    array for docs shorter than n tokens.
+    Built by zipping n SHIFTED SLICES of the token array instead of a
+    positional ``transform`` whose lambda captures ``toks``: a lambda-
+    captured expression re-evaluates per element (O(T²) per row —
+    measured 10x slowdown on real docs), while zip_with operands
+    evaluate once.  ``toks`` appears n times at top level, so callers
+    passing an expensive expression pay n linear passes, not T².
+    Returns an empty array for docs shorter than n tokens.
     """
-    idx = _index_range(F.size(toks), F.size(toks) - n + 1)
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    cnt = F.greatest(F.size(toks) - n + 1, F.lit(0))
+    acc = F.slice(toks, 1, cnt)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, k + 1, cnt), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return acc
 
 
 def char_ngrams(text: Column, n: int) -> Column:
-    """Character n-grams of the normalized text (distinct not applied)."""
+    """Character n-grams of the normalized text (distinct not applied).
+
+    One regexp pass: ``(?=(.{n})).`` captures the n chars at every
+    position (lookahead) while consuming one — the normalized string
+    is evaluated once per row. ``(?s)`` so grams may span newlines,
+    matching the substring-window semantics of the DuckDB oracle.
+    The positional-transform alternative re-evaluates lower(trim(s))
+    per position: O(len²) per row.
+    """
     s = F.lower(F.trim(text))
-    idx = _index_range(F.length(s), F.length(s) - n + 1)
-    return F.transform(idx, lambda i: s.substr(i + 1, F.lit(n)))
+    return F.regexp_extract_all(s, F.lit(f"(?s)(?=(.{{{n}}}))."), 1)
 
 
 def quality_metrics(text: Column) -> dict[str, Column]:
@@ -157,7 +163,12 @@ def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     sorted result.  Row-local; output size ~ n/w per doc.
     """
     hashes = F.transform(word_shingles(tokens(text), k), h31)
-    n = F.size(hashes)
-    win_idx = _index_range(n, n - w + 1)
-    mins = F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i + 1, w)))
+    # rolling min via shifted-slice zips (same reasoning as
+    # word_shingles: no lambda-captured array re-evaluation)
+    cnt = F.greatest(F.size(hashes) - w + 1, F.lit(0))
+    mins = F.slice(hashes, 1, cnt)
+    for j in range(1, w):
+        mins = F.zip_with(
+            mins, F.slice(hashes, j + 1, cnt), lambda a, b: F.least(a, b)
+        )
     return F.array_sort(F.array_distinct(mins))
