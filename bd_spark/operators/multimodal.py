@@ -107,6 +107,84 @@ def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
     return assets.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame_bytes", LongType()),
+    StructField("frame_sum", LongType()),
+])
+
+
+def resize_images(assets: DataFrame, width: int, height: int,
+                  fake: bool = True) -> DataFrame:
+    """Resize stage: binary in, binary out, fixed target dims.
+
+    Fake codec: nearest-neighbor byte sampling to exactly
+    width*height bytes (index i -> byte floor(i * n / (w*h))) — shape
+    and determinism of a real resize without PIL.  Arrow keeps both
+    payload directions zero-copy.
+    """
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_n = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real resize requires PIL")
+            payloads = []
+            for p in pdf["payload"]:
+                n = len(p)
+                payloads.append(
+                    bytes(p[(i * n) // out_n] for i in range(out_n)) if n else b""
+                )
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "width": [width] * len(pdf),
+                "height": [height] * len(pdf),
+                "payload": payloads,
+            })
+
+    return assets.mapInPandas(do, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, frame_bytes: int = 256,
+                  every_n: int = 2, fake: bool = True) -> DataFrame:
+    """Frame-sampling stage: one asset row fans out to one row per
+    kept frame (the 1->N shape of a real video pipeline).
+
+    Fake codec: the payload splits into fixed ``frame_bytes`` chunks
+    ("frames"); every ``every_n``-th is kept.  The fan-out happens
+    inside mapInPandas, so output batches stay Arrow-sized regardless
+    of per-asset frame counts.
+    """
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real frame extraction requires ffmpeg")
+            ids, idxs, lens, sums = [], [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                n_frames = (len(p) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every_n):
+                    chunk = p[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(aid)
+                    idxs.append(fi)
+                    lens.append(len(chunk))
+                    sums.append(sum(chunk))
+            yield pd.DataFrame({
+                "asset_id": ids, "frame_idx": idxs,
+                "frame_bytes": lens, "frame_sum": sums,
+            })
+
+    return assets.mapInPandas(do, schema=FRAME_SCHEMA)
+
+
 def repartition_by_size(assets: DataFrame, target_partitions: int) -> DataFrame:
     """Spread large payloads: shuffle on (size_bucket, asset_id) so no
     partition accumulates multiple giant blobs."""

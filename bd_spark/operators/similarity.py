@@ -108,6 +108,87 @@ def lsh_bucket(vec_col: Column, dim: int, planes: int = ANN_PLANES) -> Column:
     return bucket
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             nlist: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the at-scale ANN path.
+
+    - **Centroids**: the ``nlist`` lowest-id corpus vectors (a
+      deterministic stand-in for an offline k-means; both engines and
+      every rerun pick the same ones).  Collected to the driver and
+      embedded as literals: centroid sets are tiny by construction,
+      so assignment is a ZERO-SHUFFLE map-side argmax — at 100 TB the
+      corpus never moves.
+    - **Assignment**: every corpus vector gets the cid of its
+      max-cosine centroid (ties -> lowest cid); a stored corpus would
+      be written partitioned by cid, making probing partition-pruned.
+    - **Probe**: each query scores the same literal centroids, keeps
+      its top ``nprobe`` cids, and joins (broadcast — queries are
+      small) only against those lists: the scan fraction is
+      ~nprobe/nlist of brute force.
+    - **Rank**: exact cosine + row_number within the probed subset;
+      ranking on round(cos, 9) so the DuckDB oracle orders
+      identically.
+    """
+    cents = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in corpus.where(F.col(id_col) < nlist)
+        .select(id_col, vec_col)
+        .collect()
+    )
+
+    def best_cids(vec: Column, top: int) -> Column:
+        """array of the `top` centroid ids by (round(cos,9) desc, cid asc)."""
+        v = _dvec(vec)
+        nv = l2norm(v)
+        scored = F.array(*[
+            F.struct(
+                (-F.round(
+                    dot(v, F.array(*[F.lit(x) for x in cv]))
+                    / (nv * F.lit(sum(x * x for x in cv) ** 0.5)),
+                    9,
+                )).alias("negcos"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cv in cents
+        ])
+        return F.slice(
+            F.transform(F.array_sort(scored), lambda s: s.getField("cid")), 1, top
+        )
+
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(best_cids(F.col(vec_col), 1), 1).alias("cid"),
+    )
+    probes = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.explode(best_cids(F.col(vec_col), nprobe)).alias("cid"),
+        )
+    )
+    scored = assigned.join(probes, "cid").select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(F.round(F.col("cos"), 9)), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def embedding_near_dupes(df: DataFrame, dim: int, threshold: float = 0.95,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          planes: int = ANN_PLANES) -> DataFrame:

@@ -236,6 +236,54 @@ FROM (
 """
 
 
+def pipe_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for 8 query vectors: 16 deterministic
+    centroid lists, probe 4 — the at-scale ANN path (corpus scan
+    fraction ~ nprobe/nlist; assignment is zero-shuffle)."""
+    emb = table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, q, k=5, nlist=16, nprobe=4)
+
+
+PIPE_ANN_IVF_SQL = """
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS cv, sqrt(list_sum([x*x for x in v])) AS cn
+  FROM v WHERE vec_id < 16
+), vc AS (
+  SELECT v.vec_id, v.v, c.cid,
+         round(list_sum([v.v[i+1] * c.cv[i+1] for i in range(64)])
+               / (sqrt(list_sum([x*x for x in v.v])) * c.cn), 9) AS ccos
+  FROM v CROSS JOIN c
+), a AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM vc
+  ) WHERE rn = 1
+), qp AS (
+  SELECT vec_id AS query_id, v AS qv, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM vc WHERE vec_id < 8
+  ) WHERE rn <= 4
+), sc AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id,
+         list_sum([a.v[i+1] * qp.qv[i+1] for i in range(64)])
+           / (sqrt(list_sum([x*x for x in a.v]))
+              * sqrt(list_sum([x*x for x in qp.qv]))) AS cos
+  FROM a JOIN qp ON a.cid = qp.cid
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY round(cos, 9) DESC, neighbor_id
+  ) AS rank FROM sc
+) WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------- text
 
 def pipe_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,6 +435,36 @@ FROM c
 """
 
 
+def pipe_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: 1->N mapInPandas fan-out (every 2nd 256-byte
+    chunk of each payload as a 'frame')."""
+    assets = multimodal.assets_from_documents(table(spark, "documents", sf_dir))
+    return multimodal.sample_frames(assets, frame_bytes=256, every_n=2)
+
+
+PIPE_MM_FRAMES_SQL = """
+WITH c AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+), f AS (
+  SELECT doc_id,
+         unnest([i*2 for i in range(CAST(ceil(ceil(n/256.0)/2.0) AS BIGINT))])
+           AS frame_idx,
+         text
+  FROM c
+), g AS (
+  SELECT doc_id, frame_idx,
+         substr(text, CAST(frame_idx*256+1 AS BIGINT), 256) AS chunk
+  FROM f
+)
+SELECT doc_id AS asset_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(length(chunk) AS BIGINT) AS frame_bytes,
+       CAST(coalesce(list_sum([unicode(x) for x in str_split(chunk, '')]), 0) AS BIGINT)
+         AS frame_sum
+FROM g
+"""
+
+
 QUERIES = {
     "pipe_dedup_exact": pipe_dedup_exact,
     "pipe_dedup_minhash": pipe_dedup_minhash,
@@ -394,10 +472,12 @@ QUERIES = {
     "pipe_dedup_ngram": pipe_dedup_ngram,
     "pipe_embed_neardup": pipe_embed_neardup,
     "pipe_ann_topk": pipe_ann_topk,
+    "pipe_ann_ivf": pipe_ann_ivf,
     "pipe_text_stats": pipe_text_stats,
     "pipe_text_langid": pipe_text_langid,
     "pipe_text_fingerprint": pipe_text_fingerprint,
     "pipe_mm_decode": pipe_mm_decode,
+    "pipe_mm_frames": pipe_mm_frames,
 }
 
 ORACLES = {
@@ -407,8 +487,10 @@ ORACLES = {
     "pipe_dedup_ngram": PIPE_DEDUP_NGRAM_SQL,
     "pipe_embed_neardup": PIPE_EMBED_NEARDUP_SQL,
     "pipe_ann_topk": PIPE_ANN_TOPK_SQL,
+    "pipe_ann_ivf": PIPE_ANN_IVF_SQL,
     "pipe_text_stats": PIPE_TEXT_STATS_SQL,
     "pipe_text_langid": PIPE_TEXT_LANGID_SQL,
     "pipe_text_fingerprint": PIPE_TEXT_FINGERPRINT_SQL,
     "pipe_mm_decode": PIPE_MM_DECODE_SQL,
+    "pipe_mm_frames": PIPE_MM_FRAMES_SQL,
 }

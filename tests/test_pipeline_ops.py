@@ -193,3 +193,25 @@ def test_multimodal_decode_real_is_stubbed(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|real image"):
         df.collect()
+
+
+def test_mm_resize_and_frames(spark, sf_dir):
+    from bd_spark.catalog import table
+    from bd_spark.operators import multimodal
+
+    assets = multimodal.assets_from_documents(table(spark, "documents", sf_dir))
+    rs = multimodal.resize_images(assets.limit(5), 8, 4)
+    rows = rs.collect()
+    assert all(len(r.payload) == 32 for r in rows)
+    assert {(r.width, r.height) for r in rows} == {(8, 4)}
+
+    fr = multimodal.sample_frames(assets.limit(5), frame_bytes=100, every_n=2)
+    got = fr.collect()
+    assert all(r.frame_idx % 2 == 0 for r in got)
+    assert all(0 < r.frame_bytes <= 100 for r in got)
+    # frame_sum equals the byte sum of the corresponding chunk
+    one = table(spark, "documents", sf_dir).limit(1).collect()[0]
+    payload = one.text.encode("utf-8")
+    expect = sum(payload[0:100])
+    first = [r for r in got if r.asset_id == one.doc_id and r.frame_idx == 0]
+    assert first and first[0].frame_sum == expect
