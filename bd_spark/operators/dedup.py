@@ -276,7 +276,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
       3. candidates = equi-join of PREFIX grams only — rare grams, so
          per-gram fan-out is tiny (12x fewer join rows at sf0.1, and
          the gap widens with corpus size);
-      4. exact array_intersect verify on the candidates only.
+      4. verify on the candidates only, intersecting 31-bit HASHED
+         gram sets: integer array_intersect is ~7x cheaper than
+         string intersection (measured 73 s -> 11 s at sf0.1 on 500k
+         candidates), and h31 is engine-portable so the oracle
+         reproduces the same sets bit-for-bit.  Semantics: Jaccard
+         over hashed gram sets — collisions (p ~ |grams|²/2³¹ per
+         doc) can merge grams, identically in both engines.
 
     Every shuffle is on (block, gram) or id — uniform keys; frequent
     grams never enter the join.
@@ -285,6 +291,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         F.array_distinct(char_ngrams(F.col(text_col), n)).alias("grams"),
+    ).withColumn(
+        "ghash", F.array_distinct(F.transform("grams", h31))
     ).persist()
     e = docs.select(
         "id",
@@ -315,8 +323,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
         .distinct()
     )
-    ga = docs.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = docs.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    ga = docs.select(F.col("id").alias("id_a"), F.col("ghash").alias("grams_a"))
+    gb = docs.select(F.col("id").alias("id_b"), F.col("ghash").alias("grams_b"))
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size("grams_a") + F.size("grams_b") - inter
     jacc = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))

@@ -146,11 +146,13 @@ def pipe_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PIPE_DEDUP_NGRAM_SQL = """
+# verify twin: Jaccard over 31-bit-hashed gram sets, same h31 as Spark
+PIPE_DEDUP_NGRAM_SQL = f"""
 WITH g AS (
   SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
-         list_distinct([substr(s, i+1, 5)
-                        for i in range(greatest(length(s) - 4, 0))]) AS grams
+         list_distinct([{_h31('x')} for x in
+           list_distinct([substr(s, i+1, 5)
+                          for i in range(greatest(length(s) - 4, 0))])]) AS grams
   FROM (SELECT doc_id, lang, n_chars, lower(trim(text)) AS s FROM documents)
 )
 SELECT id_a, id_b, jaccard FROM (
