@@ -28,7 +28,10 @@ _ESCAPES = {
 
 def format_float(x: float) -> str:
     """Rust `{:e}` format: shortest mantissa that round-trips,
-    exponent without sign-padding."""
+    exponent without sign-padding. Negative zero normalizes to 0e0
+    (golden corpus testdata/test_simple.jsons.ref.jsons:31,35)."""
+    if x == 0.0:
+        return "0e0"
     for prec in range(1, 18):
         s = f"{x:.{prec}e}"
         if float(s) == x:
