@@ -412,6 +412,41 @@ FROM hs
 """
 
 
+def pipe_text_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 terms per language by document frequency — the classic
+    explode -> partial-agg -> top-k shape (the rank shuffle carries
+    only per-language survivors)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, "documents", sf_dir)
+    df_ = (
+        docs.select("lang", "doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .distinct()
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("doc_freq"), F.asc("term"))
+    return (
+        df_.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("lang", "term", "doc_freq", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+PIPE_TEXT_TOPTERMS_SQL = f"""
+WITH t AS (
+  SELECT DISTINCT lang, doc_id, unnest({_TOKS}) AS term FROM documents
+), df_ AS (
+  SELECT lang, term, count(*) AS doc_freq FROM t GROUP BY lang, term
+)
+SELECT lang, term, doc_freq, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY doc_freq DESC, term
+  ) AS rank FROM df_
+) WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------- multimodal
 
 def pipe_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,6 +513,7 @@ QUERIES = {
     "pipe_text_stats": pipe_text_stats,
     "pipe_text_langid": pipe_text_langid,
     "pipe_text_fingerprint": pipe_text_fingerprint,
+    "pipe_text_topterms": pipe_text_topterms,
     "pipe_mm_decode": pipe_mm_decode,
     "pipe_mm_frames": pipe_mm_frames,
 }
@@ -493,6 +529,7 @@ ORACLES = {
     "pipe_text_stats": PIPE_TEXT_STATS_SQL,
     "pipe_text_langid": PIPE_TEXT_LANGID_SQL,
     "pipe_text_fingerprint": PIPE_TEXT_FINGERPRINT_SQL,
+    "pipe_text_topterms": PIPE_TEXT_TOPTERMS_SQL,
     "pipe_mm_decode": PIPE_MM_DECODE_SQL,
     "pipe_mm_frames": PIPE_MM_FRAMES_SQL,
 }
