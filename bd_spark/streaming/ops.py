@@ -171,6 +171,15 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str],
+                 time_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins;
+    watermark bounds the key state (a key older than the watermark can
+    be evicted because any duplicate that late would be dropped
+    anyway).  The streaming twin of operators.dedup.exact_dedup."""
+    return events.withWatermark(time_col, watermark).dropDuplicates(keys)
+
+
 # ------------------------------------------------------------- execution
 
 def run_to_memory(

@@ -145,3 +145,46 @@ def test_stream_documents(spark, tmp_path):
     vals = sorted(r.j for r in rows)
     assert vals == ["null", '{"a":1}', '{"a":2}']
     assert sum(r.err is not None for r in rows) == 1
+
+
+def test_stream_dedup(spark, sf_dir, tmp_path):
+    """Duplicated input stream -> dropDuplicates with watermark state
+    -> exactly the distinct rows."""
+    from bd_spark.streaming.ops import dedup_stream
+
+    src = tmp_path / "dup"
+    ev = table(spark, "events", sf_dir).limit(200)
+    ev.union(ev).repartition(4).write.parquet(str(src))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = run_to_memory(dedup_stream(stream, ["event_id"]), "append")
+    assert got.count() == 200
+    assert got.select("event_id").distinct().count() == 200
+
+
+def test_jq_on_stream(spark, tmp_path):
+    """The jq compiler output runs unchanged on a streaming document
+    source (pure-navigation queries are select-only transforms)."""
+    from bd_spark.jsonq import parser
+    from bd_spark.jsonq.compiler import compile_query
+    from bd_spark.streaming import run_to_memory, stream_documents
+
+    src = tmp_path / "jqdocs"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"user": {"name": "ada", "age": 36}}\n'
+        '{"user": {"name": "bob", "age": 41}}\n'
+    )
+    # monotonically_increasing_id is not allowed on streams; for
+    # navigation-only queries seq is never consulted, so pin it
+    stream = stream_documents(spark, str(src)).withColumn(
+        "seq", F.lit(0).cast("long")
+    )
+    out = compile_query(parser.parse(".user.name"))(stream)
+    got = run_to_memory(out.selectExpr("to_json(v) AS j"), "append")
+    assert sorted(r.j for r in got.collect()) == ['"ada"', '"bob"']
