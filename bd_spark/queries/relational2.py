@@ -210,6 +210,26 @@ GROUP BY CUBE (p_brand, CAST(floor(p_size / 10) AS INTEGER))
 """
 
 
+# ----------------------------------------------- approximate aggregates
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates for 100 TB interactive profiling:
+    HyperLogLog++ distinct counts and quantile sketches in one pass.
+
+    No oracle_sql twin on purpose: sketch outputs are
+    implementation-defined, so the driver records the weaker
+    rows-only check (per the contract); the companion test bounds the
+    estimates against exact values instead.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 QUERIES = {
     "q12_priority_shipping": q12_priority_shipping,
     "q14_promo_revenue": q14_promo_revenue,
@@ -217,6 +237,7 @@ QUERIES = {
     "q19_disjunctive": q19_disjunctive,
     "q_min_price_supplier": q_min_price_supplier,
     "q_part_cube": q_part_cube,
+    "q_approx_stats": q_approx_stats,
 }
 
 ORACLES = {

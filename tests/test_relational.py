@@ -31,3 +31,29 @@ def test_q3_is_top10_sorted(spark, sf_dir):
 
 def test_every_query_has_oracle():
     assert set(relational.ORACLES) == set(relational.QUERIES)
+
+
+def test_approx_stats_bounds(spark, sf_dir):
+    """Sketch estimates stay within their error bounds of exact values."""
+    from bd_spark.catalog import table
+    from bd_spark.queries.relational2 import q_approx_stats
+    from pyspark.sql import functions as F
+
+    got = {r.l_returnflag: r for r in q_approx_stats(spark, sf_dir).collect()}
+    exact = {
+        r.l_returnflag: r
+        for r in table(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        g = got[k]
+        assert g.n_lines == e.n_lines  # exact column stays exact
+        assert abs(g.approx_orders - e.orders) / e.orders < 0.1
+        assert abs(g.price_quantiles[0] - e.median) / e.median < 0.05
