@@ -172,11 +172,18 @@ def user_running_totals(events: DataFrame) -> DataFrame:
 
 
 def dedup_stream(events: DataFrame, keys: list[str],
-                 time_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact dedup: first occurrence of each key wins;
-    watermark bounds the key state (a key older than the watermark can
-    be evicted because any duplicate that late would be dropped
-    anyway).  The streaming twin of operators.dedup.exact_dedup."""
+                 time_col: str = "ts",
+                 watermark: str | None = "1 hour") -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins.
+
+    With a watermark, key state is bounded AND any input row older
+    than the watermark is dropped as late — correct for
+    monotonic-ish event-time sources, required for unbounded ones.
+    ``watermark=None`` keeps all key state (exact dedup over
+    arbitrarily shuffled replays; state grows with distinct keys).
+    The streaming twin of operators.dedup.exact_dedup."""
+    if watermark is None:
+        return events.dropDuplicates(keys)
     return events.withWatermark(time_col, watermark).dropDuplicates(keys)
 
 

@@ -162,7 +162,11 @@ def test_stream_dedup(spark, sf_dir, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
     )
-    got = run_to_memory(dedup_stream(stream, ["event_id"]), "append")
+    # no watermark: rows replay in arbitrary batch order, and a
+    # watermark would drop whole batches as late input (not as dups)
+    got = run_to_memory(
+        dedup_stream(stream, ["event_id"], watermark=None), "append"
+    )
     assert got.count() == 200
     assert got.select("event_id").distinct().count() == 200
 
