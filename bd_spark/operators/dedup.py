@@ -255,6 +255,61 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     ).where(F.col("hamming") <= max_hamming)
 
 
+def connected_components(ids: DataFrame, pairs: DataFrame,
+                         id_col: str = "id", max_iter: int = 20) -> DataFrame:
+    """Duplicate-cluster assignment: connected components of the
+    near-dup pair graph by iterative min-label propagation.
+
+    Each node starts labeled with its own id; every round each node
+    takes the min of its label and its neighbors' labels; at the fixed
+    point every component carries its minimum id as the cluster label
+    (singletons label themselves).  The result is
+    iteration-order-independent, so a DuckDB recursive CTE reproduces
+    it exactly.
+
+    Scale notes: rounds needed = graph diameter; near-dup graphs are
+    shallow (clusters are quasi-cliques from LSH banding), so a
+    handful of rounds suffice.  ``localCheckpoint`` truncates plan
+    lineage each round (iterative joins otherwise stack plans
+    exponentially).  For adversarial long-chain graphs use the
+    star-contraction variants (Kiveris et al., "Connected Components
+    in MapReduce"), which converge in O(log n) rounds.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                labels.id.alias("id"),
+                F.least(
+                    labels.label, F.coalesce(nbr.nbr_label, labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         block_cols: list[str], n: int = 5,
                         threshold: float = 0.6) -> DataFrame:

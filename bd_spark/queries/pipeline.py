@@ -166,6 +166,35 @@ SELECT id_a, id_b, jaccard FROM (
 """
 
 
+def pipe_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components (iterative
+    min-label propagation) over the MinHash-LSH pair graph; every doc
+    gets its component's min doc_id as cluster label."""
+    docs = table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.7)
+    return dedup.connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    )
+
+
+# the same component labels via a recursive CTE over the same pair
+# graph (min reachable id == fixed point of min-label propagation)
+PIPE_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({PIPE_DEDUP_MINHASH_SQL}) mh
+), edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS t FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t
+)
+SELECT id, min(r) AS cluster FROM reach GROUP BY id
+"""
+
+
 def pipe_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding high-similarity pairs: 8-plane sign-LSH blocking +
     exact cosine verify within buckets.
@@ -507,6 +536,7 @@ QUERIES = {
     "pipe_dedup_minhash": pipe_dedup_minhash,
     "pipe_dedup_simhash": pipe_dedup_simhash,
     "pipe_dedup_ngram": pipe_dedup_ngram,
+    "pipe_dedup_clusters": pipe_dedup_clusters,
     "pipe_embed_neardup": pipe_embed_neardup,
     "pipe_ann_topk": pipe_ann_topk,
     "pipe_ann_ivf": pipe_ann_ivf,
@@ -523,6 +553,7 @@ ORACLES = {
     "pipe_dedup_minhash": PIPE_DEDUP_MINHASH_SQL,
     "pipe_dedup_simhash": PIPE_DEDUP_SIMHASH_SQL,
     "pipe_dedup_ngram": PIPE_DEDUP_NGRAM_SQL,
+    "pipe_dedup_clusters": PIPE_DEDUP_CLUSTERS_SQL,
     "pipe_embed_neardup": PIPE_EMBED_NEARDUP_SQL,
     "pipe_ann_topk": PIPE_ANN_TOPK_SQL,
     "pipe_ann_ivf": PIPE_ANN_IVF_SQL,

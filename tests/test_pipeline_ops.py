@@ -215,3 +215,15 @@ def test_mm_resize_and_frames(spark, sf_dir):
     expect = sum(payload[0:100])
     first = [r for r in got if r.asset_id == one.doc_id and r.frame_idx == 0]
     assert first and first[0].frame_sum == expect
+
+
+def test_connected_components(spark):
+    from bd_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    # components: {0,1,2,3} (chain), {5,6}, singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster for r in connected_components(ids, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
