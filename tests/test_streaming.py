@@ -192,3 +192,39 @@ def test_jq_on_stream(spark, tmp_path):
     out = compile_query(parser.parse(".user.name"))(stream)
     got = run_to_memory(out.selectExpr("to_json(v) AS j"), "append")
     assert sorted(r.j for r in got.collect()) == ['"ada"', '"bob"']
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """A restarted query with the same checkpoint resumes from stored
+    offsets: the parquet sink holds every input row exactly once, with
+    no reprocessing of files handled before the restart."""
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    (src / "a.json").write_text('{"k": 1}\n{"k": 2}\n')
+    (src / "b.json").write_text('{"k": 3}\n')
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("k long").json(str(src))
+            .select("k", (F.col("k") * 10).alias("v"))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    run_once()
+    assert sorted(r.k for r in spark.read.parquet(str(out)).collect()) == [1, 2, 3]
+
+    (src / "c.json").write_text('{"k": 4}\n')
+    run_once()  # restart from the same checkpoint
+    rows = sorted((r.k, r.v) for r in spark.read.parquet(str(out)).collect())
+    assert rows == [(1, 10), (2, 20), (3, 30), (4, 40)]
