@@ -1,0 +1,365 @@
+"""Pure-Python reference interpreter for the jq AST.
+
+A second, independent implementation of the language semantics (the
+Spark compiler in ``compiler.py`` is the production one). Used for:
+
+  - differential testing: random documents through BOTH engines must
+    agree (tests/test_interp.py);
+  - driver-side scalar evaluation where spinning a Spark job per
+    document is wasteful (e.g. CLI --local on small inputs).
+
+Semantics follow the conformance corpus (the reference's commented
+test suite, query.rs:274-1138): in-band error entries for navigation
+misses, plain-null values for operator type mismatches, ``?``
+suppression, key-sorted objects, dup-last-wins, intended (non-buggy)
+``<=`` and deep ``==``.
+
+Entries are ``(value, err)`` tuples; error entries pass through every
+operator untouched (ops.rs:296 behavior).
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from collections.abc import Iterable
+
+from bd_spark.jsonq import ast
+from bd_spark.jsonq.collation import json_compare
+from bd_spark.sources.lenient_json import parse_one
+
+Entry = tuple[object, str | None]
+
+
+def run(node: ast.Node, doc: object) -> list[Entry]:
+    """Evaluate a compiled AST against one document."""
+    return list(_eval_stream(node, [(doc, None)]))
+
+
+def run_values(node: ast.Node, doc: object) -> list[object]:
+    return [v for v, err in run(node, doc) if err is None]
+
+
+def _eval_stream(node: ast.Node, entries: Iterable[Entry]) -> Iterable[Entry]:
+    for v, err in entries:
+        if err is not None:
+            yield (v, err)  # error entries pass through untouched
+        else:
+            yield from _eval(node, v)
+
+
+def _err(msg: str) -> Entry:
+    return (None, msg)
+
+
+def _is_num(v: object) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _truthy(v: object) -> bool:
+    return not (v is None or v is False)  # json.rs:553-557
+
+
+def _eval(node: ast.Node, v: object) -> list[Entry]:  # noqa: PLR0911, PLR0912
+    if isinstance(node, ast.Identity):
+        return [(v, None)]
+
+    if isinstance(node, ast.Literal):
+        return [(parse_one(node.text), None)]
+
+    if isinstance(node, ast.Index):
+        return _index(v, node.key, node.opt)
+
+    if isinstance(node, ast.Identifier):
+        # bare symbol: object key; int-looking symbols fall back to
+        # array position (ops.rs:332-340)
+        if isinstance(v, list):
+            try:
+                return _index(v, int(node.name), node.opt)
+            except ValueError:
+                pass
+        return _index(v, node.name, node.opt)
+
+    if isinstance(node, ast.Slice):
+        return _slice(v, node.start, node.end, node.opt)
+
+    if isinstance(node, ast.IterValues):
+        if isinstance(v, list):
+            return [(x, None) for x in v]
+        if isinstance(v, dict):
+            return [(v[k], None) for k in sorted(v)]
+        return [] if node.opt else [_err(f"cannot iterate {_tname(v)}")]
+
+    if isinstance(node, ast.Iter):
+        out: list[Entry] = []
+        for item in node.items:
+            out.extend(_eval(item, v))
+        return out
+
+    if isinstance(node, ast.ListCons):
+        if node.expr is None:
+            return [([], None)]
+        vals = [x for x, err in _eval(node.expr, v) if err is None]
+        return [(vals, None)]
+
+    if isinstance(node, ast.DictCons):
+        return _dict_cons(node.pairs, v)
+
+    if isinstance(node, ast.Pipe):
+        return list(_eval_stream(node.right, _eval(node.left, v)))
+
+    if isinstance(node, ast.Recurse):
+        return [(x, None) for x in _recurse(v)]
+
+    if isinstance(node, ast.Unary):
+        return _unary(node.op, node.expr, v)
+
+    if isinstance(node, ast.Binary):
+        return _binary(node.op, node.left, node.right, v)
+
+    if isinstance(node, ast.Builtin):
+        return _builtin(node.name, node.args, v)
+
+    raise TypeError(f"unknown node {node!r}")
+
+
+# ------------------------------------------------------------ navigation
+
+def _tname(v: object) -> str:
+    return {type(None): "null", bool: "bool", int: "integer", float: "float",
+            str: "string", list: "array", dict: "object"}[type(v)]
+
+
+def _index(v: object, key: str | int, opt: bool) -> list[Entry]:
+    if isinstance(v, dict) and isinstance(key, str):
+        if key in v:
+            return [(v[key], None)]
+        return [] if opt else [_err(f"missing key {key}")]
+    if isinstance(v, list) and isinstance(key, int):
+        i = key + len(v) if key < 0 else key  # negative wraps (util.rs:25-29)
+        if 0 <= i < len(v):
+            return [(v[i], None)]
+        return [] if opt else [_err(f"index {key} out of bounds")]
+    return [] if opt else [_err(f"cannot index {_tname(v)} with {key!r}")]
+
+
+def _slice(v: object, start: int | None, end: int | None,
+           opt: bool) -> list[Entry]:
+    if not isinstance(v, (list, str)):
+        return [] if opt else [_err(f"cannot slice {_tname(v)}")]
+    n = len(v)
+    a = 0 if start is None else (start + n if start < 0 else start)
+    b = n if end is None else (end + n if end < 0 else end)
+    a, b = max(a, 0), min(b, n)
+    return [(v[a:b] if b > a else v[:0], None)]
+
+
+def _recurse(v: object) -> list[object]:
+    out = [v]
+    if isinstance(v, list):
+        for x in v:
+            out.extend(_recurse(x))
+    elif isinstance(v, dict):
+        for k in sorted(v):
+            out.extend(_recurse(v[k]))
+    return out
+
+
+def _dict_cons(pairs: tuple[ast.DictPair, ...], v: object) -> list[Entry]:
+    # each pair yields (key, value) combinations; the full object set
+    # is the cartesian product across pairs, rightmost varying fastest
+    per_pair: list[list[tuple[object, object]]] = []
+    for p in pairs:
+        ks = [k for k, err in _eval(p.key, v) if err is None]
+        vs = [x for x, err in _eval(p.value, v) if err is None]
+        per_pair.append(list(itertools.product(ks, vs)))
+    out: list[Entry] = []
+    for combo in itertools.product(*per_pair):
+        obj: dict = {}
+        for k, val in combo:
+            if isinstance(k, str):  # non-string keys skipped (ops.rs:683-704)
+                obj[k] = val  # dup last-wins
+        out.append((obj, None))
+    return out
+
+
+# ------------------------------------------------------------ operators
+
+def _unary(op: str, expr: ast.Node, v: object) -> list[Entry]:
+    out: list[Entry] = []
+    for x, err in _eval(expr, v):
+        if err is not None:
+            out.append((x, err))
+        elif op == "-":
+            out.append((-x, None) if _is_num(x) else (None, None))
+        else:  # '!'
+            out.append((not _truthy(x), None))
+    return out
+
+
+def _binary(op: str, left: ast.Node, right: ast.Node, v: object) -> list[Entry]:
+    lhs = _eval(left, v)
+    rhs = _eval(right, v)
+    out: list[Entry] = []
+    # operands zip pairwise (ops.rs:827-833); unequal lengths truncate
+    for (a, ea), (b, eb) in zip(lhs, rhs):
+        if ea is not None or eb is not None:
+            out.append(_err(ea or eb))
+        else:
+            out.append(_apply_binop(op, a, b))
+    return out
+
+
+def _apply_binop(op: str, a: object, b: object) -> Entry:  # noqa: PLR0911, PLR0912
+    if op == "+":
+        if _is_num(a) and _is_num(b):
+            return (a + b, None)
+        if isinstance(a, str) and isinstance(b, str):
+            return (a + b, None)
+        if isinstance(a, list) and isinstance(b, list):
+            return (a + b, None)
+        if isinstance(a, dict) and isinstance(b, dict):
+            return ({**a, **b}, None)  # shallow union, rhs wins
+        return (None, None)
+    if op == "-":
+        if _is_num(a) and _is_num(b):
+            return (a - b, None)
+        if isinstance(a, list) and isinstance(b, list):
+            res = list(a)
+            for x in b:  # remove FIRST occurrence each (json.rs:1010-1013)
+                for i, y in enumerate(res):
+                    if json_compare(x, y) == 0 and _same_kind(x, y):
+                        del res[i]
+                        break
+            return (res, None)
+        return (None, None)
+    if op == "*":
+        if _is_num(a) and _is_num(b):
+            return (a * b, None)
+        if isinstance(a, str) and isinstance(b, int) and not isinstance(b, bool):
+            return (a * b, None) if b > 0 else (None, None)  # x0 -> null
+        if isinstance(a, dict) and isinstance(b, dict):
+            return (_deep_merge(a, b), None)
+        return (None, None)
+    if op == "/":
+        if _is_num(a) and _is_num(b):
+            return (a / b, None) if b != 0 else (None, None)  # /0 -> null
+        if isinstance(a, str) and isinstance(b, str):
+            return (a.split(b), None)
+        return (None, None)
+    if op == "%":
+        if _is_num(a) and _is_num(b):
+            if b == 0:
+                return (None, None)
+            if isinstance(a, int) and isinstance(b, int):
+                return (int(math.fmod(a, b)), None)  # truncated, like Rust
+            return (math.fmod(a, b), None)
+        return (None, None)
+    if op in ("<<", ">>", "&", "^", "bor"):
+        if isinstance(a, int) and isinstance(b, int) and not (
+            isinstance(a, bool) or isinstance(b, bool)
+        ):
+            fn = {"<<": lambda: a << b, ">>": lambda: a >> b,
+                  "&": lambda: a & b, "^": lambda: a ^ b,
+                  "bor": lambda: a | b}[op]
+            return (fn(), None)
+        return (None, None)
+    if op in ("==", "!="):
+        eq = json_compare(a, b) == 0 and _same_kind(a, b)
+        return (eq if op == "==" else not eq, None)
+    if op in ("<", "<=", ">", ">="):
+        c = json_compare(a, b)
+        return ({"<": c < 0, "<=": c <= 0, ">": c > 0, ">=": c >= 0}[op], None)
+    if op == "&&":
+        return (_truthy(a) and _truthy(b), None)
+    if op == "||":
+        return (_truthy(a) or _truthy(b), None)
+    raise ValueError(f"unknown op {op!r}")
+
+
+def _same_kind(a: object, b: object) -> bool:
+    """json_compare ranks bools at their own rank, so a cross-kind 0
+    can only happen for number-vs-number (1 == 1.0: equal) — but
+    guard bool-vs-number explicitly (Python True == 1)."""
+    return isinstance(a, bool) == isinstance(b, bool)
+
+
+def _deep_merge(a: dict, b: dict) -> dict:
+    out = dict(a)
+    for k, bv in b.items():
+        av = out.get(k)
+        out[k] = (
+            _deep_merge(av, bv)
+            if isinstance(av, dict) and isinstance(bv, dict)
+            else bv
+        )
+    return out
+
+
+# ------------------------------------------------------------ builtins
+
+def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  # noqa: PLR0911, PLR0912
+    if name == "length":
+        if v is None:
+            return [(0, None)]
+        if isinstance(v, (str, list, dict)):
+            return [(len(v), None)]
+        return [_err(f"{_tname(v)} has no length")]
+    if name == "chars":
+        if isinstance(v, str):
+            return [([ord(c) for c in v], None)]
+        if isinstance(v, list):
+            return [(v, None)]
+        return [_err(f"cannot chars {_tname(v)}")]
+    if name == "keys":
+        if isinstance(v, dict):
+            return [(sorted(v), None)]
+        if isinstance(v, list):
+            return [(list(range(len(v))), None)]
+        return [_err(f"cannot keys {_tname(v)}")]
+    if name == "has":
+        return _membership(v, _arg_value(args[0], v))
+    if name == "in":
+        return _membership(_arg_value(args[0], v), v)
+    if name == "map":
+        f = args[0]
+        if isinstance(v, list):
+            mapped = []
+            for x in v:
+                vals = [y for y, err in _eval(f, x) if err is None]
+                mapped.extend(vals)
+            return [(mapped, None)]
+        if isinstance(v, dict):
+            return [(
+                {k: _first_value(f, v[k]) for k in sorted(v)}, None
+            )]
+        return [_err(f"cannot map {_tname(v)}")]
+    if name in ("any", "all"):
+        f = args[0]
+        if isinstance(v, list):
+            items = v
+        elif isinstance(v, dict):
+            items = [v[k] for k in sorted(v)]
+        else:
+            return [_err(f"cannot {name} {_tname(v)}")]
+        flags = [_truthy(_first_value(f, x)) for x in items]
+        return [(any(flags) if name == "any" else all(flags), None)]
+    raise ValueError(f"unknown builtin {name!r}")
+
+
+def _arg_value(node: ast.Node, v: object) -> object:
+    vals = [x for x, err in _eval(node, v) if err is None]
+    return vals[0] if vals else None
+
+
+def _first_value(node: ast.Node, v: object) -> object:
+    vals = [x for x, err in _eval(node, v) if err is None]
+    return vals[0] if vals else None
+
+
+def _membership(container: object, member: object) -> list[Entry]:
+    if isinstance(container, dict) and isinstance(member, str):
+        return [(member in container, None)]
+    if isinstance(container, list) and isinstance(member, int) and not isinstance(member, bool):
+        return [(0 <= member < len(container), None)]
+    return [_err(f"cannot check membership in {_tname(container)}")]

@@ -1,0 +1,84 @@
+"""The pure-Python interpreter passes the SAME conformance corpus as
+the Spark compiler, and both engines agree on random documents
+(differential test)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from bd_spark.jsonq import interp, parser
+from bd_spark.sources.lenient_json import parse_one
+from tests.test_jsonq_corpus import CORPUS
+
+
+@pytest.mark.parametrize(
+    "query,doc,expected", CORPUS, ids=[c[0][:40] for c in CORPUS]
+)
+def test_interp_corpus(query, doc, expected):
+    got = interp.run_values(parser.parse(query), parse_one(doc))
+    assert got == expected, f"{query} on {doc}"
+
+
+def test_interp_error_entries():
+    out = interp.run(parser.parse(".foo"), {"nonfoo": 10})
+    assert len(out) == 1 and out[0][0] is None and out[0][1] is not None
+
+
+# ------------------------------------------------------- differential
+
+DIFF_QUERIES = [
+    ".",
+    ".a",
+    ".a.b?",
+    ".[]?",
+    "..|.x?",
+    "[.[]?]",
+    ".a? + .b?",
+    '{"k": .a?, "n": length}',
+    ". | length",
+]
+
+DIFF_DOCS = [
+    '{"a": {"b": 1}, "b": 2}',
+    '{"a": 5, "b": 7.5}',
+    "[1, 2, 3]",
+    '[{"x": 1}, {"x": [2, {"x": 3}]}]',
+    '{"a": [1, 2], "x": null}',
+    '"plain string"',
+    "42",
+    "null",
+    '{"z": {"x": true}, "a": [], "m": {}}',
+]
+
+
+@pytest.mark.parametrize("query", DIFF_QUERIES)
+def test_differential_spark_vs_interp(spark, query):
+    """One Spark job per query over the whole doc battery; outputs
+    must match the interpreter document-for-document."""
+    from bd_spark.jsonq.runtime import JsonQ
+
+    jq = JsonQ(spark)
+    ast_ = parser.parse(query)
+    spark_out = jq.run_texts(query, DIFF_DOCS)
+    interp_out = [
+        e for d in DIFF_DOCS for e in interp.run(ast_, parse_one(d))
+    ]
+    assert len(spark_out) == len(interp_out), query
+    for (sv, serr), (iv, ierr) in zip(spark_out, interp_out):
+        assert (serr is None) == (ierr is None), query
+        if serr is None:
+            assert _norm(sv) == _norm(iv), f"{query}: {sv!r} != {iv!r}"
+
+
+def _norm(v):
+    """float/int unification for cross-engine compare (Spark variant
+    renders 7.5+0 as double; the interpreter keeps Python ints)."""
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    if isinstance(v, list):
+        return [_norm(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in sorted(v.items())}
+    return v
