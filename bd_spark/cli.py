@@ -34,8 +34,40 @@ def build_parser() -> argparse.ArgumentParser:
         help="print in-band error entries to stderr instead of dropping them",
     )
     p.add_argument("--master", default=None, help="Spark master (default local[N])")
+    p.add_argument(
+        "--local", action="store_true",
+        help="evaluate with the in-process interpreter (no Spark; for small inputs)",
+    )
     p.add_argument("--version", action="store_true", help="print version and exit")
     return p
+
+
+def _run_local(ast, args) -> int:
+    """Interpreter path: zero JVM startup; same semantics (the
+    interpreter and the Spark compiler share the conformance corpus
+    and a differential test)."""
+    from bd_spark.jsonq.canonical import canonicalize
+    from bd_spark.jsonq.interp import run as interp_run
+    from bd_spark.sources.lenient_json import parse_many
+
+    if args.files:
+        text = "".join(open(f, encoding="utf-8").read() for f in args.files)
+    else:
+        text = sys.stdin.read()
+    docs = (
+        parse_many(text)
+        if args.concat
+        else [d for ln in text.splitlines() if ln.strip() for d in parse_many(ln)]
+    )
+    status = 0
+    for doc in docs:
+        for val, err in interp_run(ast, doc):
+            if err is not None:
+                print(f"bdq: {err}", file=sys.stderr)
+                status = 5
+            else:
+                print(canonicalize(val))
+    return status
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -54,6 +86,9 @@ def main(argv: list[str] | None = None) -> int:
     except Exception as e:  # noqa: BLE001 - surface parse errors cleanly
         print(f"bdq: parse error: {e}", file=sys.stderr)
         return 2
+
+    if args.local:
+        return _run_local(ast, args)
 
     from bd_spark.jsonq.compiler import compile_query
     from bd_spark.jsonq.runtime import JsonQ

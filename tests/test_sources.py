@@ -149,3 +149,22 @@ def test_cli_query_file(spark, tmp_path, capsys):
     p.write_text('{"foo": {"bar": 41}}\n{"foo": {"bar": 1}}\n')
     assert main([".foo.bar + 1", str(p)]) == 0
     assert capsys.readouterr().out == "42\n2\n"
+
+
+def test_cli_local_mode(tmp_path, capsys):
+    from bd_spark.cli import main
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"foo": {"bar": 41}}\n{"foo": {"bar": 1}}\n')
+    assert main(["--local", ".foo.bar + 1", str(p)]) == 0
+    assert capsys.readouterr().out == "42\n2\n"
+
+
+def test_cli_local_stdin_concat(monkeypatch, capsys):
+    import io
+
+    from bd_spark.cli import main
+
+    monkeypatch.setattr("sys.stdin", io.StringIO('{"a": 1} {"a": 2}'))
+    assert main(["--local", "--concat", ".a"]) == 0
+    assert capsys.readouterr().out == "1\n2\n"
