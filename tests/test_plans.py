@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the properties that make the
+headline queries scale (pushdown, broadcast, partial aggregation)
+must survive refactors."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as m
+
+    return m.queries()
+
+
+def test_q1_scan_pushdown_and_pruning(spark, sf_dir, queries):
+    plan = _plan(queries["q1_pricing_summary"](spark, sf_dir))
+    # shipdate filter reaches the parquet scan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 11-column table reads only the 7 used
+    read = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_quantity" in read
+    # map-side partial aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q3_dimension_broadcast(spark, sf_dir, queries):
+    plan = _plan(queries["q3_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed to scan
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir, queries):
+    plan = _plan(queries["q5_local_supplier_volume"](spark, sf_dir))
+    # every join in this small-SF plan broadcasts; at full scale
+    # orders⋈lineitem would exceed the threshold and sort-merge, but
+    # no plan shape should ever cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_topk_no_corpus_shuffle(spark, sf_dir, queries):
+    """Brute-force ANN must stream the corpus map-side: the only
+    exchanges are the broadcast of queries and the final ranking."""
+    plan = _plan(queries["pipe_ann_topk"](spark, sf_dir))
+    # corpus side feeds the nested-loop join directly from the scan —
+    # no Exchange between Scan and the join
+    scan_to_join = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange hashpartitioning" not in scan_to_join
+
+
+def test_asof_single_shuffle(spark, sf_dir, queries):
+    """The as-of join shuffles once on the key (window exchange); no
+    join-produced row explosion appears in the plan."""
+    plan = _plan(queries["q_asof_last_order"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_plans(spark, sf_dir, queries):
+    plan = _plan(queries["q_semi_anti_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan or "LeftAnti" in plan
