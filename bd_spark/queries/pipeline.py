@@ -315,6 +315,49 @@ FROM (
 """
 
 
+def pipe_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the training-pipeline 'class
+    centroid' aggregation): posexplode to (label, dim, value) —
+    uniform (label, dim) keys, fully map-side-combinable avg — then
+    reassemble ordered arrays. No Python, no per-row UDF."""
+    emb = table(spark, "embeddings", sf_dir)
+    per_dim = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("col").alias("m"), F.count("*").alias("n"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", F.round("m", 6).alias("m")))
+                ),
+                lambda s: s.getField("m"),
+            ).alias("centroid"),
+            F.max("n").alias("n_vectors"),
+        )
+    )
+
+
+PIPE_EMBED_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), m AS (
+  SELECT label, pos, round(avg(x), 6) AS m, count(*) AS n
+  FROM e GROUP BY label, pos
+)
+SELECT label, list(m ORDER BY pos) AS centroid,
+       max(n) AS n_vectors
+FROM m GROUP BY label
+"""
+
+
 # ---------------------------------------------------------------- text
 
 def pipe_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,6 +581,7 @@ QUERIES = {
     "pipe_dedup_ngram": pipe_dedup_ngram,
     "pipe_dedup_clusters": pipe_dedup_clusters,
     "pipe_embed_neardup": pipe_embed_neardup,
+    "pipe_embed_centroids": pipe_embed_centroids,
     "pipe_ann_topk": pipe_ann_topk,
     "pipe_ann_ivf": pipe_ann_ivf,
     "pipe_text_stats": pipe_text_stats,
@@ -555,6 +599,7 @@ ORACLES = {
     "pipe_dedup_ngram": PIPE_DEDUP_NGRAM_SQL,
     "pipe_dedup_clusters": PIPE_DEDUP_CLUSTERS_SQL,
     "pipe_embed_neardup": PIPE_EMBED_NEARDUP_SQL,
+    "pipe_embed_centroids": PIPE_EMBED_CENTROIDS_SQL,
     "pipe_ann_topk": PIPE_ANN_TOPK_SQL,
     "pipe_ann_ivf": PIPE_ANN_IVF_SQL,
     "pipe_text_stats": PIPE_TEXT_STATS_SQL,
