@@ -82,3 +82,51 @@ def _norm(v):
     if isinstance(v, dict):
         return {k: _norm(x) for k, x in sorted(v.items())}
     return v
+
+
+def _rand_json(rng, depth=0):
+    kinds = ["null", "bool", "int", "float", "str"]
+    if depth < 3:
+        kinds += ["arr", "obj", "arr", "obj"]
+    k = rng.choice(kinds)
+    if k == "null":
+        return None
+    if k == "bool":
+        return rng.random() < 0.5
+    if k == "int":
+        return rng.randint(-1000, 1000)
+    if k == "float":
+        return round(rng.uniform(-100, 100), 3)
+    if k == "str":
+        return "".join(rng.choice("abx y.:/") for _ in range(rng.randint(0, 6)))
+    if k == "arr":
+        return [_rand_json(rng, depth + 1) for _ in range(rng.randint(0, 4))]
+    return {
+        "".join(rng.choice("abcxyz") for _ in range(rng.randint(1, 4))): _rand_json(
+            rng, depth + 1
+        )
+        for _ in range(rng.randint(0, 4))
+    }
+
+
+def test_differential_seeded_fuzz(spark):
+    """30 seeded random documents through every differential query on
+    both engines; values and error positions must agree."""
+    import random
+
+    from bd_spark.jsonq.runtime import JsonQ
+
+    rng = random.Random(20260813)
+    docs = [json.dumps(_rand_json(rng)) for _ in range(30)]
+    jq = JsonQ(spark)
+    for query in DIFF_QUERIES:
+        ast_ = parser.parse(query)
+        spark_out = jq.run_texts(query, docs)
+        interp_out = [
+            e for d in docs for e in interp.run(ast_, parse_one(d))
+        ]
+        assert len(spark_out) == len(interp_out), query
+        for (sv, serr), (iv, ierr) in zip(spark_out, interp_out):
+            assert (serr is None) == (ierr is None), f"{query}: err mismatch"
+            if serr is None:
+                assert _norm(sv) == _norm(iv), f"{query}: {sv!r} != {iv!r}"

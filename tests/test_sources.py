@@ -168,3 +168,26 @@ def test_cli_local_stdin_concat(monkeypatch, capsys):
     monkeypatch.setattr("sys.stdin", io.StringIO('{"a": 1} {"a": 2}'))
     assert main(["--local", "--concat", ".a"]) == 0
     assert capsys.readouterr().out == "1\n2\n"
+
+
+def test_format_agnostic_roundtrip(spark, sf_dir, tmp_path):
+    """The reference aspires to format-agnostic sources (CBOR/MsgPack,
+    README.md:18-22); on Spark that is the data source API. Round-trip
+    the documents table through ORC and JSON and get identical rows."""
+    from bd_spark.catalog import table
+
+    docs = table(spark, "documents", sf_dir)
+    expect = sorted(tuple(r) for r in docs.collect())
+
+    orc = tmp_path / "docs_orc"
+    docs.write.orc(str(orc))
+    got_orc = sorted(tuple(r) for r in spark.read.orc(str(orc)).collect())
+    assert got_orc == expect
+
+    jsn = tmp_path / "docs_json"
+    docs.write.json(str(jsn))
+    got_json = sorted(
+        tuple(r)
+        for r in spark.read.schema(docs.schema).json(str(jsn)).collect()
+    )
+    assert got_json == expect
