@@ -519,6 +519,60 @@ SELECT lang, term, doc_freq, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+def pipe_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: term frequencies and document
+    frequencies are two independent map-side-combinable aggregations
+    over one explode; the join back to docs is on uniform keys. The
+    rank shuffle carries 3 rows per doc."""
+    from pyspark.sql import Window
+
+    docs = table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    df_ = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    score = F.round(
+        (F.col("c") / F.col("n_tok")) * F.log(F.lit(float(n_docs)) / F.col("df")),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        tf.join(dlen, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .select("doc_id", "term", score.alias("tfidf"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+PIPE_TEXT_TFIDF_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, count(*) AS n_tok FROM t GROUP BY doc_id
+), dfq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term
+), s AS (
+  SELECT tf.doc_id, tf.term,
+         round((CAST(tf.c AS DOUBLE) / dl.n_tok)
+               * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / dfq.df),
+               6) AS tfidf
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id JOIN dfq ON tf.term = dfq.term
+)
+SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term
+  ) AS rank FROM s
+) WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------- multimodal
 
 def pipe_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,6 +642,7 @@ QUERIES = {
     "pipe_text_langid": pipe_text_langid,
     "pipe_text_fingerprint": pipe_text_fingerprint,
     "pipe_text_topterms": pipe_text_topterms,
+    "pipe_text_tfidf": pipe_text_tfidf,
     "pipe_mm_decode": pipe_mm_decode,
     "pipe_mm_frames": pipe_mm_frames,
 }
@@ -606,6 +661,7 @@ ORACLES = {
     "pipe_text_langid": PIPE_TEXT_LANGID_SQL,
     "pipe_text_fingerprint": PIPE_TEXT_FINGERPRINT_SQL,
     "pipe_text_topterms": PIPE_TEXT_TOPTERMS_SQL,
+    "pipe_text_tfidf": PIPE_TEXT_TFIDF_SQL,
     "pipe_mm_decode": PIPE_MM_DECODE_SQL,
     "pipe_mm_frames": PIPE_MM_FRAMES_SQL,
 }
