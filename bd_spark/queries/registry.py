@@ -8,11 +8,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from bd_spark.queries import relational, relational2, temporal
+    from bd_spark.queries import relational, relational2, relational3, temporal
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(relational2.QUERIES)
+    out.update(relational3.QUERIES)
     out.update(temporal.QUERIES)
     try:
         from bd_spark.queries import pipeline
@@ -36,11 +37,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def all_oracles() -> dict[str, str]:
-    from bd_spark.queries import relational, relational2, temporal
+    from bd_spark.queries import relational, relational2, relational3, temporal
 
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
     out.update(relational2.ORACLES)
+    out.update(relational3.ORACLES)
     out.update(temporal.ORACLES)
     try:
         from bd_spark.queries import pipeline
