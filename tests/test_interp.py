@@ -37,6 +37,11 @@ DIFF_QUERIES = [
     "[.[]?]",
     ".a? + .b?",
     '{"k": .a?, "n": length}',
+    ".a? * 2",
+    ".[1..3]?",
+    "[..]",
+    "!.a?",
+    ".a? == .b?",
     ". | length",
 ]
 
