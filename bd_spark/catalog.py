@@ -32,8 +32,34 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    _ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return _fix_nanos(df)
+
+
+# Runtime-settable SQL confs the engine's semantics depend on. Callers
+# (the driver harness included) build their own SparkSessions without
+# them, so every entry point sets them on the session it is handed:
+#   - nanosAsLong: the testdata events table stores TIMESTAMP(NANOS),
+#     which Spark's parquet reader otherwise rejects outright.
+#   - ansi off: jq semantics degrade type mismatches to null, never
+#     throw (reference json.rs:914,938,1014); Spark 4 defaults ANSI on.
+#   - LAST_WIN: object union `+` is rhs-wins (reference json.rs:963-995).
+#   - UTC: oracle SQL (DuckDB) compares timestamps in UTC.
+_SESSION_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    for k, v in _SESSION_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf made static in this build; best-effort
 
 
 def _fix_nanos(df: DataFrame) -> DataFrame:

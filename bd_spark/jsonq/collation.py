@@ -41,7 +41,10 @@ _ESC = b"\x00\xff"
 
 
 def _num_bytes(x: float) -> bytes:
-    bits = struct.unpack(">Q", struct.pack(">d", float(x)))[0]
+    x = float(x)
+    if x == 0:
+        x = 0.0  # -0.0 compares equal to 0.0, so it must key equal too
+    bits = struct.unpack(">Q", struct.pack(">d", x))[0]
     if bits & (1 << 63):
         bits ^= (1 << 64) - 1  # negative: flip everything
     else:

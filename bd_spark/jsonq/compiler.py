@@ -287,11 +287,17 @@ def _binary_value(op: str, a: Column, b: Column) -> Column:
             .otherwise(V.vnull())
         )
     if op == "-":
-        # arr-arr removes rhs elements (json.rs:997-1017; ALL
-        # occurrences — jq semantics, SURVEY §2.4 note)
+        # arr-arr: each rhs element removes the FIRST remaining
+        # occurrence from lhs (json.rs:1010-1013 remove_item) — keep
+        # lhs[i] iff its 1-based duplicate rank exceeds the rhs count
+        lhs_texts = F.transform(V.as_array(a), lambda y: F.to_json(y))
         rhs_texts = F.transform(V.as_array(b), lambda y: F.to_json(y))
         removed = F.filter(
-            V.as_array(a), lambda x: ~F.array_contains(rhs_texts, F.to_json(x))
+            V.as_array(a),
+            lambda x, i: F.size(
+                F.filter(F.slice(lhs_texts, 1, i + 1), lambda e: e == F.to_json(x))
+            )
+            > F.size(F.filter(rhs_texts, lambda e: e == F.to_json(x))),
         )
         return (
             F.when(bothint, V.vlong(F.try_subtract(la, lb)))
@@ -578,7 +584,10 @@ def _col_dict(parts: list[tuple[CV, CV]]) -> CV:
     for kc, vc in parts:
         err = _merge_err(_merge_err(err, kc.err), vc.err)
         drop = _merge_drop(_merge_drop(drop, kc.drop), vc.drop)
-        entries.append(F.struct(V.as_string(kc.v).alias("k"), F.to_json(vc.v).alias("j")))
+        # non-string keys are skipped entirely (ops.rs:693-697), not
+        # coerced: null k falls to the isNotNull filter below
+        k = F.when(V.vtype(kc.v) == "string", V.as_string(kc.v))
+        entries.append(F.struct(k.alias("k"), F.to_json(vc.v).alias("j")))
     arr = F.filter(F.array(*entries), lambda e: e["k"].isNotNull())
     out = F.parse_json(V.json_of_entries(V.dedup_last_wins(arr)))
     return CV(out, err, drop)

@@ -91,9 +91,14 @@ def _eval(node: ast.Node, v: object) -> list[Entry]:  # noqa: PLR0911, PLR0912
         return [] if node.opt else [_err(f"cannot iterate {_tname(v)}")]
 
     if isinstance(node, ast.Iter):
+        # round-robin one element per branch per cycle (ops.rs:480-540),
+        # NOT branch-major — multi-valued branches interleave
+        import itertools
+
+        bursts = [_eval(item, v) for item in node.items]
         out: list[Entry] = []
-        for item in node.items:
-            out.extend(_eval(item, v))
+        for cycle in itertools.zip_longest(*bursts):
+            out.extend(e for e in cycle if e is not None)
         return out
 
     if isinstance(node, ast.ListCons):

@@ -92,6 +92,21 @@ def _remove(doc: Any, tokens: list[str]) -> Any:
     return doc
 
 
+def _json_eq(a: Any, b: Any) -> bool:
+    """RFC 6902 §4.6 equality: JSON-typed, so booleans never equal
+    numbers (Python's True == 1 would otherwise make `test` of value
+    true succeed against document value 1)."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_json_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_json_eq(a[k], b[k]) for k in a)
+    return type(a) is type(b) and a == b
+
+
 def apply_patch(doc: Any, ops: list[dict]) -> Any:
     """Apply an RFC 6902 op list to a Python value tree; raises
     PatchError on any failed op (whole patch aborts)."""
@@ -117,7 +132,7 @@ def apply_patch(doc: Any, ops: list[dict]) -> Any:
             val = json.loads(json.dumps(_get(doc, parse_pointer(op["from"]))))
             doc = _add(doc, tokens, val)
         elif kind == "test":
-            if _get(doc, tokens) != op["value"]:
+            if not _json_eq(_get(doc, tokens), op["value"]):
                 raise PatchError(f"test failed at {op['path']!r}")
         else:
             raise PatchError(f"unknown op {kind!r}")

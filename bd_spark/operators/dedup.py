@@ -85,11 +85,17 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
             F.col(id_col).alias("id"),
             sh.alias("shingles"),
         )
-        .withColumn("shingle_hashes", F.transform(F.col("shingles"), h31))
+        # distinct: h31 collisions may merge shingles; the verify path
+        # intersects these hashed sets so both engines must agree
+        .withColumn(
+            "shingle_hashes",
+            F.array_distinct(F.transform(F.col("shingles"), h31)),
+        )
         .select(
             "id",
             F.when(F.size("shingle_hashes") > 0, sig_fold).alias("sig"),
             "shingles",
+            "shingle_hashes",
         )
     )
 
@@ -145,13 +151,14 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
     # (k longs + shingle set) next to the raw text.
     sig = minhash_signature(df, id_col, text_col, shingle_n=shingle_n).persist()
     pairs = lsh_candidate_pairs(sig)
-    sets_ = sig.select("id", "shingles")
+    # verify on 31-bit-hashed shingle sets, not the raw strings:
+    # integer array_intersect is ~7x cheaper (same trick as the ngram
+    # path) and the join carries long arrays instead of full text
+    sets_ = sig.select("id", F.col("shingle_hashes").alias("hs"))
     ja = sets_.alias("a")
     jb = sets_.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = (
-        F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
-    )
+    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    union = F.size(F.col("a.hs")) + F.size(F.col("b.hs")) - inter
     jacc = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
         pairs.join(ja, pairs.id_a == F.col("a.id"))
@@ -361,9 +368,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         F.col("ng") - F.ceil(F.lit(threshold) * F.col("ng")).cast("long") + 1
     )
     prefix = (
-        # freq is |distinct grams| rows (tiny next to the exploded e);
-        # broadcasting it keeps e un-shuffled for this join
-        e.join(F.broadcast(freq), [*block_cols, "gram"])
+        # freq is |distinct (block, gram)| rows — small at test scale
+        # but NOT broadcast-safe at 100 TB (the gram vocabulary grows
+        # with the corpus and would OOM the driver).  No hint: AQE's
+        # runtime size stats convert this to a broadcast join whenever
+        # freq fits under autoBroadcastJoinThreshold (64 MB here) and
+        # degrade gracefully to a shuffle join on the uniform
+        # (block, gram) key beyond it.  See SCALE.md.
+        e.join(freq, [*block_cols, "gram"])
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= prefix_len)
         .select("id", *block_cols, "gram")

@@ -67,9 +67,12 @@ WITH toks AS (
                         for i in range(greatest(len(w) - 2, 0))]) AS shingles
   FROM toks
 ), hs AS (
-  SELECT doc_id, shingles, [{_h31('s')} for s in shingles] AS hh FROM sh
-), sig AS (
   SELECT doc_id, shingles,
+         [{_h31('s')} for s in shingles] AS hh,
+         list_distinct([{_h31('s')} for s in shingles]) AS hset
+  FROM sh
+), sig AS (
+  SELECT doc_id,
          [list_min([({_A32}[j+1] * h + {_B32}[j+1]) % {P31} for h in hh])
           for j in range(32)] AS sig
   FROM hs WHERE len(hh) > 0
@@ -85,11 +88,11 @@ WITH toks AS (
 )
 SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b,
-         round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-               / (len(a.shingles) + len(b.shingles)
-                  - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
-  FROM cand JOIN sh a ON cand.id_a = a.doc_id
-            JOIN sh b ON cand.id_b = b.doc_id
+         round(CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
+               / (len(a.hset) + len(b.hset)
+                  - len(list_intersect(a.hset, b.hset))), 6) AS jaccard
+  FROM cand JOIN hs a ON cand.id_a = a.doc_id
+            JOIN hs b ON cand.id_b = b.doc_id
 ) WHERE jaccard >= 0.7
 """
 
@@ -321,40 +324,28 @@ def pipe_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform (label, dim) keys, fully map-side-combinable avg — then
     reassemble ordered arrays. No Python, no per-row UDF."""
     emb = table(spark, "embeddings", sf_dir)
-    per_dim = (
+    return (
         emb.select(
             "label", F.posexplode(F.col("embedding").cast("array<double>"))
         )
         .groupBy("label", "pos")
-        .agg(F.avg("col").alias("m"), F.count("*").alias("n"))
-    )
-    return (
-        per_dim.groupBy("label")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", F.round("m", 6).alias("m")))
-                ),
-                lambda s: s.getField("m"),
-            ).alias("centroid"),
-            F.max("n").alias("n_vectors"),
+            F.round(F.avg("col"), 6).alias("centroid_val"),
+            F.count("*").alias("n_vectors"),
         )
+        .select("label", F.col("pos").cast("long").alias("dim"), "centroid_val", "n_vectors")
     )
 
 
 PIPE_EMBED_CENTROIDS_SQL = """
 WITH e AS (
   SELECT label,
-         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings
-), m AS (
-  SELECT label, pos, round(avg(x), 6) AS m, count(*) AS n
-  FROM e GROUP BY label, pos
 )
-SELECT label, list(m ORDER BY pos) AS centroid,
-       max(n) AS n_vectors
-FROM m GROUP BY label
+SELECT label, dim, round(avg(x), 6) AS centroid_val, count(*) AS n_vectors
+FROM e GROUP BY label, dim
 """
 
 
@@ -459,7 +450,12 @@ def pipe_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         T.fingerprint_minhash(F.col("text")).alias("fp"),
-        T.winnowing_fingerprints(F.col("text"), k=5, w=4).alias("winnow"),
+        # comma-joined (sorted, distinct) fingerprint set: scalar so the
+        # driver's pandas canonicalizer can hash it
+        F.array_join(
+            T.winnowing_fingerprints(F.col("text"), k=5, w=4).cast("array<string>"),
+            ",",
+        ).alias("winnow"),
     )
 
 
@@ -478,8 +474,10 @@ SELECT doc_id,
   CASE WHEN len(hh) > 0 THEN list_min(hh)
        ELSE (CAST('0x' || substr(md5(lower(trim(text))), 1, 15) AS BIGINT) % {P31})
   END AS fp,
-  list_sort(list_distinct([list_min(hh[i+1:i+4])
-                           for i in range(greatest(len(hh) - 3, 0))])) AS winnow
+  array_to_string(
+    list_sort(list_distinct([list_min(hh[i+1:i+4])
+                             for i in range(greatest(len(hh) - 3, 0))])),
+    ',') AS winnow
 FROM hs
 """
 
@@ -527,13 +525,21 @@ def pipe_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, "documents", sf_dir)
-    n_docs = docs.count()
     toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
     dlen = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    df_ = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    # n_docs stays in-plan: a broadcast 1-row aggregate folded into the
+    # (already broadcast) idf side — no eager .count() action, no extra
+    # scan of documents before the real job (VERDICT r01 item 6)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    df_ = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+    )
     score = F.round(
-        (F.col("c") / F.col("n_tok")) * F.log(F.lit(float(n_docs)) / F.col("df")),
+        (F.col("c") / F.col("n_tok")) * F.log(F.col("n_docs") / F.col("df")),
         6,
     )
     w = Window.partitionBy("doc_id").orderBy(
@@ -580,7 +586,11 @@ def pipe_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic fake codec; real codec stubbed, see
     operators.multimodal)."""
     assets = multimodal.assets_from_documents(table(spark, "documents", sf_dir))
-    return multimodal.decode_assets(assets, fake=True)
+    decoded = multimodal.decode_assets(assets, fake=True)
+    # comma-joined histogram: scalar so the driver canonicalizer can hash it
+    return decoded.withColumn(
+        "hist16", F.array_join(F.col("hist16").cast("array<string>"), ",")
+    )
 
 
 PIPE_MM_DECODE_SQL = """
@@ -592,8 +602,8 @@ WITH c AS (
 SELECT doc_id AS asset_id, 'image' AS media_type,
        CAST(len(codes) AS BIGINT) AS byte_len,
        CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS byte_sum,
-       [CAST(len([x for x in codes if x % 16 = i]) AS BIGINT)
-        for i in range(16)] AS hist16
+       array_to_string([CAST(len([x for x in codes if x % 16 = i]) AS BIGINT)
+                        for i in range(16)], ',') AS hist16
 FROM c
 """
 

@@ -367,9 +367,9 @@ WITH g AS (
          round(sum(value), 2) AS session_value
   FROM s GROUP BY user_id, session_id
 )
-SELECT user_id, max(session_id) AS n_sessions,
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
        round(sum(session_value), 2) AS total_value,
-       sum(n_events) AS n_events
+       CAST(sum(n_events) AS BIGINT) AS n_events
 FROM per_sess GROUP BY user_id
 """
 

@@ -33,10 +33,10 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag
 """
@@ -221,11 +221,12 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates against exact values instead.
     """
     li = table(spark, "lineitem", sf_dir)
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        q.getItem(0).alias("price_p50"),
+        q.getItem(1).alias("price_p95"),
+        q.getItem(2).alias("price_p99"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 

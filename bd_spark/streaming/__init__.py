@@ -13,5 +13,6 @@ from bd_spark.streaming.ops import (  # noqa: F401
     sessionized_stats,
     stream_documents,
     user_running_totals,
+    user_running_totals_builtin,
     windowed_event_stats,
 )

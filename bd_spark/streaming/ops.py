@@ -40,7 +40,10 @@ def read_events_stream(
     import os
     import tempfile
 
+    from bd_spark.catalog import _ensure_nanos_conf
+
     path = os.path.join(sf_dir, "events.parquet")
+    _ensure_nanos_conf(spark)
     schema = spark.read.parquet(path).schema
     # the testdata table is a single parquet FILE; the file-stream
     # source requires a directory, so expose it through a symlink dir
@@ -136,6 +139,18 @@ _TOTALS_SCHEMA = StructType(
 _STATE_SCHEMA = StructType(
     [StructField("n", LongType()), StructField("total", DoubleType())]
 )
+
+
+def user_running_totals_builtin(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) as a BUILT-IN streaming
+    aggregation — JVM-side state, map-side partial aggregation per
+    microbatch, no Python in the loop. This is the headline path: the
+    semantics fit a built-in agg, so the custom-state operator below
+    stays a capability for logic aggregates can't express."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
 
 
 def user_running_totals(events: DataFrame) -> DataFrame:

@@ -43,6 +43,12 @@ DIFF_QUERIES = [
     "!.a?",
     ".a? == .b?",
     ". | length",
+    # ADVICE r01: arr-sub removes FIRST occurrence per rhs element
+    ".a? - [1, 1]",
+    # ADVICE r01: computed non-string dict keys are skipped, not coerced
+    '{(.a?): 1}',
+    # ADVICE r01: multi-valued multi-branch Iter interleaves round-robin
+    ".[.a.[]?, .b.[]?]",
 ]
 
 DIFF_DOCS = [
@@ -55,6 +61,8 @@ DIFF_DOCS = [
     "42",
     "null",
     '{"z": {"x": true}, "a": [], "m": {}}',
+    # duplicates exercise remove-first-occurrence `-` and round-robin Iter
+    '{"a": [1, 1, 2, 1], "b": [3, 4]}',
 ]
 
 

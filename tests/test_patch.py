@@ -61,6 +61,18 @@ def test_rfc6902_failures():
         apply_patch({"name": "x"}, [{"op": "remove", "path": "/nope"}])
 
 
+def test_test_op_is_json_typed():
+    """`test` equality is JSON-typed: true != 1, 1.0 == 1, nested too
+    (ADVICE r01: Python's True == 1 must not leak through)."""
+    with pytest.raises(PatchError):
+        apply_patch({"a": 1}, [{"op": "test", "path": "/a", "value": True}])
+    with pytest.raises(PatchError):
+        apply_patch({"a": [True]}, [{"op": "test", "path": "/a", "value": [1]}])
+    assert apply_patch({"a": 1}, [{"op": "test", "path": "/a", "value": 1.0}]) == {"a": 1}
+    assert apply_patch({"a": {"b": [1, "x"]}},
+                       [{"op": "test", "path": "/a", "value": {"b": [1, "x"]}}]) == {"a": {"b": [1, "x"]}}
+
+
 def test_json_patch_column(spark):
     from pyspark.sql import functions as F
 

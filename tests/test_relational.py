@@ -56,4 +56,5 @@ def test_approx_stats_bounds(spark, sf_dir):
         g = got[k]
         assert g.n_lines == e.n_lines  # exact column stays exact
         assert abs(g.approx_orders - e.orders) / e.orders < 0.1
-        assert abs(g.price_quantiles[0] - e.median) / e.median < 0.05
+        assert abs(g.price_p50 - e.median) / e.median < 0.05
+        assert g.price_p50 <= g.price_p95 <= g.price_p99

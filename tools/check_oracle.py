@@ -20,7 +20,27 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
 from bd_spark.catalog import TABLES  # noqa: E402
-from bd_spark.session import get_spark  # noqa: E402
+
+
+def driver_like_spark():
+    """A deliberately *plain* SparkSession — none of get_spark's
+    semantic confs (nanosAsLong, ansi off, UTC, LAST_WIN). The driver
+    harness builds its own session like this, so running the gate on
+    one proves the catalog shim sets everything it needs at runtime
+    (VERDICT r01 items 1-2 were exactly this class of bug)."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.appName("check_oracle_driverlike")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .getOrCreate()
+    )
 
 
 def norm_cell(v) -> str:
@@ -51,7 +71,7 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("check_oracle")
+    spark = driver_like_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -65,6 +85,17 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct", "variant")
+            ]
+            if complex_cols:
+                # the driver's pandas canonicalizer cannot hash these
+                # (unhashable type: 'list') — scalarize before shipping
+                print(f"FAIL {name}: complex output columns {complex_cols}")
+                failed.append(name)
+                continue
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
             sn, sh = table_hash(scols, srows)
