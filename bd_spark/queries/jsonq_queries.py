@@ -111,12 +111,267 @@ FROM events
 """
 
 
+def _vjson(path: str) -> F.Column:
+    """Sub-variant at `path` rendered as canonical JSON text (scalar,
+    so the driver canonicalizer can hash it; variant objects render
+    key-sorted, matching DuckDB to_json / sorted-key string concat)."""
+    return F.to_json(F.try_variant_get("v", path, "variant"))
+
+
+def jq_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six slice forms (ops.rs:371-411; corpus query.rs:464-539):
+    `a..b`, `a..=b`, `..b`, `a..`, `-a..`, `..` over the token array
+    plus a string slice — each emitted as JSON text."""
+    docs = table(spark, "documents", sf_dir)
+    jq = JsonQ(spark)
+    stream = jq.stream_from_table(docs.select("doc_id", "text"))
+    out = jq.run(
+        '{id: .doc_id,'
+        ' a: (.text / " " | .[1..3]),'
+        ' b: (.text / " " | .[..2]),'
+        ' c: (.text / " " | .[5..]),'
+        ' d: (.text / " " | .[-2..]),'
+        ' e: (.text / " " | .[1..=2]),'
+        ' f: (.text / " " | .[..]),'
+        ' g: (.text | .[2..8])}',
+        stream,
+    )
+    return out.select(
+        F.try_variant_get("v", "$.id", "long").alias("id"),
+        _vjson("$.a").alias("a"),
+        _vjson("$.b").alias("b"),
+        _vjson("$.c").alias("c"),
+        _vjson("$.d").alias("d"),
+        _vjson("$.e").alias("e"),
+        _vjson("$.f").alias("f"),
+        F.try_variant_get("v", "$.g", "string").alias("g"),
+    )
+
+
+JQ_SLICES_SQL = """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS w, text FROM documents)
+SELECT doc_id AS id,
+       to_json(w[2:3]) AS a,
+       to_json(w[:2]) AS b,
+       to_json(w[6:]) AS c,
+       to_json(w[-2:]) AS d,
+       to_json(w[2:3]) AS e,
+       to_json(w) AS f,
+       substr(text, 3, 6) AS g
+FROM t
+"""
+
+
+def jq_iter_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IterValues `.[]`, multi-branch Iter `.[a, b]`, List `[...]`,
+    and multi-value dict bursts (ops.rs:414-540, 543-597, 600-739;
+    corpus query.rs:541-591, 672-758)."""
+    docs = table(spark, "documents", sf_dir)
+    jq = JsonQ(spark)
+    stream = jq.stream_from_table(docs.select("doc_id", "lang", "text"))
+    out = jq.run(
+        '{id: .doc_id,'
+        ' c1: [.text / " " | .[]],'
+        ' c2: [.[lang, doc_id]],'
+        ' c3: [{x: .[lang, doc_id]}]}',
+        stream,
+    )
+    return out.select(
+        F.try_variant_get("v", "$.id", "long").alias("id"),
+        _vjson("$.c1").alias("c1"),
+        _vjson("$.c2").alias("c2"),
+        _vjson("$.c3").alias("c3"),
+    )
+
+
+JQ_ITER_LIST_SQL = """
+SELECT doc_id AS id,
+       to_json(str_split(text, ' ')) AS c1,
+       '["' || lang || '",' || doc_id || ']' AS c2,
+       '[{"x":"' || lang || '"},{"x":' || doc_id || '}]' AS c3
+FROM documents
+"""
+
+
+def jq_recurse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurse `..` + error suppression `?` over the events.props JSON
+    column (ops.rs:36-92; corpus query.rs:753-758)."""
+    ev = table(spark, "events", sf_dir).select("event_id", "props")
+    jq = JsonQ(spark)
+    stream = jq.stream_from_text_column(ev, "props", seq_col="event_id")
+    out = jq.run('{r: [..], k: ([.. | .k?] | .[0])}', stream)
+    return out.select(
+        F.col("seq").alias("event_id"),
+        _vjson("$.r").alias("r"),
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+    )
+
+
+JQ_RECURSE_PROPS_SQL = """
+WITH p AS (
+  SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_id, '[{"k":' || k || '},' || k || ']' AS r, k
+FROM p
+"""
+
+
+def jq_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builtins chars / keys / has / in / map / any / all
+    (ops.rs:1418-1569; corpus query.rs:951-1137)."""
+    docs = table(spark, "documents", sf_dir)
+    jq = JsonQ(spark)
+    stream = jq.stream_from_table(docs.select("doc_id", "lang", "text"))
+    out = jq.run(
+        '{id: .doc_id,'
+        ' ch: (.lang | chars),'
+        ' ks: keys,'
+        ' hl: has("lang"),'
+        ' h0: (.text / " " | has(0)),'
+        ' inl: (.lang | in({"en": 1, "de": 2})),'
+        ' ml: (.text / " " | map(length)),'
+        ' anyl: (.text / " " | map(length) | any(. > 5)),'
+        ' alll: (.text / " " | map(length) | all(. > 1))}',
+        stream,
+    )
+    return out.select(
+        F.try_variant_get("v", "$.id", "long").alias("id"),
+        _vjson("$.ch").alias("ch"),
+        _vjson("$.ks").alias("ks"),
+        F.try_variant_get("v", "$.hl", "boolean").alias("hl"),
+        F.try_variant_get("v", "$.h0", "boolean").alias("h0"),
+        F.try_variant_get("v", "$.inl", "boolean").alias("inl"),
+        _vjson("$.ml").alias("ml"),
+        F.try_variant_get("v", "$.anyl", "boolean").alias("anyl"),
+        F.try_variant_get("v", "$.alll", "boolean").alias("alll"),
+    )
+
+
+JQ_BUILTINS_SQL = """
+WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS w FROM documents)
+SELECT doc_id AS id,
+       to_json([unicode(x) for x in str_split(lang, '')]) AS ch,
+       '["doc_id","lang","text"]' AS ks,
+       true AS hl,
+       len(w) > 0 AS h0,
+       lang IN ('en', 'de') AS inl,
+       to_json([strlen(x) for x in w]) AS ml,
+       len([x for x in w if strlen(x) > 5]) > 0 AS anyl,
+       len([x for x in w if strlen(x) <= 1]) = 0 AS alll
+FROM t
+"""
+
+
+def jq_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise / shift / modulo / unary minus / `<=` / `!=` / `!`
+    over the props ints (json.rs:943-961, 1019-1072; ops.rs:742-771,
+    1272)."""
+    ev = table(spark, "events", sf_dir).select("event_id", "props")
+    jq = JsonQ(spark)
+    stream = jq.stream_from_text_column(ev, "props", seq_col="event_id")
+    out = jq.run(
+        '{band: (.k & 12), borr: (.k bor 3), bxor: (.k ^ 5),'
+        ' shl: (.k << 2), shr: (.k >> 1), mmod: (.k % 7),'
+        ' neg: (-.k), msub: (.k - 3),'
+        ' le: (.k <= 50), lt: (.k < 50), ge: (.k >= 50),'
+        ' ne: (.k != 50), nb: (!(.k > 50)),'
+        ' orr: (.k > 90 || .k < 10)}',
+        stream,
+    )
+    return out.select(
+        F.col("seq").alias("event_id"),
+        F.try_variant_get("v", "$.band", "long").alias("band"),
+        F.try_variant_get("v", "$.borr", "long").alias("borr"),
+        F.try_variant_get("v", "$.bxor", "long").alias("bxor"),
+        F.try_variant_get("v", "$.shl", "long").alias("shl"),
+        F.try_variant_get("v", "$.shr", "long").alias("shr"),
+        F.try_variant_get("v", "$.mmod", "long").alias("mmod"),
+        F.try_variant_get("v", "$.neg", "long").alias("neg"),
+        F.try_variant_get("v", "$.msub", "long").alias("msub"),
+        F.try_variant_get("v", "$.le", "boolean").alias("le"),
+        F.try_variant_get("v", "$.lt", "boolean").alias("lt"),
+        F.try_variant_get("v", "$.ge", "boolean").alias("ge"),
+        F.try_variant_get("v", "$.ne", "boolean").alias("ne"),
+        F.try_variant_get("v", "$.nb", "boolean").alias("nb"),
+        F.try_variant_get("v", "$.orr", "boolean").alias("orr"),
+    )
+
+
+JQ_BITWISE_SQL = """
+WITH p AS (
+  SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_id, k & 12 AS band, k | 3 AS borr, xor(k, 5) AS bxor,
+       k << 2 AS shl, k >> 1 AS shr, k % 7 AS mmod,
+       -k AS neg, k - 3 AS msub,
+       k <= 50 AS le, k < 50 AS lt, k >= 50 AS ge,
+       k != 50 AS ne, NOT (k > 50) AS nb,
+       (k > 90 OR k < 10) AS orr
+FROM p
+"""
+
+
+def jq_overloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator overloads: string repeat `*`, array diff `-`
+    (remove-FIRST-occurrence, json.rs:1010-1013), array concat `+`,
+    object union `+` (rhs-wins), object deep-merge `*`
+    (json.rs:893-917, 963-1017, 1103-1122), int/int `/` -> float."""
+    docs = table(spark, "documents", sf_dir)
+    jq = JsonQ(spark)
+    stream = jq.stream_from_table(docs.select("doc_id", "lang", "text", "n_chars"))
+    out = jq.run(
+        '{id: .doc_id,'
+        ' rep: (.lang * 2),'
+        ' conc: (.lang + "-x"),'
+        ' dif: ((.text / " ") - (.text / " " | .[..1])),'
+        ' arrc: ((.text / " ") + [.lang]),'
+        ' uni: ({a: 1} + {b: .doc_id, a: 2}),'
+        ' dm: ({a: {x: 1}} * {a: {y: .doc_id}}),'
+        ' fdiv: (.n_chars / 8)}',
+        stream,
+    )
+    return out.select(
+        F.try_variant_get("v", "$.id", "long").alias("id"),
+        F.try_variant_get("v", "$.rep", "string").alias("rep"),
+        F.try_variant_get("v", "$.conc", "string").alias("conc"),
+        _vjson("$.dif").alias("dif"),
+        _vjson("$.arrc").alias("arrc"),
+        _vjson("$.uni").alias("uni"),
+        _vjson("$.dm").alias("dm"),
+        F.round(F.try_variant_get("v", "$.fdiv", "double"), 6).alias("fdiv"),
+    )
+
+
+JQ_OVERLOADS_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, n_chars, str_split(text, ' ') AS w FROM documents
+)
+SELECT doc_id AS id,
+       lang || lang AS rep,
+       lang || '-x' AS conc,
+       to_json(w[2:]) AS dif,
+       to_json(list_append(w, lang)) AS arrc,
+       '{"a":2,"b":' || doc_id || '}' AS uni,
+       '{"a":{"x":1,"y":' || doc_id || '}}' AS dm,
+       round(CAST(n_chars AS DOUBLE) / 8, 6) AS fdiv
+FROM t
+"""
+
+
 QUERIES = {
     "jq_props_k": jq_props_k,
     "jq_token_count": jq_token_count,
     "jq_event_nav": jq_event_nav,
     "jq_doc_filter": jq_doc_filter,
     "jq_value_arith": jq_value_arith,
+    "jq_slices": jq_slices,
+    "jq_iter_list": jq_iter_list,
+    "jq_recurse_props": jq_recurse_props,
+    "jq_builtins": jq_builtins,
+    "jq_bitwise": jq_bitwise,
+    "jq_overloads": jq_overloads,
 }
 
 ORACLES = {
@@ -125,4 +380,10 @@ ORACLES = {
     "jq_event_nav": JQ_EVENT_NAV_SQL,
     "jq_doc_filter": JQ_DOC_FILTER_SQL,
     "jq_value_arith": JQ_VALUE_ARITH_SQL,
+    "jq_slices": JQ_SLICES_SQL,
+    "jq_iter_list": JQ_ITER_LIST_SQL,
+    "jq_recurse_props": JQ_RECURSE_PROPS_SQL,
+    "jq_builtins": JQ_BUILTINS_SQL,
+    "jq_bitwise": JQ_BITWISE_SQL,
+    "jq_overloads": JQ_OVERLOADS_SQL,
 }
