@@ -213,10 +213,17 @@ def _col_slice(node: ast.Slice) -> ColFn:
     s_, e_ = node.start, node.end
 
     def fn(v: Column) -> CV:
+        from bd_spark.jsonq import modes
+
         t = V.vtype(v)
         arr = V.as_array(v)
         s = V.as_string(v)
-        n = F.when(t == "array", F.size(arr)).otherwise(F.length(s))
+        # byte-parity mode (json.rs:830-832): index the utf-8 bytes —
+        # substring over BINARY is byte-positional, cast back restores
+        # text (boundary-aligned slices; the reference's semantics)
+        byte_mode = modes.BYTE_SLICES
+        slen = F.octet_length(s) if byte_mode else F.length(s)
+        n = F.when(t == "array", F.size(arr)).otherwise(slen)
 
         # normalize (util.rs:4-23): negative -> n+x, clamp to [0,n]
         def norm(x: int | None, default: Column) -> Column:
@@ -228,9 +235,15 @@ def _col_slice(node: ast.Slice) -> ColFn:
         a = norm(s_, F.lit(0))
         b = norm(e_, n)
         ln = F.greatest(b - a, F.lit(0))
+        if byte_mode:
+            sliced_s = F.substring(
+                s.cast("binary"), (a + 1).cast("int"), ln.cast("int")
+            ).cast("string")
+        else:
+            sliced_s = F.substring(s, (a + 1).cast("int"), ln.cast("int"))
         out = F.when(
             t == "array", V.varray(F.slice(arr, (a + 1).cast("int"), ln.cast("int")))
-        ).otherwise(V.vstring(F.substring(s, (a + 1).cast("int"), ln.cast("int"))))
+        ).otherwise(V.vstring(sliced_s))
         return _guarded(
             t.isin("array", "string"), out, F.concat(F.lit("cannot slice "), t), node.opt
         )
@@ -240,8 +253,15 @@ def _col_slice(node: ast.Slice) -> ColFn:
 
 def _col_neg(v: Column) -> CV:
     t = V.vtype(v)
+    # long negate via try_subtract so -(min long) promotes to the
+    # DECIMAL(38,0) tower instead of silently wrapping
+    neg_l = F.try_subtract(F.lit(0).cast("long"), V.as_long(v))
+    neg_d = F.try_subtract(F.lit(0).cast("decimal(38,0)"), V.as_dec(v))
     out = (
-        F.when(t == "int", V.vlong(-V.as_long(v)))
+        F.when(
+            t == "int",
+            F.when(neg_l.isNotNull(), V.vlong(neg_l)).otherwise(V.vlong(neg_d)),
+        )
         .when(t == "float", V.vdouble(-V.as_double(v)))
         .otherwise(V.vnull())
     )
@@ -268,12 +288,19 @@ def _binary_value(op: str, a: Column, b: Column) -> Column:
     bothnum = V.is_number(ta) & V.is_number(tb)
     la, lb = V.as_long(a), V.as_long(b)
     da, db = V.as_double(a), V.as_double(b)
+    deca, decb = V.as_dec(a), V.as_dec(b)
+
+    def _int_arith(lres: Column, dres: Column) -> Column:
+        # long fast path; DECIMAL(38,0) fallback when an operand is
+        # beyond int64 or the long op overflows (i128 tower parity,
+        # json.rs:473 / SURVEY §1.5); >38-digit overflow -> null
+        return F.when(lres.isNotNull(), V.vlong(lres)).otherwise(V.vlong(dres))
 
     if op == "+":
         # int+int->int, mixed->float (json.rs:900-905); str/arr
         # concat; obj shallow union rhs-wins (json.rs:963-995)
         return (
-            F.when(bothint, V.vlong(F.try_add(la, lb)))
+            F.when(bothint, _int_arith(F.try_add(la, lb), F.try_add(deca, decb)))
             .when(bothnum, V.vdouble(da + db))
             .when(
                 (ta == "string") & (tb == "string"),
@@ -300,7 +327,9 @@ def _binary_value(op: str, a: Column, b: Column) -> Column:
             > F.size(F.filter(rhs_texts, lambda e: e == F.to_json(x))),
         )
         return (
-            F.when(bothint, V.vlong(F.try_subtract(la, lb)))
+            F.when(
+                bothint, _int_arith(F.try_subtract(la, lb), F.try_subtract(deca, decb))
+            )
             .when(bothnum, V.vdouble(da - db))
             .when((ta == "array") & (tb == "array"), V.varray(removed))
             .otherwise(V.vnull())
@@ -309,7 +338,9 @@ def _binary_value(op: str, a: Column, b: Column) -> Column:
         # str*int repeat, *<=0 -> null (json.rs:906-907); obj*obj deep
         # merge (json.rs:1103-1122) via pandas UDF (unbounded recursion)
         return (
-            F.when(bothint, V.vlong(F.try_multiply(la, lb)))
+            F.when(
+                bothint, _int_arith(F.try_multiply(la, lb), F.try_multiply(deca, decb))
+            )
             .when(bothnum, V.vdouble(da * db))
             .when(
                 (ta == "string") & (tb == "int") & (lb > 0),

@@ -150,13 +150,21 @@ def _index(v: object, key: str | int, opt: bool) -> list[Entry]:
 
 def _slice(v: object, start: int | None, end: int | None,
            opt: bool) -> list[Entry]:
+    from bd_spark.jsonq import modes
+
     if not isinstance(v, (list, str)):
         return [] if opt else [_err(f"cannot slice {_tname(v)}")]
-    n = len(v)
+    sv: object = v
+    if modes.BYTE_SLICES and isinstance(v, str):
+        sv = v.encode("utf-8")  # byte-parity mode (json.rs:830-832)
+    n = len(sv)
     a = 0 if start is None else (start + n if start < 0 else start)
     b = n if end is None else (end + n if end < 0 else end)
     a, b = max(a, 0), min(b, n)
-    return [(v[a:b] if b > a else v[:0], None)]
+    out = sv[a:b] if b > a else sv[:0]
+    if isinstance(out, bytes):
+        out = out.decode("utf-8", errors="replace")
+    return [(out, None)]
 
 
 def _recurse(v: object) -> list[object]:

@@ -87,6 +87,14 @@ def as_long(v: Column) -> Column:
     return F.try_variant_get(v, "$", "long")
 
 
+def as_dec(v: Column) -> Column:
+    """DECIMAL(38,0) view of an int-tower value: the documented i128
+    parity fallback (reference json.rs:473 parses a 128-bit integer
+    tower; SURVEY §1.5 picks DECIMAL(38,0) as the Spark-native
+    equivalent). Integers beyond int64 stay exact to 38 digits."""
+    return F.try_variant_get(v, "$", "decimal(38,0)")
+
+
 def as_string(v: Column) -> Column:
     return F.try_variant_get(v, "$", "string")
 

@@ -66,6 +66,15 @@ CORPUS = [
     ("a + b", '{"a": [1,2], "b": [3]}', [[1, 2, 3]]),
     ("a + b + c", '{"a":{"x":1},"b":{"x":2},"c":{"y":2}}', [{"x": 2, "y": 2}]),
     ("a - b", '{"a": 10, "b": 4}', [6]),
+    # >int64 integer tower: DECIMAL(38,0) parity for the reference's
+    # i128 (json.rs:473; SURVEY §1.5) — parse, arithmetic, overflow
+    # promotion out of long, negation of min-long
+    (".a + 1", '{"a": 18446744073709551616}', [18446744073709551617]),
+    (".a * .a", '{"a": 9223372036854775807}',
+     [85070591730234615847396907784232501249]),
+    (".a + .a", '{"a": 9223372036854775807}', [18446744073709551614]),
+    ("-.a", '{"a": -9223372036854775808}', [9223372036854775808]),
+    (".a == 18446744073709551616", '{"a": 18446744073709551616}', [True]),
     ("a - b", '{"a": [1,2], "b": [2]}', [[1]]),
     ("a * b", '{"a": 3, "b": 4}', [12]),
     ("a * b", '{"a": "hello", "b": 2}', ["hellohello"]),
@@ -172,3 +181,25 @@ def test_multi_doc_stream(jq):
 def test_order_across_explodes(jq):
     got = jq.run_values(".[].[]", "[[[1,2],[3]],[[4]]]".split("\x00"))
     assert got == [[1, 2], [3], [4]]
+
+
+def test_byte_slice_parity_mode(jq):
+    """Reference parity mode: string slices index utf-8 BYTES
+    (json.rs:830-832) under modes.BYTE_SLICES; default stays
+    character-indexed. Both engines, both modes, multi-byte input
+    ("汉" = 3 utf-8 bytes)."""
+    from bd_spark.jsonq import interp, modes, parser
+
+    doc = '"汉语ab"'  # bytes: 汉(3) 语(3) a b  -> 8 bytes, 4 chars
+    # char mode (default): .[1..3] -> chars 1..2 = "语a"
+    assert jq.run_values(".[1..3]", [doc]) == ["语a"]
+    assert [v for v, e in interp.run(parser.parse(".[1..3]"), "汉语ab")] == ["语a"]
+    with modes.byte_slices():
+        # byte mode: bytes 3..5 = the 3 bytes of 语 -> "语"
+        assert jq.run_values(".[3..6]", [doc]) == ["语"]
+        assert [v for v, e in interp.run(parser.parse(".[3..6]"), "汉语ab")] == ["语"]
+        # byte-mode length of the whole string via open slice
+        assert jq.run_values(".[6..]", [doc]) == ["ab"]
+        assert [v for v, e in interp.run(parser.parse(".[6..]"), "汉语ab")] == ["ab"]
+    # flag restored: char semantics back
+    assert jq.run_values(".[..1]", [doc]) == ["汉"]
