@@ -635,18 +635,23 @@ def lift(colfn: ColFn) -> StreamFn:
     passthrough and `?`-drop filtering."""
 
     def run(df: DataFrame) -> DataFrame:
+        # one atomic withColumns (all expressions resolve against the
+        # incoming plan): each analyzed DataFrame op re-walks the whole
+        # accumulated plan, so stage machinery batches ops — build time
+        # for long pipelines is O(stages × plan), not O(stages² ops)
         cv = colfn(F.col("v"))
-        newv = F.when(F.col("err").isNotNull(), F.col("v")).otherwise(cv.v)
-        newerr = F.col("err") if cv.err is None else F.coalesce(F.col("err"), cv.err)
-        out = df.withColumn("__nv", newv).withColumn("__ne", newerr)
+        cols = {
+            "v": F.when(F.col("err").isNotNull(), F.col("v")).otherwise(cv.v),
+            "err": F.col("err")
+            if cv.err is None
+            else F.coalesce(F.col("err"), cv.err),
+        }
         if cv.drop is not None:
-            out = out.withColumn(
-                "__dropf", F.col("err").isNull() & F.coalesce(cv.drop, F.lit(False))
-            ).where(~F.col("__dropf"))
-        return out.select(
-            "seq", "ord", F.col("__nv").alias("v"), F.col("__ne").alias("err"),
-            *_carries(df),
-        )
+            cols["__dropf"] = F.col("err").isNull() & F.coalesce(cv.drop, F.lit(False))
+        out = df.withColumns(cols)
+        if cv.drop is not None:
+            out = out.where(~F.col("__dropf")).drop("__dropf")
+        return out
 
     return run
 
@@ -682,15 +687,16 @@ def _stage(df: DataFrame, node: ast.Node, name: str) -> DataFrame:
     preserving for single-valued nodes; `?` drops remove rows (which is
     exactly the zip/product semantics for empty bursts)."""
     sv, se = _fresh("sv"), _fresh("se")
-    pre = df.withColumn(sv, F.col("v")).withColumn(se, F.col("err"))
+    pre = df.withColumns({sv: F.col("v"), se: F.col("err")})
     s = compile_stream(node)(pre)
-    return (
-        s.withColumn(f"{name}_v", F.col("v"))
-        .withColumn(f"{name}_e", F.col("err"))
-        .withColumn("v", F.col(sv))
-        .withColumn("err", F.col(se))
-        .drop(sv, se)
-    )
+    return s.withColumns(
+        {
+            f"{name}_v": F.col("v"),
+            f"{name}_e": F.col("err"),
+            "v": F.col(sv),
+            "err": F.col(se),
+        }
+    ).drop(sv, se)
 
 
 def compile_stream(node: ast.Node) -> StreamFn:
@@ -761,18 +767,19 @@ def compile_stream(node: ast.Node) -> StreamFn:
 
 
 def _finish(df: DataFrame, cv: CV, drop_cols: list[str]) -> DataFrame:
-    """Replace v/err from a staged CV (error passthrough + drops)."""
-    newv = F.when(F.col("err").isNotNull(), F.col("v")).otherwise(cv.v)
-    newerr = F.col("err") if cv.err is None else F.coalesce(F.col("err"), cv.err)
-    out = df.withColumn("__nv", newv).withColumn("__ne", newerr)
+    """Replace v/err from a staged CV (error passthrough + drops).
+    Batched like lift(): one withColumns + one drop, no _carries
+    (df.columns forces a full re-analysis of the accumulated plan)."""
+    cols = {
+        "v": F.when(F.col("err").isNotNull(), F.col("v")).otherwise(cv.v),
+        "err": F.col("err") if cv.err is None else F.coalesce(F.col("err"), cv.err),
+    }
     if cv.drop is not None:
-        out = out.withColumn(
-            "__dropf", F.col("err").isNull() & F.coalesce(cv.drop, F.lit(False))
-        ).where(~F.col("__dropf"))
-    keep = [c for c in _carries(df) if c not in drop_cols]
-    return out.select(
-        "seq", "ord", F.col("__nv").alias("v"), F.col("__ne").alias("err"), *keep
-    )
+        cols["__dropf"] = F.col("err").isNull() & F.coalesce(cv.drop, F.lit(False))
+    out = df.withColumns(cols)
+    if cv.drop is not None:
+        out = out.where(~F.col("__dropf")).drop("__dropf")
+    return out.drop(*drop_cols)
 
 
 # ------------------------------------------------------------ streams
