@@ -673,12 +673,123 @@ def _inline_cv(node: ast.Node) -> CV | None:
 
 def _stage_cv(df: DataFrame, node: ast.Node, name: str) -> tuple[DataFrame, CV]:
     """_stage, returning the staged CV — or an inline CV (no DataFrame
-    ops) when the node is a constant."""
+    ops) when the node is a constant, or a direct-stage chain (1 op per
+    sub-operation, no v/err save-restore) when the node is a
+    single-valued column-compilable tree."""
     cv = _inline_cv(node)
     if cv is not None:
         return df, cv
+    d = _direct_stage(df, node, name)
+    if d is not None:
+        return d
     df = _stage(df, node, name)
     return df, CV(F.col(f"{name}_v"), F.col(f"{name}_e"))
+
+
+def _demit(
+    df: DataFrame,
+    cv: CV,
+    in_err: Column | None,
+    base: str | None,
+    temps: list[str],
+) -> tuple[DataFrame, CV, str]:
+    """Land a raw CV into {base}_v/{base}_e with one withColumns
+    (error passthrough from in_err; `?` drops remove rows, only when
+    no pre-existing error — same semantics as lift()). base=None means
+    an intermediate stage: a fresh name, recorded in temps."""
+    final = base is not None
+    if base is None:
+        base = _fresh("d")
+    v = cv.v if in_err is None else F.when(in_err.isNotNull(), F.lit(None)).otherwise(cv.v)
+    e = _merge_err(in_err, cv.err)
+    if e is None:
+        e = F.lit(None).cast("string")
+    dropg = cv.drop if in_err is None else (
+        None if cv.drop is None else (in_err.isNull() & cv.drop)
+    )
+    cols = {f"{base}_v": v, f"{base}_e": e}
+    if dropg is not None:
+        cols["__dropf"] = F.coalesce(dropg, F.lit(False))
+    out = df.withColumns(cols)
+    if dropg is not None:
+        out = out.where(~F.col("__dropf")).drop("__dropf")
+    if not final:
+        temps.append(base)
+    return out, CV(F.col(f"{base}_v"), F.col(f"{base}_e")), base
+
+
+def _direct(
+    df: DataFrame, node: ast.Node, name: str, inp: CV, temps: list[str]
+) -> tuple[DataFrame, CV, str | None] | None:
+    """Direct-stage recursion: every sub-operation lands in its own
+    single-projection stage, referenced downstream by ATTRIBUTE (the
+    sharing that makes staged compilation beat expression fusion — see
+    _inline_cv), but v/err are never saved/restored. Returns None when
+    the node needs full stream machinery (bursts/explodes/joins)."""
+    if isinstance(node, ast.Identity):
+        return df, inp, None
+    if isinstance(node, ast.Literal):
+        # value replaced, incoming error still passes through
+        return df, CV(compile_col(node)(F.lit(None)).v, inp.err), None
+    if isinstance(node, (ast.Index, ast.Identifier, ast.Slice)):
+        return _demit(df, compile_col(node)(inp.v), inp.err, name, temps)
+    if isinstance(node, ast.Pipe):
+        left = _direct(df, node.left, None, inp, temps)
+        if left is None:
+            return None
+        df, mid, _ = left
+        return _direct(df, node.right, name, mid, temps)
+    if isinstance(node, ast.Unary):
+        inner = _direct(df, node.expr, None, inp, temps)
+        if inner is None:
+            return None
+        df, icv, _ = inner
+        op = _col_neg if node.op == "-" else _col_not
+        return _demit(df, op(icv.v), icv.err, name, temps)
+    if isinstance(node, ast.Binary):
+        left = _direct(df, node.left, None, inp, temps)
+        if left is None:
+            return None
+        df, lcv, _ = left
+        right = _direct(df, node.right, None, inp, temps)
+        if right is None:
+            return None
+        df, rcv, _ = right
+        cv = _col_binary(node.op, lcv, rcv)
+        return _demit(df, cv, inp.err, name, temps)
+    if isinstance(node, ast.Builtin):
+        if node.name in ("map", "any", "all"):
+            body = compile_col(node.args[0])
+            if body is None:
+                return None
+            cv = _col_hof(node.name, node.args[0])(inp.v)
+            return _demit(df, cv, inp.err, name, temps)
+        if node.name in ("has", "in"):
+            arg = _direct(df, node.args[0], None, inp, temps)
+            if arg is None:
+                return None
+            df, acv, _ = arg
+            cv = _col_builtin(node.name, inp.v, [acv])
+            return _demit(df, cv, inp.err, name, temps)
+        cv = _col_builtin(node.name, inp.v, [])
+        return _demit(df, cv, inp.err, name, temps)
+    return None
+
+
+def _direct_stage(df: DataFrame, node: ast.Node, name: str) -> tuple[DataFrame, CV] | None:
+    """Top-level direct staging wrapper: runs the recursion, then drops
+    every intermediate stage column in one op. Sub-stages use _fresh
+    names recorded in temps; the final result (when the tail emits)
+    lands in {name}_v/{name}_e, which the CALLER drops."""
+    temps: list[str] = []
+    res = _direct(df, node, name, CV(F.col("v"), F.col("err")), temps)
+    if res is None:
+        return None
+    df, cv, final_base = res
+    dead = [c for t in temps if t != final_base for c in (f"{t}_v", f"{t}_e")]
+    if dead:
+        df = df.drop(*dead)
+    return df, cv
 
 
 def _stage(df: DataFrame, node: ast.Node, name: str) -> DataFrame:
