@@ -9,10 +9,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bd_spark.catalog import table
 from bd_spark.streaming import (
     read_events_stream,
     run_to_memory,
     sessionized_stats,
+    stream_interval_join,
+    stream_static_enrich,
     user_running_totals_builtin,
     windowed_event_stats,
 )
@@ -82,14 +85,89 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the
+    customer->nation dimension (broadcast, stateless) and rolled up
+    per nation x event type with a streaming aggregation."""
+    ev = read_events_stream(spark, sf_dir)
+    dim = (
+        table(spark, "customer", sf_dir)
+        .select("c_custkey", "c_nationkey")
+        .join(
+            table(spark, "nation", sf_dir).select("n_nationkey", "n_name"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    agg = (
+        stream_static_enrich(ev, dim, "user_id")
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    return run_to_memory(agg, "complete")
+
+
+Q_STREAM_ENRICH_SQL = """
+SELECT n.n_name AS n_name, e.event_type AS event_type,
+       count(*) AS n_events, round(sum(e.value), 6) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the views
+    by the same user in the preceding hour. Inner matches emit as soon
+    as both rows arrive; watermarks bound both sides' join state."""
+    ev = read_events_stream(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = stream_interval_join(
+        purchases, views, key="user_id", lookback="1 hour", watermark="1 hour"
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("view_id"),
+        F.col("l.ts").alias("purchase_ts"),
+        F.col("r.ts").alias("view_ts"),
+        F.round(F.col("l.value"), 6).alias("purchase_value"),
+    )
+    return run_to_memory(joined, "append")
+
+
+Q_STREAM_ATTRIBUTION_SQL = """
+SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+       v.event_id AS view_id, p.ts AS purchase_ts, v.ts AS view_ts,
+       round(p.value, 6) AS purchase_value
+FROM events p
+JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+"""
+
+
 QUERIES = {
     "q_stream_windowed": q_stream_windowed,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_running_totals": q_stream_running_totals,
+    "q_stream_enrich": q_stream_enrich,
+    "q_stream_attribution": q_stream_attribution,
 }
 
 ORACLES = {
     "q_stream_windowed": Q_STREAM_WINDOWED_SQL,
     "q_stream_sessions": Q_STREAM_SESSIONS_SQL,
     "q_stream_running_totals": Q_STREAM_RUNNING_TOTALS_SQL,
+    "q_stream_enrich": Q_STREAM_ENRICH_SQL,
+    "q_stream_attribution": Q_STREAM_ATTRIBUTION_SQL,
 }

@@ -12,6 +12,8 @@ from bd_spark.streaming.ops import (  # noqa: F401
     run_to_memory,
     sessionized_stats,
     stream_documents,
+    stream_interval_join,
+    stream_static_enrich,
     user_running_totals,
     user_running_totals_builtin,
     windowed_event_stats,

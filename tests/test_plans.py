@@ -71,3 +71,20 @@ def test_asof_single_shuffle(spark, sf_dir, queries):
 def test_semi_anti_plans(spark, sf_dir, queries):
     plan = _plan(queries["q_semi_anti_orders"](spark, sf_dir))
     assert "LeftSemi" in plan or "LeftAnti" in plan
+
+
+def test_stream_enrich_broadcasts_dim(spark, sf_dir):
+    """The stream-static enrichment join must broadcast the dimension:
+    the streaming side never shuffles for the join."""
+    from bd_spark.catalog import table
+    from bd_spark.streaming.ops import read_events_stream, stream_static_enrich
+    from pyspark.sql import functions as F
+
+    dim = table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    stream = stream_static_enrich(read_events_stream(spark, sf_dir), dim, "user_id")
+    plan = _plan(stream)
+    assert "BroadcastHashJoin" in plan
+    join_side = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in join_side

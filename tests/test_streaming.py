@@ -93,6 +93,64 @@ def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
         assert t1 == pytest.approx(t2, abs=1e-3)
 
 
+def test_stream_static_enrich_match_batch(spark, sf_dir):
+    """Stream-static broadcast join agrees with the batch join."""
+    from bd_spark.streaming.ops import stream_static_enrich
+
+    dim = table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    stream = stream_static_enrich(read_events_stream(spark, sf_dir), dim, "user_id")
+    got = run_to_memory(
+        stream.groupBy("c_nationkey").agg(F.count("*").alias("n")), "complete"
+    )
+    batch = (
+        table(spark, "events", sf_dir)
+        .join(dim, "user_id")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+    )
+    assert _rows(got, "c_nationkey", "n") == _rows(batch, "c_nationkey", "n")
+
+
+def test_stream_interval_join_match_batch(spark, sf_dir):
+    """Stream-stream interval join (purchases x preceding views) agrees
+    with the equivalent batch range join."""
+    from bd_spark.streaming.ops import stream_interval_join
+
+    ev = read_events_stream(spark, sf_dir)
+    got = run_to_memory(
+        stream_interval_join(
+            ev.where(F.col("event_type") == "purchase").select(
+                "user_id", "event_id", "ts"
+            ),
+            ev.where(F.col("event_type") == "view").select(
+                "user_id", "event_id", "ts"
+            ),
+            key="user_id",
+        ).select(
+            F.col("l.event_id").alias("pid"), F.col("r.event_id").alias("vid")
+        ),
+        "append",
+    )
+    b = table(spark, "events", sf_dir)
+    p = b.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    v = b.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("vid"),
+        F.col("ts").alias("vts"),
+    )
+    batch = p.join(
+        v,
+        (F.col("pu") == F.col("vu"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 hour"))
+        & (F.col("vts") <= F.col("pts")),
+    )
+    assert _rows(got, "pid", "vid") == _rows(batch, "pid", "vid")
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Append mode + watermark: an event arriving after the watermark
     passed its window is dropped, not merged."""
