@@ -58,9 +58,13 @@ def pipe_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PIPE_DEDUP_MINHASH_SQL = f"""
+def _minhash_pairs_sql(src: str = "documents") -> str:
+    """The MinHash-LSH pair query as a reusable fragment over any
+    relation with (doc_id, text) — used standalone and inside the
+    composite curation oracle."""
+    return f"""
 WITH toks AS (
-  SELECT doc_id, {_TOKS} AS w FROM documents
+  SELECT doc_id, {_TOKS} AS w FROM {src}
 ), sh AS (
   SELECT doc_id,
          list_distinct([array_to_string(w[i+1:i+3], ' ')
@@ -95,6 +99,9 @@ SELECT id_a, id_b, jaccard FROM (
             JOIN hs b ON cand.id_b = b.doc_id
 ) WHERE jaccard >= 0.7
 """
+
+
+PIPE_DEDUP_MINHASH_SQL = _minhash_pairs_sql()
 
 
 def pipe_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,6 +645,119 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------- composite
+
+def pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end curation pipeline — the operators above
+    composed the way a pre-training corpus build actually runs:
+
+      quality filter (Gopher/C4 heuristics, q >= 0.9)
+      -> language ID (stopword argmax)
+      -> exact dedup (md5 groupBy, keep min doc_id)
+      -> near-dup collapse (MinHash-LSH pairs -> connected
+         components, keep each cluster's min doc_id)
+      -> per-language corpus stats.
+
+    100 TB shape: the filter+langid stage is row-local codegen (no
+    shuffle); exact dedup is one map-side-combinable shuffle; the
+    LSH band join only ever compares within buckets; the final
+    semi-joins are doc_id-keyed shuffles. Nothing is all-pairs and
+    no stage needs a driver-side action.
+    """
+    docs = table(spark, "documents", sf_dir)
+    m = T.quality_metrics(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        m["n_tokens"].alias("n_tokens"),
+        F.round(T.quality_score(F.col("text")), 6).alias("q"),
+    )
+    kept = scored.where(F.col("q") >= 0.9)
+    exact_reps = (
+        kept.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    uniq = kept.join(exact_reps, "doc_id", "left_semi")
+    pairs = dedup.minhash_lsh_dedup(uniq, "doc_id", "text", threshold=0.7)
+    comps = dedup.connected_components(
+        uniq.select(F.col("doc_id").alias("id")), pairs
+    )
+    reps = comps.where(F.col("id") == F.col("cluster")).select(
+        F.col("id").alias("doc_id")
+    )
+    final = uniq.join(reps, "doc_id", "left_semi")
+    return final.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )
+
+
+PIPE_CURATE_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, text, length(text) AS nc, {_TOKS} AS w FROM documents
+), m AS (
+  SELECT doc_id, text, w,
+    CAST(len(w) AS BIGINT) AS n_tokens,
+    CASE WHEN len(w) > 0
+         THEN CAST(coalesce(list_sum([length(tk) for tk in w]), 0) AS DOUBLE) / len(w)
+         ELSE 0.0 END AS mtl,
+    CASE WHEN nc > 0
+         THEN CAST(length(regexp_replace(lower(text), '[a-z ]', '', 'g')) AS DOUBLE) / nc
+         ELSE 0.0 END AS nar
+  FROM t
+), ls AS (
+  SELECT doc_id, text, n_tokens, mtl, nar,
+    {_lang_list_sql('en')} AS s_en,
+    {_lang_list_sql('es')} AS s_es,
+    {_lang_list_sql('de')} AS s_de,
+    {_lang_list_sql('fr')} AS s_fr,
+    {_lang_list_sql('zh')} AS s_zh
+  FROM m
+), scored AS (
+  SELECT doc_id, text, n_tokens,
+    CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) > 0 THEN
+      CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+           WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+           WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+           WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+           ELSE 'zh' END
+    ELSE 'und' END AS lang_pred,
+    round(least(n_tokens / 20.0, 1.0)
+          * (1.0 - least(nar * 2, 1.0))
+          * (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.5 END), 6) AS q
+  FROM ls
+), kept AS (
+  SELECT * FROM scored WHERE q >= 0.9
+), exact_reps AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+), uniq AS (
+  SELECT k.* FROM kept k JOIN exact_reps e ON k.doc_id = e.doc_id
+), pairs AS (
+  {{MINHASH_UNIQ}}
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM uniq
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d
+), clusters AS (
+  SELECT id, min(r) AS cluster FROM reach GROUP BY id
+), final AS (
+  SELECT u.* FROM uniq u
+  JOIN clusters c ON u.doc_id = c.id AND c.cluster = u.doc_id
+)
+SELECT lang_pred, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(q), 6) AS avg_quality
+FROM final GROUP BY 1
+""".replace("{MINHASH_UNIQ}", _minhash_pairs_sql("uniq"))
+
+
 QUERIES = {
     "pipe_dedup_exact": pipe_dedup_exact,
     "pipe_dedup_minhash": pipe_dedup_minhash,
@@ -655,6 +775,7 @@ QUERIES = {
     "pipe_text_tfidf": pipe_text_tfidf,
     "pipe_mm_decode": pipe_mm_decode,
     "pipe_mm_frames": pipe_mm_frames,
+    "pipe_curate": pipe_curate,
 }
 
 ORACLES = {
@@ -674,4 +795,5 @@ ORACLES = {
     "pipe_text_tfidf": PIPE_TEXT_TFIDF_SQL,
     "pipe_mm_decode": PIPE_MM_DECODE_SQL,
     "pipe_mm_frames": PIPE_MM_FRAMES_SQL,
+    "pipe_curate": PIPE_CURATE_SQL,
 }

@@ -227,3 +227,31 @@ def test_connected_components(spark):
     )
     got = {r.id: r.cluster for r in connected_components(ids, pairs).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_curate_composite_invariants(spark, sf_dir):
+    """The composite curation pipeline's totals must reconcile with
+    its own stages: every kept doc passed the quality gate, survived
+    exact dedup, and is its near-dup cluster's representative."""
+    from bd_spark.catalog import table
+    from bd_spark.queries.pipeline import pipe_curate
+
+    out = pipe_curate(spark, sf_dir).collect()
+    assert out, "curation must keep at least one language bucket"
+    assert sorted(out[0].asDict()) == [
+        "avg_quality", "lang_pred", "n_docs", "total_tokens"
+    ]
+    kept_total = sum(r.n_docs for r in out)
+
+    docs = table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    n_quality = docs.where(
+        F.round(T.quality_score(F.col("text")), 6) >= 0.9
+    ).count()
+    n_unique_texts = (
+        docs.where(F.round(T.quality_score(F.col("text")), 6) >= 0.9)
+        .select("text").distinct().count()
+    )
+    assert 0 < kept_total <= n_unique_texts <= n_quality <= n_docs
+    for r in out:
+        assert 0.9 <= r.avg_quality <= 1.0
