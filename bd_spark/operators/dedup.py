@@ -287,13 +287,20 @@ def connected_components(ids: DataFrame, pairs: DataFrame,
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .persist()
     )
-    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    # checkpoint the seed so the (possibly expensive) ids subtree is
+    # computed exactly once, not re-evaluated under every iteration
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint()
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the convergence flag rides along in the checkpointed frame:
+        # one job materializes labels AND the change count (the old
+        # separate new-vs-old join re-ran the whole round's plan)
         new_labels = (
             labels.join(nbr, labels.id == nbr.src, "left")
             .select(
@@ -301,16 +308,14 @@ def connected_components(ids: DataFrame, pairs: DataFrame,
                 F.least(
                     labels.label, F.coalesce(nbr.nbr_label, labels.label)
                 ).alias("label"),
+                (F.coalesce(nbr.nbr_label, labels.label) < labels.label).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     edges.unpersist()

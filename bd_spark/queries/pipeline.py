@@ -679,7 +679,10 @@ def pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    uniq = kept.join(exact_reps, "doc_id", "left_semi")
+    # uniq feeds four consumers (minhash input, component seeds, the
+    # final semi-join, and through pairs); persist so the scored
+    # subtree's quality/langid expressions evaluate once
+    uniq = kept.join(exact_reps, "doc_id", "left_semi").persist()
     pairs = dedup.minhash_lsh_dedup(uniq, "doc_id", "text", threshold=0.7)
     comps = dedup.connected_components(
         uniq.select(F.col("doc_id").alias("id")), pairs
