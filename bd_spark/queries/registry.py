@@ -20,6 +20,7 @@ def _modules():
         relational,
         relational2,
         relational3,
+        relational4,
         streaming_queries,
         temporal,
     )
@@ -28,6 +29,7 @@ def _modules():
         relational,
         relational2,
         relational3,
+        relational4,
         temporal,
         pipeline,
         jsonq_queries,

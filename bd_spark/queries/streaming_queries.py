@@ -28,7 +28,7 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = windowed_event_stats(read_events_stream(spark, sf_dir)).drop(
         "approx_users"
     )
-    return run_to_memory(stream, "complete")
+    return run_to_memory(stream, "complete", shuffle_partitions=8)
 
 
 Q_STREAM_WINDOWED_SQL = """
@@ -41,7 +41,7 @@ FROM events GROUP BY 1, 2
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based per-user session windows (30 min) on the stream."""
     stream = sessionized_stats(read_events_stream(spark, sf_dir), gap="30 minutes")
-    return run_to_memory(stream, "complete")
+    return run_to_memory(stream, "complete", shuffle_partitions=8)
 
 
 # Spark session_window semantics: a new session starts when the gap to
@@ -75,7 +75,7 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState operator is pytest-gated separately —
     per-group pandas overhead doesn't belong on the headline path)."""
     stream = user_running_totals_builtin(read_events_stream(spark, sf_dir))
-    return run_to_memory(stream, "update")
+    return run_to_memory(stream, "update", shuffle_partitions=8)
 
 
 Q_STREAM_RUNNING_TOTALS_SQL = """
@@ -107,7 +107,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
-    return run_to_memory(agg, "complete")
+    return run_to_memory(agg, "complete", shuffle_partitions=8)
 
 
 Q_STREAM_ENRICH_SQL = """
@@ -141,7 +141,7 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.ts").alias("view_ts"),
         F.round(F.col("l.value"), 6).alias("purchase_value"),
     )
-    return run_to_memory(joined, "append")
+    return run_to_memory(joined, "append", shuffle_partitions=8)
 
 
 Q_STREAM_ATTRIBUTION_SQL = """
