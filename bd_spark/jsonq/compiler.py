@@ -673,30 +673,69 @@ def _inline_cv(node: ast.Node) -> CV | None:
 
 def _stage_cv(df: DataFrame, node: ast.Node, name: str) -> tuple[DataFrame, CV]:
     """_stage, returning the staged CV — or an inline CV (no DataFrame
-    ops) when the node is a constant, or a direct-stage chain (1 op per
-    sub-operation, no v/err save-restore) when the node is a
+    ops) when the node is a constant, or a direct-stage chain (layered
+    withColumns, no v/err save-restore) when the node is a
     single-valued column-compilable tree."""
-    cv = _inline_cv(node)
-    if cv is not None:
-        return df, cv
-    d = _direct_stage(df, node, name)
-    if d is not None:
-        return d
-    df = _stage(df, node, name)
-    return df, CV(F.col(f"{name}_v"), F.col(f"{name}_e"))
+    df, cvs = _stage_cv_many(df, [(node, name)])
+    return df, cvs[0]
 
 
-def _demit(
-    df: DataFrame,
+class _Plan:
+    """Deferred direct-stage emissions, grouped into depth layers.
+
+    Driver-side analysis cost is O(withColumns calls x plan size), so
+    the lever is the CALL count: independent chains (e.g. the 9-14
+    values of a wide dict) merge layer-wise and land in
+    O(max chain depth) withColumns total, not O(sum of ops). A column
+    emitted at layer d only references columns from layers < d (or the
+    base v/err at depth -1), so each merged layer is one valid
+    withColumns. `?` drop filters are deferred to the end: column
+    emissions never change row count and are null-safe, so filtering
+    after all layers keeps exactly the same rows as filtering between
+    stages."""
+
+    def __init__(self) -> None:
+        self.layers: list[dict[str, Column]] = []
+        self.filters: list[str] = []
+        self.temps: list[str] = []
+
+    def emit(self, depth: int, cols: dict[str, Column]) -> None:
+        while len(self.layers) <= depth:
+            self.layers.append({})
+        self.layers[depth].update(cols)
+
+    def merge(self, other: "_Plan") -> None:
+        """Fold another item's plan in layer-wise (names are _fresh
+        unique, so updates never collide)."""
+        for depth, layer in enumerate(other.layers):
+            self.emit(depth, layer)
+        self.filters += other.filters
+        self.temps += other.temps
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for layer in self.layers:
+            if layer:
+                df = df.withColumns(layer)
+        for flag in self.filters:
+            df = df.where(~F.col(flag))
+        dead = [c for t in self.temps for c in (f"{t}_v", f"{t}_e")]
+        dead += self.filters
+        if dead:
+            df = df.drop(*dead)
+        return df
+
+
+def _pemit(
+    plan: _Plan,
     cv: CV,
     in_err: Column | None,
     base: str | None,
-    temps: list[str],
-) -> tuple[DataFrame, CV, str]:
-    """Land a raw CV into {base}_v/{base}_e with one withColumns
-    (error passthrough from in_err; `?` drops remove rows, only when
-    no pre-existing error — same semantics as lift()). base=None means
-    an intermediate stage: a fresh name, recorded in temps."""
+    in_depth: int,
+) -> tuple[CV, int, str]:
+    """Plan landing a raw CV into {base}_v/{base}_e one layer below its
+    inputs (error passthrough from in_err; `?` drops remove rows, only
+    when no pre-existing error — same semantics as lift()). base=None
+    means an intermediate stage: a fresh name, recorded in temps."""
     final = base is not None
     if base is None:
         base = _fresh("d")
@@ -707,89 +746,154 @@ def _demit(
     dropg = cv.drop if in_err is None else (
         None if cv.drop is None else (in_err.isNull() & cv.drop)
     )
+    depth = in_depth + 1
     cols = {f"{base}_v": v, f"{base}_e": e}
     if dropg is not None:
-        cols["__dropf"] = F.coalesce(dropg, F.lit(False))
-    out = df.withColumns(cols)
-    if dropg is not None:
-        out = out.where(~F.col("__dropf")).drop("__dropf")
+        flag = f"__dropf_{base}"
+        cols[flag] = F.coalesce(dropg, F.lit(False))
+        plan.filters.append(flag)
+    plan.emit(depth, cols)
     if not final:
-        temps.append(base)
-    return out, CV(F.col(f"{base}_v"), F.col(f"{base}_e")), base
+        plan.temps.append(base)
+    return CV(F.col(f"{base}_v"), F.col(f"{base}_e")), depth, base
 
 
-def _direct(
-    df: DataFrame, node: ast.Node, name: str, inp: CV, temps: list[str]
-) -> tuple[DataFrame, CV, str | None] | None:
-    """Direct-stage recursion: every sub-operation lands in its own
-    single-projection stage, referenced downstream by ATTRIBUTE (the
+class _CSE:
+    """Common-subexpression cache for chains planned from the shared
+    root input: repeated subtrees (e.g. `.text / " "` feeding four
+    different dict values) plan once and later occurrences reuse the
+    staged columns by attribute reference. Keyed by AST node equality
+    (nodes are frozen dataclasses); consulted only when the input IS
+    the root, where equal subtrees provably compute equal columns.
+    Re-using a `?`-dropping subtree is row-equivalent: each
+    registration would drop the same rows again."""
+
+    def __init__(self, root: CV) -> None:
+        self.root = root
+        self.seen: dict[ast.Node, tuple[CV, int]] = {}
+
+
+def _plan_direct(
+    plan: _Plan,
+    node: ast.Node,
+    name: str | None,
+    inp: CV,
+    in_depth: int,
+    cse: _CSE | None = None,
+) -> tuple[CV, int, str | None] | None:
+    """Direct-stage planning recursion: every sub-operation lands in
+    its own projection slot, referenced downstream by ATTRIBUTE (the
     sharing that makes staged compilation beat expression fusion — see
     _inline_cv), but v/err are never saved/restored. Returns None when
     the node needs full stream machinery (bursts/explodes/joins)."""
+    cacheable = (
+        cse is not None
+        and inp is cse.root
+        and not isinstance(node, (ast.Identity, ast.Literal))
+    )
+    if cacheable:
+        hit = cse.seen.get(node)
+        if hit is not None:
+            return hit[0], hit[1], None
+    res = _plan_direct_raw(plan, node, name, inp, in_depth, cse)
+    if cacheable and res is not None:
+        cse.seen[node] = (res[0], res[1])
+    return res
+
+
+def _plan_direct_raw(
+    plan: _Plan,
+    node: ast.Node,
+    name: str | None,
+    inp: CV,
+    in_depth: int,
+    cse: _CSE | None,
+) -> tuple[CV, int, str | None] | None:
     if isinstance(node, ast.Identity):
-        return df, inp, None
+        return inp, in_depth, None
     if isinstance(node, ast.Literal):
         # value replaced, incoming error still passes through
-        return df, CV(compile_col(node)(F.lit(None)).v, inp.err), None
+        return CV(compile_col(node)(F.lit(None)).v, inp.err), in_depth, None
     if isinstance(node, (ast.Index, ast.Identifier, ast.Slice)):
-        return _demit(df, compile_col(node)(inp.v), inp.err, name, temps)
+        return _pemit(plan, compile_col(node)(inp.v), inp.err, name, in_depth)
     if isinstance(node, ast.Pipe):
-        left = _direct(df, node.left, None, inp, temps)
+        left = _plan_direct(plan, node.left, None, inp, in_depth, cse)
         if left is None:
             return None
-        df, mid, _ = left
-        return _direct(df, node.right, name, mid, temps)
+        mid, mid_depth, _ = left
+        return _plan_direct(plan, node.right, name, mid, mid_depth, cse)
     if isinstance(node, ast.Unary):
-        inner = _direct(df, node.expr, None, inp, temps)
+        inner = _plan_direct(plan, node.expr, None, inp, in_depth, cse)
         if inner is None:
             return None
-        df, icv, _ = inner
+        icv, idepth, _ = inner
         op = _col_neg if node.op == "-" else _col_not
-        return _demit(df, op(icv.v), icv.err, name, temps)
+        return _pemit(plan, op(icv.v), icv.err, name, idepth)
     if isinstance(node, ast.Binary):
-        left = _direct(df, node.left, None, inp, temps)
+        left = _plan_direct(plan, node.left, None, inp, in_depth, cse)
         if left is None:
             return None
-        df, lcv, _ = left
-        right = _direct(df, node.right, None, inp, temps)
+        lcv, ld, _ = left
+        right = _plan_direct(plan, node.right, None, inp, in_depth, cse)
         if right is None:
             return None
-        df, rcv, _ = right
+        rcv, rd, _ = right
         cv = _col_binary(node.op, lcv, rcv)
-        return _demit(df, cv, inp.err, name, temps)
+        return _pemit(plan, cv, inp.err, name, max(ld, rd))
     if isinstance(node, ast.Builtin):
         if node.name in ("map", "any", "all"):
             body = compile_col(node.args[0])
             if body is None:
                 return None
             cv = _col_hof(node.name, node.args[0])(inp.v)
-            return _demit(df, cv, inp.err, name, temps)
+            return _pemit(plan, cv, inp.err, name, in_depth)
         if node.name in ("has", "in"):
-            arg = _direct(df, node.args[0], None, inp, temps)
+            arg = _plan_direct(plan, node.args[0], None, inp, in_depth, cse)
             if arg is None:
                 return None
-            df, acv, _ = arg
+            acv, ad, _ = arg
             cv = _col_builtin(node.name, inp.v, [acv])
-            return _demit(df, cv, inp.err, name, temps)
+            return _pemit(plan, cv, inp.err, name, max(ad, in_depth))
         cv = _col_builtin(node.name, inp.v, [])
-        return _demit(df, cv, inp.err, name, temps)
+        return _pemit(plan, cv, inp.err, name, in_depth)
     return None
 
 
-def _direct_stage(df: DataFrame, node: ast.Node, name: str) -> tuple[DataFrame, CV] | None:
-    """Top-level direct staging wrapper: runs the recursion, then drops
-    every intermediate stage column in one op. Sub-stages use _fresh
-    names recorded in temps; the final result (when the tail emits)
-    lands in {name}_v/{name}_e, which the CALLER drops."""
-    temps: list[str] = []
-    res = _direct(df, node, name, CV(F.col("v"), F.col("err")), temps)
-    if res is None:
-        return None
-    df, cv, final_base = res
-    dead = [c for t in temps if t != final_base for c in (f"{t}_v", f"{t}_e")]
-    if dead:
-        df = df.drop(*dead)
-    return df, cv
+def _stage_cv_many(
+    df: DataFrame, items: list[tuple[ast.Node, str]]
+) -> tuple[DataFrame, list[CV]]:
+    """Stage several independent single-valued nodes against the same
+    input v/err. Direct-stageable items share ONE layered plan (a wide
+    dict's values land in ~3 withColumns instead of ~3 per value);
+    constants inline; everything else falls back to full _stage."""
+    out: dict[int, CV] = {}
+    plan = _Plan()
+    fallback: list[tuple[int, ast.Node, str]] = []
+    root = CV(F.col("v"), F.col("err"))
+    cse = _CSE(root)
+    for i, (node, name) in enumerate(items):
+        cv = _inline_cv(node)
+        if cv is not None:
+            out[i] = cv
+            continue
+        # plan into a private scratch first: a mid-chain failure must
+        # not leave orphan emissions (or worse, `?` filters) behind —
+        # and must also roll back CSE entries pointing at discarded
+        # scratch columns
+        scratch = _Plan()
+        saved_cse = dict(cse.seen)
+        res = _plan_direct(scratch, node, name, root, -1, cse)
+        if res is None:
+            cse.seen = saved_cse
+            fallback.append((i, node, name))
+            continue
+        plan.merge(scratch)
+        out[i] = res[0]
+    df = plan.apply(df)
+    for i, node, name in fallback:
+        df = _stage(df, node, name)
+        out[i] = CV(F.col(f"{name}_v"), F.col(f"{name}_e"))
+    return df, [out[i] for i in range(len(items))]
 
 
 def _stage(df: DataFrame, node: ast.Node, name: str) -> DataFrame:
@@ -841,8 +945,7 @@ def compile_stream(node: ast.Node) -> StreamFn:
 
         def run_binary(df: DataFrame) -> DataFrame:
             ln, rn = _fresh("bl"), _fresh("br")
-            df, lcv = _stage_cv(df, left, ln)
-            df, rcv = _stage_cv(df, right, rn)
+            df, (lcv, rcv) = _stage_cv_many(df, [(left, ln), (right, rn)])
             cv = _col_binary(op, lcv, rcv)
             return _finish(df, cv, drop_cols=[f"{ln}_v", f"{ln}_e", f"{rn}_v", f"{rn}_e"])
 
@@ -1057,14 +1160,16 @@ def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
     if scalar:
 
         def run_scalar(df: DataFrame) -> DataFrame:
-            cvs = []
+            items: list[tuple[ast.Node, str]] = []
             drops = []
-            for pi, pair in enumerate(pairs):
+            for pair in pairs:
                 kn, vn = _fresh("dk"), _fresh("dv")
-                df, kcv = _stage_cv(df, pair.key, kn)
-                df, vcv = _stage_cv(df, pair.value, vn)
-                cvs.append((kcv, vcv))
+                items += [(pair.key, kn), (pair.value, vn)]
                 drops += [f"{kn}_v", f"{kn}_e", f"{vn}_v", f"{vn}_e"]
+            # one shared layered plan across every key and value: the
+            # whole dict lands in O(max chain depth) withColumns
+            df, flat = _stage_cv_many(df, items)
+            cvs = [(flat[2 * i], flat[2 * i + 1]) for i in range(len(pairs))]
             cv = _col_dict(cvs)
             return _finish(df, cv, drop_cols=drops)
 
