@@ -32,29 +32,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    _ensure_nanos_conf(spark)
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return _fix_nanos(df)
+    return _fix_time_types(df)
 
 
 # Runtime-settable SQL confs the engine's semantics depend on. Callers
 # (the driver harness included) build their own SparkSessions without
 # them, so every entry point sets them on the session it is handed:
-#   - nanosAsLong: the testdata events table stores TIMESTAMP(NANOS),
-#     which Spark's parquet reader otherwise rejects outright.
 #   - ansi off: jq semantics degrade type mismatches to null, never
 #     throw (reference json.rs:914,938,1014); Spark 4 defaults ANSI on.
 #   - LAST_WIN: object union `+` is rhs-wins (reference json.rs:963-995).
 #   - UTC: oracle SQL (DuckDB) compares timestamps in UTC.
 _SESSION_CONFS = {
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     "spark.sql.session.timeZone": "UTC",
 }
 
+TIME_COLUMNS = ("ts", "o_orderdate", "l_shipdate")
 
-def _ensure_nanos_conf(spark: SparkSession) -> None:
+
+def ensure_session_confs(spark: SparkSession) -> None:
     for k, v in _SESSION_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -62,17 +61,24 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
             pass  # conf made static in this build; best-effort
 
 
-def _fix_nanos(df: DataFrame) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as epoch-nano longs
-    (spark.sql.legacy.parquet.nanosAsLong); restore them to timestamps
-    at microsecond precision. Integer `div` avoids the double-precision
-    loss a float division would cause on 1.7e18-scale nanos."""
+# Back-compat alias (older call sites / tests)
+_ensure_nanos_conf = ensure_session_confs
+
+
+def _fix_time_types(df: DataFrame) -> DataFrame:
+    """Normalize time columns to session-TZ TIMESTAMP regardless of how
+    the testdata stored them. The driver's parquet stores
+    ``timestamp[us]`` WITHOUT timezone → Spark reads TIMESTAMP_NTZ,
+    which ``withWatermark`` rejects and which cannot cast to BIGINT.
+    With the session TZ pinned to UTC (``_SESSION_CONFS``) the
+    NTZ→TIMESTAMP cast is value-preserving, so DuckDB oracles agree."""
     from pyspark.sql import functions as F
 
+    fixes = {}
     for field in df.schema.fields:
-        if field.name in ("ts", "o_orderdate", "l_shipdate") and field.dataType.simpleString() == "bigint":
-            df = df.withColumn(field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000")))
-    return df
+        if field.name in TIME_COLUMNS and field.dataType.simpleString() == "timestamp_ntz":
+            fixes[field.name] = F.col(field.name).cast("timestamp")
+    return df.withColumns(fixes) if fixes else df
 
 
 def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

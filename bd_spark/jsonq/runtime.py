@@ -67,11 +67,19 @@ class JsonQ:
         )
 
     # -- running -------------------------------------------------------
-    def run(self, query: str, stream: DataFrame) -> DataFrame:
-        """Run a query on a document stream; returns the output stream
-        ordered by (seq, ord)."""
+    def run(self, query: str, stream: DataFrame, ordered: bool = True) -> DataFrame:
+        """Run a query on a document stream.
+
+        ``ordered=True`` (CLI / conformance sinks) appends the jq
+        output order ``orderBy(seq, ord)`` — jq output order is
+        semantic there. Gate/analytics callers that re-aggregate or
+        hash order-insensitively pass ``ordered=False``: at scale the
+        global sort is a pure waste (a full range-shuffle of every
+        result row) and Catalyst cannot always prove it removable.
+        """
         fn = compile_query(parser.parse(query))
-        return fn(stream).orderBy("seq", "ord")
+        out = fn(stream)
+        return out.orderBy("seq", "ord") if ordered else out
 
     def run_texts(self, query: str, texts: list[str]) -> list[tuple[object, str | None]]:
         """Convenience for tests: returns [(python_value, err), ...]

@@ -21,7 +21,7 @@ def jq_props_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir).select("event_id", "props")
     jq = JsonQ(spark)
     stream = jq.stream_from_text_column(ev, "props", seq_col="event_id")
-    out = jq.run(".k", stream)
+    out = jq.run(".k", stream, ordered=False)
     return out.select(
         F.col("seq").alias("event_id"),
         F.try_variant_get("v", "$", "long").alias("k"),
@@ -40,7 +40,7 @@ def jq_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, "documents", sf_dir)
     jq = JsonQ(spark)
     stream = jq.stream_from_table(docs)
-    out = jq.run('{id: .doc_id, n_tokens: (.text / " " | length)}', stream)
+    out = jq.run('{id: .doc_id, n_tokens: (.text / " " | length)}', stream, ordered=False)
     return out.select(
         F.try_variant_get("v", "$.id", "long").alias("id"),
         F.try_variant_get("v", "$.n_tokens", "long").alias("n_tokens"),
@@ -59,7 +59,7 @@ def jq_event_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
     jq = JsonQ(spark)
     stream = jq.stream_from_table(ev.select("event_id", "event_type"))
-    out = jq.run("{id: .event_id, type: .event_type, len: (.event_type | length)}", stream)
+    out = jq.run("{id: .event_id, type: .event_type, len: (.event_type | length)}", stream, ordered=False)
     return out.select(
         F.try_variant_get("v", "$.id", "long").alias("id"),
         F.try_variant_get("v", "$.type", "string").alias("type"),
@@ -79,7 +79,7 @@ def jq_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, "documents", sf_dir)
     jq = JsonQ(spark)
     stream = jq.stream_from_table(docs.select("doc_id", "n_chars", "lang"))
-    out = jq.run('{id: .doc_id, ok: (.n_chars > 100 && .lang == "en")}', stream)
+    out = jq.run('{id: .doc_id, ok: (.n_chars > 100 && .lang == "en")}', stream, ordered=False)
     return out.select(
         F.try_variant_get("v", "$.id", "long").alias("id"),
         F.try_variant_get("v", "$.ok", "boolean").alias("ok"),
@@ -98,7 +98,7 @@ def jq_value_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir)
     jq = JsonQ(spark)
     stream = jq.stream_from_table(ev.select("event_id", "value"))
-    out = jq.run("{id: .event_id, scaled: (.value * 2 + 1)}", stream)
+    out = jq.run("{id: .event_id, scaled: (.value * 2 + 1)}", stream, ordered=False)
     return out.select(
         F.try_variant_get("v", "$.id", "long").alias("id"),
         F.round(F.try_variant_get("v", "$.scaled", "double"), 6).alias("scaled"),
@@ -135,6 +135,7 @@ def jq_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         ' f: (.text / " " | .[..]),'
         ' g: (.text | .[2..8])}',
         stream,
+        ordered=False,
     )
     return out.select(
         F.try_variant_get("v", "$.id", "long").alias("id"),
@@ -175,6 +176,7 @@ def jq_iter_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         ' c2: [.[lang, doc_id]],'
         ' c3: [{x: .[lang, doc_id]}]}',
         stream,
+        ordered=False,
     )
     return out.select(
         F.try_variant_get("v", "$.id", "long").alias("id"),
@@ -199,7 +201,7 @@ def jq_recurse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, "events", sf_dir).select("event_id", "props")
     jq = JsonQ(spark)
     stream = jq.stream_from_text_column(ev, "props", seq_col="event_id")
-    out = jq.run('{r: [..], k: ([.. | .k?] | .[0])}', stream)
+    out = jq.run('{r: [..], k: ([.. | .k?] | .[0])}', stream, ordered=False)
     return out.select(
         F.col("seq").alias("event_id"),
         _vjson("$.r").alias("r"),
@@ -234,6 +236,7 @@ def jq_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ' anyl: (.text / " " | map(length) | any(. > 5)),'
         ' alll: (.text / " " | map(length) | all(. > 1))}',
         stream,
+        ordered=False,
     )
     return out.select(
         F.try_variant_get("v", "$.id", "long").alias("id"),
@@ -278,6 +281,7 @@ def jq_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         ' ne: (.k != 50), nb: (!(.k > 50)),'
         ' orr: (.k > 90 || .k < 10)}',
         stream,
+        ordered=False,
     )
     return out.select(
         F.col("seq").alias("event_id"),
@@ -331,6 +335,7 @@ def jq_overloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         ' dm: ({a: {x: 1}} * {a: {y: .doc_id}}),'
         ' fdiv: (.n_chars / 8)}',
         stream,
+        ordered=False,
     )
     return out.select(
         F.try_variant_get("v", "$.id", "long").alias("id"),
@@ -360,6 +365,42 @@ FROM t
 """
 
 
+def jq_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical serializer (json.rs:568-609) driven end-to-end through
+    the gate: lenient-parse events.props, run a jq restructuring that
+    nests the original doc next to derived values, and render every
+    result through the canonical text sink (key-sorted, zero
+    whitespace, json.rs:501-507). The oracle rebuilds the exact
+    canonical bytes by string concatenation, so a single byte of
+    drift in the serializer hash-fails. Float `{:e}` formatting stays
+    gated by the golden-corpus conformance tests (not reproducible in
+    ANSI SQL)."""
+    from bd_spark.sources.jsons import canonical_text
+
+    ev = table(spark, "events", sf_dir).select("event_id", "props")
+    jq = JsonQ(spark)
+    stream = jq.stream_from_text_column(ev, "props", seq_col="event_id")
+    out = jq.run(
+        "{doc: ., n: (.k + 1), t: (.k > 50), z: null}", stream, ordered=False
+    )
+    return canonical_text(out).select(
+        F.col("seq").alias("event_id"), "line"
+    )
+
+
+JQ_CANONICAL_SQL = """
+WITH p AS (
+  SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_id,
+       '{"doc":{"k":' || k || '},"n":' || (k + 1) || ',"t":'
+         || CASE WHEN k > 50 THEN 'true' ELSE 'false' END
+         || ',"z":null}' AS line
+FROM p
+"""
+
+
 QUERIES = {
     "jq_props_k": jq_props_k,
     "jq_token_count": jq_token_count,
@@ -372,6 +413,7 @@ QUERIES = {
     "jq_builtins": jq_builtins,
     "jq_bitwise": jq_bitwise,
     "jq_overloads": jq_overloads,
+    "jq_canonical": jq_canonical,
 }
 
 ORACLES = {
@@ -386,4 +428,5 @@ ORACLES = {
     "jq_builtins": JQ_BUILTINS_SQL,
     "jq_bitwise": JQ_BITWISE_SQL,
     "jq_overloads": JQ_OVERLOADS_SQL,
+    "jq_canonical": JQ_CANONICAL_SQL,
 }

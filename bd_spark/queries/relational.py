@@ -329,9 +329,15 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin lives in bd_spark.streaming."""
     ev = table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # interval comparison keeps this agnostic to TIMESTAMP vs
+    # TIMESTAMP_NTZ (casting a NTZ column to BIGINT is illegal)
+    prev = F.lag("ts").over(w)
     sess = F.sum(
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        F.when(
+            prev.isNull()
+            | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0)
     ).over(w)
     return (
         ev.withColumn("session_id", sess)

@@ -231,6 +231,38 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-valued twin of q_approx_stats, hash-comparable to DuckDB:
+    exact distinct counts plus exact continuous quantiles per return
+    flag. Gates the profiling surface the sketches approximate; the
+    sketch query itself stays a bounds-asserted capability test
+    (tests/test_relational.py::test_approx_stats_bounds). Exact
+    distinct = two-phase shuffle; percentiles are a single sort-based
+    agg per group — both algebraic enough for 100 TB, just costlier
+    than the one-pass sketches."""
+    li = table(spark, "lineitem", sf_dir)
+    q = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(q.getItem(0), 4).alias("price_p50"),
+        F.round(q.getItem(1), 4).alias("price_p95"),
+        F.round(q.getItem(2), 4).alias("price_p99"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q_PROFILE_STATS_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS n_orders,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS price_p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q12_priority_shipping": q12_priority_shipping,
     "q14_promo_revenue": q14_promo_revenue,
@@ -239,6 +271,7 @@ QUERIES = {
     "q_min_price_supplier": q_min_price_supplier,
     "q_part_cube": q_part_cube,
     "q_approx_stats": q_approx_stats,
+    "q_profile_stats": q_profile_stats,
 }
 
 ORACLES = {
@@ -248,4 +281,5 @@ ORACLES = {
     "q19_disjunctive": Q19_SQL,
     "q_min_price_supplier": Q_MIN_PRICE_SQL,
     "q_part_cube": Q_PART_CUBE_SQL,
+    "q_profile_stats": Q_PROFILE_STATS_SQL,
 }

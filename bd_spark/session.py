@@ -40,9 +40,6 @@ def get_spark(app_name: str = "bd_spark", master: str | None = None) -> SparkSes
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
-        # driver testdata stores TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read as long and convert in the catalog layer
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # jq semantics: type mismatches degrade to null, never throw
         # (reference json.rs:914,938,1014 behavior)
         .config("spark.sql.ansi.enabled", "false")

@@ -123,19 +123,24 @@ def _parse_concat(text: str) -> list[tuple[str | None, str | None]]:
 def canonical_text(df: DataFrame) -> DataFrame:
     """Document stream → ``(seq, ord, line STRING)`` canonical text.
 
-    Canonicalization (key order, float format) runs in an
-    Arrow-batched pandas UDF — sink-only, never in the query hot path
-    (SURVEY.md §4.3).
+    Canonicalization (key order, float format) runs Arrow-batched via
+    ``mapInPandas`` — sink-only, never in the query hot path
+    (SURVEY.md §4.3). mapInPandas (a standalone plan node) rather
+    than a scalar pandas UDF: a UDF projected alongside a very wide
+    compiled-jq variant expression can fail Catalyst's Python-UDF
+    extraction (INTERNAL_ERROR Cannot evaluate expression), while a
+    map node is immune to the surrounding expression shape.
     """
-    @F.pandas_udf("string")
-    def to_canonical(col: pd.Series) -> pd.Series:
-        return col.map(
-            lambda s: canonicalize(json.loads(s)) if s is not None else "null"
-        )
+    src = df.select("seq", "ord", F.to_json("v").alias("j"))
 
-    return df.select(
-        "seq", "ord", to_canonical(F.to_json("v")).alias("line")
-    )
+    def batches(it):
+        for pdf in it:
+            pdf["line"] = pdf["j"].map(
+                lambda s: canonicalize(json.loads(s)) if s is not None else "null"
+            )
+            yield pdf[["seq", "ord", "line"]]
+
+    return src.mapInPandas(batches, "seq long, ord array<bigint>, line string")
 
 
 def canonical_lines(df: DataFrame) -> list[str]:

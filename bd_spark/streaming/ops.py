@@ -34,16 +34,18 @@ def read_events_stream(
     """``readStream`` over the events parquet (TESTDATA.md schema).
 
     File sources need an explicit schema; we take it from the batch
-    reader and restore the TIMESTAMP(NANOS) ``ts`` exactly like the
-    batch catalog does.
+    reader and normalize ``ts`` to TIMESTAMP exactly like the batch
+    catalog does (the parquet stores timestamp-without-timezone →
+    TIMESTAMP_NTZ, which ``withWatermark`` rejects; with session TZ
+    pinned UTC the cast is value-preserving).
     """
     import os
     import tempfile
 
-    from bd_spark.catalog import _ensure_nanos_conf
+    from bd_spark.catalog import ensure_session_confs
 
     path = os.path.join(sf_dir, "events.parquet")
-    _ensure_nanos_conf(spark)
+    ensure_session_confs(spark)
     schema = spark.read.parquet(path).schema
     # the testdata table is a single parquet FILE; the file-stream
     # source requires a directory, so expose it through a symlink dir
@@ -54,8 +56,8 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(link_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from __spark_entry__ import queries  # noqa: E402
+from bd_spark.queries.registry import extra_queries  # noqa: E402
 from bd_spark.session import get_spark  # noqa: E402
 
 
@@ -29,7 +30,10 @@ def main() -> None:
     spark = get_spark("bd_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = queries()
+    # gate queries plus the pytest-gated EXTRA tranche — bench keeps
+    # timing continuity for every implemented query across rounds
+    qs = dict(queries())
+    qs.update(extra_queries())
     # warm up the JVM + parquet footer caches with a trivial action
     next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
 
