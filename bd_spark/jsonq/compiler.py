@@ -33,6 +33,7 @@ intended behavior implemented here).
 from __future__ import annotations
 
 import itertools
+import json as _json
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -172,13 +173,36 @@ def compile_col(node: ast.Node) -> ColFn | None:
     if isinstance(node, ast.ListCons):
         return _col_list(node)
     if isinstance(node, ast.DictCons):
-        fns = []
-        for p in node.pairs:
-            kf, vf = compile_col(p.key), compile_col(p.value)
-            if kf is None or vf is None:
-                return None
-            fns.append((kf, vf))
-        return lambda v: _col_dict([(kf(v), vf(v)) for kf, vf in fns])
+        vfs = [compile_col(p.value) for p in node.pairs]
+        if any(f is None for f in vfs):
+            return None
+        skeys = [static_dict_key(p.key) for p in node.pairs]
+        if all(k is not None for k in skeys):
+            return lambda v: _col_dict_static(
+                [(k, vf(v)) for k, vf in zip(skeys, vfs)]
+            )
+        kfs = [compile_col(p.key) for p in node.pairs]
+        if any(f is None for f in kfs):
+            return None
+        return lambda v: _col_dict(
+            [(kf(v), vf(v)) for kf, vf in zip(kfs, vfs)]
+        )
+    return None
+
+
+def static_dict_key(node: ast.Node) -> str | None:
+    """The key's compile-time string value, when the key is a string
+    literal (the overwhelmingly common `{name: ...}` form) — enables
+    the static dict path: non-string-key skipping and dup-key
+    last-wins (ops.rs:693-697, json.rs:501-507) resolve at COMPILE
+    time instead of per row."""
+    if isinstance(node, ast.Literal):
+        try:
+            val = _json.loads(node.text)
+        except ValueError:
+            return None
+        if isinstance(val, str):
+            return val
     return None
 
 
@@ -624,6 +648,37 @@ def _col_dict(parts: list[tuple[CV, CV]]) -> CV:
     return CV(out, err, drop)
 
 
+def _col_dict_static(parts: list[tuple[str, CV]]) -> CV:
+    """Dict construction with compile-time string keys: dup-key
+    last-wins resolves statically and key validity needs no runtime
+    filter, so the per-row work is one concat + parse_json — none of
+    the array-of-structs / O(n²) dedup machinery of ``_col_dict``
+    (that machinery cost ~1 ms/row on 4-key dicts — it dominated
+    jq_canonical's runtime). Errors from ALL values still merge, dup
+    or not, matching the runtime path which evaluates every entry."""
+    err = None
+    drop = None
+    for _, vc in parts:
+        err = _merge_err(err, vc.err)
+        drop = _merge_drop(drop, vc.drop)
+    last: dict[str, CV] = {}
+    for k, vc in parts:
+        last[k] = vc  # insertion-ordered; later duplicate wins
+    pieces: list[Column] = []
+    for k, vc in last.items():
+        # entry -> NULL when the value variant is SQL NULL, and
+        # concat_ws skips it — same entry-dropping as the runtime path
+        pieces.append(
+            F.concat(
+                F.lit(_json.dumps(k, ensure_ascii=False) + ":"), F.to_json(vc.v)
+            )
+        )
+    out = F.parse_json(
+        F.concat(F.lit("{"), F.concat_ws(",", F.array(*pieces)), F.lit("}"))
+    )
+    return CV(out, err, drop)
+
+
 # ===================================================================
 # Staged stream compilation
 # ===================================================================
@@ -712,10 +767,28 @@ class _Plan:
         self.filters += other.filters
         self.temps += other.temps
 
+    # Below this many total emissions, all layers fold into ONE select
+    # via lateral column aliases (Spark 3.4+: an expression may
+    # reference aliases earlier in the same projection), saving one
+    # Catalyst analysis per layer — measured 1.8 s -> 0.7 s build on
+    # the 4-key static dicts. Above it, the analyzer's lateral-alias
+    # rewrite costs more than the saved passes (measured +1.5 s on the
+    # 30-emission jq_builtins plan), so wide plans keep per-layer
+    # withColumns.
+    LATERAL_FOLD_MAX = 16
+
     def apply(self, df: DataFrame) -> DataFrame:
-        for layer in self.layers:
-            if layer:
-                df = df.withColumns(layer)
+        flat = [
+            (name, col)
+            for layer in self.layers
+            for name, col in layer.items()
+        ]
+        if flat and len(flat) <= self.LATERAL_FOLD_MAX:
+            df = df.select("*", *[c.alias(n) for n, c in flat])
+        else:
+            for layer in self.layers:
+                if layer:
+                    df = df.withColumns(layer)
         for flag in self.filters:
             df = df.where(~F.col(flag))
         dead = [c for t in self.temps for c in (f"{t}_v", f"{t}_e")]
@@ -1158,6 +1231,22 @@ def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
         not is_multivalued(p.key) and not is_multivalued(p.value) for p in pairs
     )
     if scalar:
+        skeys = [static_dict_key(p.key) for p in pairs]
+        if all(k is not None for k in skeys):
+
+            def run_scalar_static(df: DataFrame) -> DataFrame:
+                # static keys never stage: only the values enter the
+                # shared layered plan (half the stages of the general
+                # path), and the dict body is the cheap static concat
+                names = [_fresh("dv") for _ in pairs]
+                drops = [f"{n}_v" for n in names] + [f"{n}_e" for n in names]
+                df, flat = _stage_cv_many(
+                    df, [(p.value, n) for p, n in zip(pairs, names)]
+                )
+                cv = _col_dict_static(list(zip(skeys, flat)))
+                return _finish(df, cv, drop_cols=drops)
+
+            return run_scalar_static
 
         def run_scalar(df: DataFrame) -> DataFrame:
             items: list[tuple[ast.Node, str]] = []
@@ -1175,13 +1264,27 @@ def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
 
         return run_scalar
 
+    # static-keyed pairs skip their key stream entirely (a literal key
+    # is single-valued with burst position 0 for every row — joining
+    # its stream in adds a join and an ord component that carry no
+    # information); dup static keys are rare and fall back to the
+    # fully-runtime path so burst-wise last-wins stays exact
+    skeys_all = [static_dict_key(p.key) for p in pairs]
+    statics = [k for k in skeys_all if k is not None]
+    if len(set(statics)) != len(statics):
+        skeys_all = [None] * len(pairs)
+
     def run(df: DataFrame) -> DataFrame:
         g = _fresh("g")
         base = df.withColumn(g, F.struct("seq", "ord"))
-        part_cols: list[tuple[str, str, str]] = []
+        pair_cols: list[dict[str, tuple[str, str, str]]] = []
         joined: DataFrame | None = None
         for pi, pair in enumerate(pairs):
-            for role, expr in (("k", pair.key), ("v", pair.value)):
+            roles = (("k", pair.key), ("v", pair.value))
+            if skeys_all[pi] is not None:
+                roles = (("v", pair.value),)
+            cols: dict[str, tuple[str, str, str]] = {}
+            for role, expr in roles:
                 s = compile_stream(expr)(base)
                 s = _burst_pos(s, g)
                 pc, vc, ec = f"__p{pi}{role}", f"__v{pi}{role}", f"__e{pi}{role}"
@@ -1192,21 +1295,27 @@ def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
                     F.col("err").alias(ec),
                     *([] if joined is not None else _carries(df)),
                 )
-                part_cols.append((pc, vc, ec))
+                cols[role] = (pc, vc, ec)
                 joined = sel if joined is None else joined.join(sel, on=g)
-        ordcol = F.concat(F.col(g)["ord"], F.array(*[F.col(pc) for pc, _, _ in part_cols]))
+            pair_cols.append(cols)
+        flat = [t for cols in pair_cols for t in cols.values()]
+        ordcol = F.concat(F.col(g)["ord"], F.array(*[F.col(pc) for pc, _, _ in flat]))
         entries = F.array(
             *[
                 F.struct(
-                    V.as_string(F.col(part_cols[2 * i][1])).alias("k"),
-                    F.to_json(F.col(part_cols[2 * i + 1][1])).alias("j"),
+                    (
+                        F.lit(skeys_all[i])
+                        if skeys_all[i] is not None
+                        else V.as_string(F.col(pair_cols[i]["k"][1]))
+                    ).alias("k"),
+                    F.to_json(F.col(pair_cols[i]["v"][1])).alias("j"),
                 )
                 for i in range(len(pairs))
             ]
         )
         valid = F.filter(entries, lambda e: e["k"].isNotNull())
         obj = F.parse_json(V.json_of_entries(V.dedup_last_wins(valid)))
-        err = F.coalesce(*[F.col(ec) for _, _, ec in part_cols]) if part_cols else F.lit(None)
+        err = F.coalesce(*[F.col(ec) for _, _, ec in flat]) if flat else F.lit(None)
         newv = F.when(err.isNotNull(), V.vnull()).otherwise(obj)
         return joined.select(
             F.col(g)["seq"].alias("seq"),

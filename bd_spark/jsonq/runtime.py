@@ -28,6 +28,21 @@ class JsonQ:
         self.spark = spark
 
     # -- building document streams ------------------------------------
+    @staticmethod
+    def _widen(df: DataFrame) -> DataFrame:
+        """jq evaluation is CPU-dense (wide variant expressions), so a
+        narrow source — locally, one small parquet file = ONE input
+        split — would serialize the whole query on a single core.
+        Rebalance up to one partition per core when the source is
+        narrower than the cluster; on a real deployment input splits
+        already exceed cores and this is a no-op (no shuffle added)."""
+        try:
+            p = df.sparkSession.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < p:
+                return df.repartition(p)
+        except Exception:
+            pass
+        return df
     def stream_from_texts(self, texts: list[str]) -> DataFrame:
         df = self.spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], "seq long, doc_text string"
@@ -49,21 +64,27 @@ class JsonQ:
         err = F.when(
             v.isNull() & F.col(col).isNotNull(), F.concat(F.lit("parse error: "), F.col(col))
         )
-        return df.select(
-            seq.cast("long").alias("seq"),
-            F.array().cast("array<long>").alias("ord"),
-            F.when(err.isNotNull(), F.parse_json(F.lit("null"))).otherwise(v).alias("v"),
-            err.alias("err"),
+        return self._widen(
+            df.select(
+                seq.cast("long").alias("seq"),
+                F.array().cast("array<long>").alias("ord"),
+                F.when(err.isNotNull(), F.parse_json(F.lit("null"))).otherwise(v).alias("v"),
+                err.alias("err"),
+            )
         )
 
     def stream_from_table(self, df: DataFrame) -> DataFrame:
         """Any relational DataFrame as a document stream: each row is
         one JSON object doc (FIXTURES.md §5 star-schema bridge)."""
-        return df.select(
-            F.monotonically_increasing_id().alias("seq"),
-            F.array().cast("array<long>").alias("ord"),
-            F.parse_json(F.to_json(F.struct(*df.columns))).alias("v"),
-            F.lit(None).cast("string").alias("err"),
+        # seq is assigned BEFORE the (possible) rebalance shuffle, so
+        # ids stay stable relative to the narrow source layout
+        return self._widen(
+            df.select(
+                F.monotonically_increasing_id().alias("seq"),
+                F.array().cast("array<long>").alias("ord"),
+                F.parse_json(F.to_json(F.struct(*df.columns))).alias("v"),
+                F.lit(None).cast("string").alias("err"),
+            )
         )
 
     # -- running -------------------------------------------------------

@@ -287,11 +287,28 @@ def connected_components(ids: DataFrame, pairs: DataFrame,
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .persist()
     )
-    # checkpoint the seed so the (possibly expensive) ids subtree is
-    # computed exactly once, not re-evaluated under every iteration
-    labels = ids.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    # Early exit: no edges -> every node is its own singleton cluster.
+    # One limit-1 job on the (persisted) edge set replaces a whole
+    # label-propagation round over |ids| rows — at high thresholds the
+    # pair set is routinely empty and the loop never earns its cost.
+    if edges.isEmpty():
+        edges.unpersist()
+        return ids.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
+        )
+    # Propagate over the edge-touched subgraph only: min-label rounds
+    # can only ever change labels of nodes with at least one edge, so
+    # the iteration state is O(|edge nodes|), not O(|ids|) — at 100 TB
+    # near-dup rates of a few percent that is a 10-100x smaller
+    # per-round shuffle.  Untouched ids rejoin as singletons at the
+    # end.  checkpoint the seed so the (possibly expensive) pairs
+    # subtree is computed exactly once, not re-evaluated per round.
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
@@ -319,12 +336,17 @@ def connected_components(ids: DataFrame, pairs: DataFrame,
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select("id", F.col("label").alias("cluster"))
+    return (
+        ids.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("label", F.col("id")).alias("cluster"))
+    )
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         block_cols: list[str], n: int = 5,
-                        threshold: float = 0.6) -> DataFrame:
+                        threshold: float = 0.6,
+                        freq_broadcast_threshold: int | None = None) -> DataFrame:
     """Exact character-n-gram Jaccard >= threshold within blocking
     keys, via frequency-ordered PREFIX FILTERING (Bayardo et al.
     All-Pairs / PPJoin family) — lossless for the threshold, so the
@@ -368,19 +390,34 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         F.explode("grams").alias("gram"),
     )
     freq = e.groupBy(*block_cols, "gram").agg(F.count("*").alias("df_"))
+    # freq is |distinct (block, gram)| rows — small vocabularies should
+    # broadcast, but a 100 TB corpus' gram vocabulary would OOM the
+    # driver, so the hint is guarded by a size ESTIMATE: one map-side
+    # sum over the persisted docs bounds |freq| by the total gram
+    # count.  (Leaving it purely to AQE was measured 1.8x slower at
+    # sf0.1: the post-agg stats arrive too late for the first join
+    # attempt.)  Beyond the threshold the join degrades gracefully to
+    # a shuffle on the uniform (block, gram) key.  See SCALE.md.
+    if freq_broadcast_threshold is None:
+        try:
+            freq_broadcast_threshold = int(
+                df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            )
+        except (TypeError, ValueError):
+            freq_broadcast_threshold = 10 << 20
+    est_rows = docs.agg(F.sum(F.size("grams"))).first()[0] or 0
+    # ~bytes/entry in the broadcast hash relation: gram chars + block
+    # keys + count + JVM object overhead
+    est_bytes = est_rows * (4 * n + 64)
+    freq_side = (
+        F.broadcast(freq) if est_bytes < freq_broadcast_threshold else freq
+    )
     w = Window.partitionBy("id").orderBy("df_", "gram")
     prefix_len = (
         F.col("ng") - F.ceil(F.lit(threshold) * F.col("ng")).cast("long") + 1
     )
     prefix = (
-        # freq is |distinct (block, gram)| rows — small at test scale
-        # but NOT broadcast-safe at 100 TB (the gram vocabulary grows
-        # with the corpus and would OOM the driver).  No hint: AQE's
-        # runtime size stats convert this to a broadcast join whenever
-        # freq fits under autoBroadcastJoinThreshold (64 MB here) and
-        # degrade gracefully to a shuffle join on the uniform
-        # (block, gram) key beyond it.  See SCALE.md.
-        e.join(freq, [*block_cols, "gram"])
+        e.join(freq_side, [*block_cols, "gram"])
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= prefix_len)
         .select("id", *block_cols, "gram")
