@@ -30,19 +30,11 @@ class JsonQ:
     # -- building document streams ------------------------------------
     @staticmethod
     def _widen(df: DataFrame) -> DataFrame:
-        """jq evaluation is CPU-dense (wide variant expressions), so a
-        narrow source — locally, one small parquet file = ONE input
-        split — would serialize the whole query on a single core.
-        Rebalance up to one partition per core when the source is
-        narrower than the cluster; on a real deployment input splits
-        already exceed cores and this is a no-op (no shuffle added)."""
-        try:
-            p = df.sparkSession.sparkContext.defaultParallelism
-            if df.rdd.getNumPartitions() < p:
-                return df.repartition(p)
-        except Exception:
-            pass
-        return df
+        """jq evaluation is CPU-dense (wide variant expressions): give
+        it at least one partition per core (catalog.rebalance)."""
+        from bd_spark.catalog import rebalance
+
+        return rebalance(df)
     def stream_from_texts(self, texts: list[str]) -> DataFrame:
         df = self.spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], "seq long, doc_text string"

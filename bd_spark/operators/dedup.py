@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bd_spark.catalog import rebalance
 from bd_spark.operators.hashing import P31, h31, h60, minhash_coefficients
 from bd_spark.operators.text import char_ngrams, tokens, word_shingles
 
@@ -81,7 +82,10 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     )
     sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n))
     return (
-        df.select(
+        # signature compute is CPU-dense row-local work: rebalance a
+        # narrow source to one partition per core first
+        rebalance(df)
+        .select(
             F.col(id_col).alias("id"),
             sh.alias("shingles"),
         )
@@ -224,7 +228,7 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     """
     # persist: the chunk explode self-join would otherwise recompute
     # the simhash expression on both join sides
-    sh = df.select(
+    sh = rebalance(df).select(
         F.col(id_col).alias("id"), simhash_column(text_col).alias("simhash")
     ).persist()
     chunks = sh.select(
@@ -376,7 +380,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     Every shuffle is on (block, gram) or id — uniform keys; frequent
     grams never enter the join.
     """
-    docs = df.select(
+    docs = rebalance(df).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         F.array_distinct(char_ngrams(F.col(text_col), n)).alias("grams"),
@@ -387,6 +391,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         "id",
         *block_cols,
         F.size("grams").alias("ng"),
+        F.size("ghash").alias("nh"),
         F.explode("grams").alias("gram"),
     )
     freq = e.groupBy(*block_cols, "gram").agg(F.count("*").alias("df_"))
@@ -405,7 +410,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             )
         except (TypeError, ValueError):
             freq_broadcast_threshold = 10 << 20
-    est_rows = docs.agg(F.sum(F.size("grams"))).first()[0] or 0
+    # grams per doc <= chars, so total text length upper-bounds both
+    # |freq| and the hashed-set volume — one cheap raw-column scan,
+    # no gram/md5 work forced ahead of the main job
+    est_rows = (
+        df.agg(F.sum(F.length(F.col(text_col)))).first()[0] or 0
+    )
     # ~bytes/entry in the broadcast hash relation: gram chars + block
     # keys + count + JVM object overhead
     est_bytes = est_rows * (4 * n + 64)
@@ -420,13 +430,24 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         e.join(freq_side, [*block_cols, "gram"])
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= prefix_len)
-        .select("id", *block_cols, "gram")
+        .select("id", *block_cols, "gram", "nh")
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cond = F.col("pa.id") < F.col("pb.id")
     for c in block_cols:
         cond = cond & (F.col(f"pa.{c}") == F.col(f"pb.{c}"))
     cond = cond & (F.col("pa.gram") == F.col("pb.gram"))
+    # size filter (All-Pairs): J(A,B) >= t needs |A∩B| >= t*max and
+    # |A∩B| <= min, so min >= t*max — over the HASHED set sizes the
+    # verify uses, making it provably lossless. As a join residual it
+    # kills most candidates (measured 2.7M -> ~0.4M at sf0.1) BEFORE
+    # the distinct and before the verify join ships the (large) gram
+    # hash arrays — that array shuffle was the whole pipeline's
+    # dominant cost.
+    cond = cond & (
+        F.least(F.col("pa.nh"), F.col("pb.nh"))
+        >= F.lit(threshold) * F.greatest(F.col("pa.nh"), F.col("pb.nh"))
+    )
     cand = (
         pa.join(pb, cond)
         .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
@@ -434,6 +455,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     ga = docs.select(F.col("id").alias("id_a"), F.col("ghash").alias("grams_a"))
     gb = docs.select(F.col("id").alias("id_b"), F.col("ghash").alias("grams_b"))
+    # verify-join sides: the hashed gram sets total ~8 bytes/gram —
+    # when they fit the broadcast budget, the verify runs map-side and
+    # the (large) arrays never shuffle (that shuffle dominated the
+    # whole pipeline); beyond the budget the same guard as freq
+    # degrades it to a shuffle join on the uniform id key.
+    if est_rows * 12 < freq_broadcast_threshold:
+        ga, gb = F.broadcast(ga), F.broadcast(gb)
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size("grams_a") + F.size("grams_b") - inter
     jacc = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))

@@ -100,6 +100,29 @@ def test_ngram_jaccard_blocked(spark, docs):
     assert (1, 4) not in got
 
 
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_ngram_freq_broadcast_guard_both_directions(spark, docs):
+    """The gram-frequency broadcast hint must appear when the size
+    estimate fits the threshold and must NOT appear when it doesn't
+    (the 100 TB degradation path)."""
+    blocked = docs.withColumn("blk", F.lit(1))
+    small = dedup.ngram_jaccard_pairs(
+        blocked, "doc_id", "text", ["blk"], n=5, threshold=0.9,
+        freq_broadcast_threshold=1 << 30,
+    )
+    assert "broadcast" in _optimized_plan(small).lower()
+    big = dedup.ngram_jaccard_pairs(
+        blocked, "doc_id", "text", ["blk"], n=5, threshold=0.9,
+        freq_broadcast_threshold=0,
+    )
+    assert "hints=[broadcast]" not in _optimized_plan(big).lower()
+    # both directions produce identical results
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+
 def test_cosine_and_topk(spark):
     emb = spark.createDataFrame(
         [
