@@ -360,41 +360,46 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     paying an array_intersect over the full gram sets (measured 150 s
     at sf0.1; unrunnable at corpus scale).  Here:
 
-      1. per-block document frequency of every gram (one groupBy);
-      2. each doc's grams sorted rarest-first (total order (df,
-         gram)); a pair with J >= t must share a gram within the
-         first ``ng - ceil(t*ng) + 1`` of each side's ordering
-         (s >= ceil(t*ng) because s/(na+nb-s) >= t implies
+      1. every stage runs on 31-bit HASHED grams (h31, engine-portable
+         so the oracle reproduces the same sets bit-for-bit): longs
+         shuffle/broadcast ~4x cheaper than gram strings, integer
+         array_intersect is ~7x cheaper than string intersection
+         (measured 73 s -> 11 s at sf0.1 on 500k candidates), and the
+         cached per-doc state is just (id, blocks, hash set).
+         Semantics: Jaccard over hashed gram sets — collisions
+         (p ~ |grams|²/2³¹ per doc) can merge grams, identically in
+         both engines, and every filter below is computed over the
+         hashed sets too, so the pipeline is exactly lossless for the
+         hashed-Jaccard threshold;
+      2. per-block document frequency of every gram hash (one groupBy);
+      3. each doc's hashes sorted rarest-first (total order (df,
+         hash)); a pair with J >= t must share a hash within the
+         first ``nh - ceil(t*nh) + 1`` of each side's ordering
+         (s >= ceil(t*nh) because s/(na+nb-s) >= t implies
          s >= t*max(na, nb));
-      3. candidates = equi-join of PREFIX grams only — rare grams, so
+      4. candidates = equi-join of PREFIX hashes only — rare grams, so
          per-gram fan-out is tiny (12x fewer join rows at sf0.1, and
-         the gap widens with corpus size);
-      4. verify on the candidates only, intersecting 31-bit HASHED
-         gram sets: integer array_intersect is ~7x cheaper than
-         string intersection (measured 73 s -> 11 s at sf0.1 on 500k
-         candidates), and h31 is engine-portable so the oracle
-         reproduces the same sets bit-for-bit.  Semantics: Jaccard
-         over hashed gram sets — collisions (p ~ |grams|²/2³¹ per
-         doc) can merge grams, identically in both engines.
+         the gap widens with corpus size) — plus the All-Pairs size
+         filter as a join residual;
+      5. exact hashed-set Jaccard verify on the candidates only.
 
-    Every shuffle is on (block, gram) or id — uniform keys; frequent
+    Every shuffle is on (block, hash) or id — uniform keys; frequent
     grams never enter the join.
     """
     docs = rebalance(df).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
-        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("grams"),
-    ).withColumn(
-        "ghash", F.array_distinct(F.transform("grams", h31))
+        F.array_distinct(
+            F.transform(F.array_distinct(char_ngrams(F.col(text_col), n)), h31)
+        ).alias("ghash"),
     ).persist()
     e = docs.select(
         "id",
         *block_cols,
-        F.size("grams").alias("ng"),
         F.size("ghash").alias("nh"),
-        F.explode("grams").alias("gram"),
+        F.explode("ghash").alias("gh"),
     )
-    freq = e.groupBy(*block_cols, "gram").agg(F.count("*").alias("df_"))
+    freq = e.groupBy(*block_cols, "gh").agg(F.count("*").alias("df_"))
     # freq is |distinct (block, gram)| rows — small vocabularies should
     # broadcast, but a 100 TB corpus' gram vocabulary would OOM the
     # driver, so the hint is guarded by a size ESTIMATE: one map-side
@@ -416,27 +421,27 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     est_rows = (
         df.agg(F.sum(F.length(F.col(text_col)))).first()[0] or 0
     )
-    # ~bytes/entry in the broadcast hash relation: gram chars + block
+    # ~bytes/entry in the broadcast hash relation: hash long + block
     # keys + count + JVM object overhead
-    est_bytes = est_rows * (4 * n + 64)
+    est_bytes = est_rows * 48
     freq_side = (
         F.broadcast(freq) if est_bytes < freq_broadcast_threshold else freq
     )
-    w = Window.partitionBy("id").orderBy("df_", "gram")
+    w = Window.partitionBy("id").orderBy("df_", "gh")
     prefix_len = (
-        F.col("ng") - F.ceil(F.lit(threshold) * F.col("ng")).cast("long") + 1
+        F.col("nh") - F.ceil(F.lit(threshold) * F.col("nh")).cast("long") + 1
     )
     prefix = (
-        e.join(freq_side, [*block_cols, "gram"])
+        e.join(freq_side, [*block_cols, "gh"])
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= prefix_len)
-        .select("id", *block_cols, "gram", "nh")
+        .select("id", *block_cols, "gh", "nh")
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cond = F.col("pa.id") < F.col("pb.id")
     for c in block_cols:
         cond = cond & (F.col(f"pa.{c}") == F.col(f"pb.{c}"))
-    cond = cond & (F.col("pa.gram") == F.col("pb.gram"))
+    cond = cond & (F.col("pa.gh") == F.col("pb.gh"))
     # size filter (All-Pairs): J(A,B) >= t needs |A∩B| >= t*max and
     # |A∩B| <= min, so min >= t*max — over the HASHED set sizes the
     # verify uses, making it provably lossless. As a join residual it

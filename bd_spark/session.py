@@ -49,6 +49,15 @@ def get_spark(app_name: str = "bd_spark", master: str | None = None) -> SparkSes
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.driver.maxResultSize", "4g")
+        # Whole-stage codegen emits thousands of large JIT-compiled
+        # methods across a many-query workload; the JVM's default
+        # reserved code cache overflows mid-run ("CodeCache is full.
+        # Compiler has been disabled") and queries nondeterministically
+        # fall off the compiled path — measured 2-5x per-query cliffs.
+        # Reserving 2g (virtual, committed on demand) removes the
+        # cliff on driver and, in local mode, executors alike; on a
+        # cluster the same flag belongs in executor extraJavaOptions.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=2g")
         .config("spark.log.level", "WARN")
     )
     return builder.getOrCreate()
