@@ -415,12 +415,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             )
         except (TypeError, ValueError):
             freq_broadcast_threshold = 10 << 20
-    # grams per doc <= chars, so total text length upper-bounds both
-    # |freq| and the hashed-set volume — one cheap raw-column scan,
-    # no gram/md5 work forced ahead of the main job
-    est_rows = (
-        df.agg(F.sum(F.length(F.col(text_col)))).first()[0] or 0
-    )
+    # One deliberate action over the persisted docs: (a) the EXACT
+    # hash-entry count for the broadcast size guards, and (b) a clean
+    # materialization of the cache BEFORE the freq/verify broadcast
+    # threads and the main job race on it — lazily-materialized cache
+    # under three concurrent consumers was observed recomputing the
+    # (expensive) signature pass repeatedly, costing 2-4x wall time
+    # nondeterministically.
+    est_rows = docs.agg(F.sum(F.size("ghash"))).first()[0] or 0
     # ~bytes/entry in the broadcast hash relation: hash long + block
     # keys + count + JVM object overhead
     est_bytes = est_rows * 48
