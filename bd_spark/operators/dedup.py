@@ -152,8 +152,12 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
     # The signature frame feeds both sides of the band self-join AND
     # the verify joins; persist so shingling/hashing runs once.  At
     # cluster scale this is the standard pattern: signatures are tiny
-    # (k longs + shingle set) next to the raw text.
+    # (k longs + shingle set) next to the raw text.  The cache is
+    # materialized by ONE deliberate action before its four consumers
+    # race on it (see ngram_jaccard_pairs — a lazily-built cache under
+    # concurrent consumers recomputes the signature pass).
     sig = minhash_signature(df, id_col, text_col, shingle_n=shingle_n).persist()
+    sig.agg(F.sum(F.size("shingle_hashes"))).first()
     pairs = lsh_candidate_pairs(sig)
     # verify on 31-bit-hashed shingle sets, not the raw strings:
     # integer array_intersect is ~7x cheaper (same trick as the ngram
@@ -227,10 +231,12 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     one uniform-key shuffle.
     """
     # persist: the chunk explode self-join would otherwise recompute
-    # the simhash expression on both join sides
+    # the simhash expression on both join sides; materialized by one
+    # action before the two join sides race on the lazy cache
     sh = rebalance(df).select(
         F.col(id_col).alias("id"), simhash_column(text_col).alias("simhash")
     ).persist()
+    sh.agg(F.count("simhash")).first()
     chunks = sh.select(
         "id",
         "simhash",
