@@ -172,3 +172,64 @@ def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
             mins, F.slice(hashes, j + 1, cnt), lambda a, b: F.least(a, b)
         )
     return F.array_sort(F.array_distinct(mins))
+
+
+def chunk_documents(df, id_col: str, text_col: str,
+                    max_tokens: int = 128, overlap: int = 16):
+    """Token-bounded document chunking with overlap — the sequence-prep
+    stage of a training-data pipeline (long documents split into
+    model-window-sized pieces whose boundaries overlap so no context
+    is lost at the seams).
+
+    Deterministic and fully relational: token positions come from one
+    ``posexplode``, chunk membership is integer arithmetic on the
+    position (stride = max_tokens - overlap), and chunks re-assemble
+    with a single groupBy on (id, chunk_id) — one shuffle on a uniform
+    key, no Python, no window function. A doc shorter than
+    ``max_tokens`` yields exactly one chunk. Output:
+    (id, chunk_id, n_tokens, chunk_text).
+
+    At 100 TB this is the shape you want: explode fan-out is bounded
+    by 1 + overlap/stride extra copies per token (1.14x at the
+    defaults), the shuffle key (id, chunk_id) is uniform, and the
+    aggregation is map-side combinable (arrays concat per partition).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    # token at pos belongs to chunk c when c*stride <= pos < c*stride +
+    # max_tokens: at most ceil(max_tokens/stride) chunks per token,
+    # enumerated by integer division — no range join
+    first_chunk = F.greatest(
+        F.ceil((F.col("pos") - max_tokens + 1) / stride).cast("long"), F.lit(0)
+    )
+    last_chunk = F.floor(F.col("pos") / stride).cast("long")
+    member = toks.select(
+        "id",
+        "pos",
+        "tok",
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+    )
+    return (
+        member.groupBy("id", "chunk_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        # tail chunks that are pure overlap (fully contained in the
+        # previous chunk) only exist when a doc ends inside an overlap
+        # region; drop them so every chunk adds >= 1 new token
+        .where((F.col("chunk_id") == 0) | (F.col("n_tokens") > overlap))
+    )

@@ -235,6 +235,36 @@ def stream_interval_join(
     return lw.join(rw, cond, "inner")
 
 
+def dedup_stream_fuzzy(docs: DataFrame, text_col: str = "text",
+                       time_col: str = "ts",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming NEAR-duplicate suppression: the first document with a
+    given 60-bit count-weighted SimHash (operators.dedup.simhash_column)
+    within the watermark horizon wins; later arrivals with an equal
+    signature are dropped.
+
+    Granularity is signature equality — near-identical documents
+    (reordered/lightly-edited token streams collide; Hamming-distance
+    0). A full Hamming<=k streaming dedup would need an OR across the
+    k+1 pigeonhole chunk keys, which no single keyed-state operator
+    expresses; the batch simhash_near_dupes covers that case, and this
+    operator is the bounded-state in-flight guard a 100 TB/day ingest
+    runs FIRST so exact/near-exact re-crawls never reach the batch
+    pipeline. State is one entry per distinct signature within the
+    watermark (dropDuplicatesWithinWatermark evicts older state);
+    signature computation is row-local codegen — the stream never
+    shuffles except on the uniform signature key.
+    """
+    from bd_spark.operators.dedup import simhash_column
+
+    sh = docs.withColumn("__simhash", simhash_column(text_col))
+    out = (
+        sh.withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["__simhash"])
+    )
+    return out.drop("__simhash")
+
+
 def dedup_stream(events: DataFrame, keys: list[str],
                  time_col: str = "ts",
                  watermark: str | None = "1 hour") -> DataFrame:

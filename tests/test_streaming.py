@@ -286,3 +286,37 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     run_once()  # restart from the same checkpoint
     rows = sorted((r.k, r.v) for r in spark.read.parquet(str(out)).collect())
     assert rows == [(1, 10), (2, 20), (3, 30), (4, 40)]
+
+
+def test_stream_fuzzy_dedup(spark, tmp_path):
+    """Near-identical docs (same count-weighted token multiset ->
+    equal SimHash) collapse in-stream; distinct docs survive."""
+    import datetime as dt
+
+    from bd_spark.streaming.ops import dedup_stream_fuzzy
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "the quick brown fox jumps over the lazy dog"),
+        # token reorder -> identical weighted multiset -> same simhash
+        (2, t0 + dt.timedelta(minutes=1),
+         "quick the brown fox jumps over lazy the dog"),
+        (3, t0 + dt.timedelta(minutes=2),
+         "an entirely different document about spark shuffles"),
+        # exact replay of doc 3
+        (4, t0 + dt.timedelta(minutes=3),
+         "an entirely different document about spark shuffles"),
+    ]
+    src = tmp_path / "fuzzy"
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string"
+    ).repartition(1).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    got = run_to_memory(
+        dedup_stream_fuzzy(stream, "text", "ts", "1 hour"), "append"
+    )
+    kept = sorted(r.doc_id for r in got.collect())
+    # one survivor per signature group; 1/2 and 3/4 collapse
+    assert len(kept) == 2
+    assert kept[0] in (1, 2) and kept[1] in (3, 4)
