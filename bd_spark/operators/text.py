@@ -233,3 +233,72 @@ def chunk_documents(df, id_col: str, text_col: str,
         # region; drop them so every chunk adds >= 1 new token
         .where((F.col("chunk_id") == 0) | (F.col("n_tokens") > overlap))
     )
+
+
+def pack_chunks(chunks, budget: int, shards: int | None = None,
+                id_col: str = "id", chunk_col: str = "chunk_id",
+                len_col: str = "n_tokens"):
+    """Deterministic sequence packing: assign (doc, chunk) pieces to
+    fixed-token-budget bins — the step after chunk_documents that
+    turns a chunked corpus into model-ready training sequences.
+
+    Next-fit packing in (id, chunk_id) order WITHIN each shard: walk
+    the shard's pieces in key order, open a new bin whenever the
+    running total would exceed ``budget``; a piece longer than
+    ``budget`` gets a bin of its own (truncation is the tokenizer's
+    decision, not the packer's). Bin ids are globally unique
+    (shard_index * 2^40 + local bin).
+
+    Scale design: packing is a sequential fold, so it runs
+    shard-parallel — each shard is one range of the (id, chunk_id)
+    key space, sorted within and folded by an Arrow-batched
+    mapInPandas carrying O(1) state. That is exactly the access
+    pattern of the sequence writer that consumes the bins, and it
+    never collects to the driver. Shard count defaults to the
+    cluster's parallelism; ``shards=1`` gives the single global
+    next-fit stream (used by the DuckDB differential test — range
+    boundaries at higher shard counts come from Spark's sampling, so
+    only the 1-shard layout is engine-portable). Output adds
+    (bin_id, bin_pos, fill): consumers groupBy bin_id to concatenate
+    and read the last piece's ``fill`` for padding waste.
+    """
+    from pyspark import TaskContext
+
+    if shards is None:
+        shards = chunks.sparkSession.sparkContext.defaultParallelism
+
+    def assign(it):
+        import pandas as pd  # noqa: F401
+
+        shard = TaskContext.get().partitionId()
+        bin_id = -1
+        used = budget + 1  # first piece always opens a bin
+        pos = 0
+        for pdf in it:
+            bins, poss, fills = [], [], []
+            for ln in pdf[len_col]:
+                ln = min(int(ln), budget)
+                if used + ln > budget:
+                    bin_id += 1
+                    used = 0
+                    pos = 0
+                else:
+                    pos += 1
+                used += ln
+                bins.append(shard * (1 << 40) + bin_id)
+                poss.append(pos)
+                fills.append(used)
+            out = pdf.copy()
+            out["bin_id"] = bins
+            out["bin_pos"] = poss
+            out["fill"] = fills
+            yield out
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in chunks.schema.fields
+    ) + ", bin_id long, bin_pos long, fill long"
+    return (
+        chunks.repartitionByRange(shards, F.col(id_col), F.col(chunk_col))
+        .sortWithinPartitions(id_col, chunk_col)
+        .mapInPandas(assign, out_schema)
+    )

