@@ -761,6 +761,77 @@ FROM final GROUP BY 1
 """.replace("{MINHASH_UNIQ}", _minhash_pairs_sql("uniq"))
 
 
+def pipe_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence prep end-to-end: chunk every document into
+    token-bounded overlapping windows (text.chunk_documents,
+    max_tokens=32 overlap=4), then next-fit-pack the chunks into
+    128-token training bins (text.pack_chunks, 1 shard so the packing
+    is engine-portable — the sharded layout is covered by pytest
+    invariants). Output: one row per chunk with its bin assignment,
+    hash-compared to a DuckDB oracle that recomputes the chunking
+    relationally and the packing as a recursive fold."""
+    from bd_spark.operators.text import chunk_documents, pack_chunks
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    chunks = chunk_documents(docs, "doc_id", "text", max_tokens=32, overlap=4)
+    packed = pack_chunks(
+        chunks.select("id", "chunk_id", "n_tokens"), budget=128, shards=1
+    )
+    return packed.select(
+        F.col("id").alias("doc_id"),
+        "chunk_id",
+        "n_tokens",
+        "bin_id",
+        "bin_pos",
+        "fill",
+    )
+
+
+PIPE_CHUNK_PACK_SQL = f"""
+WITH RECURSIVE t AS (SELECT doc_id AS id, {_TOKS} AS w FROM documents),
+tok0 AS (
+  SELECT id,
+         unnest([{{'pos': i - 1, 'tok': w[i]}} for i in range(1, len(w) + 1)]) AS s
+  FROM t
+),
+tok AS (SELECT id, s.pos AS pos FROM tok0),
+mem0 AS (
+  SELECT id, pos,
+         unnest([c for c in range(0, pos // 28 + 1)
+                 if c >= greatest(CAST(ceil((pos - 31) / 28.0) AS BIGINT), 0)]) AS chunk_id
+  FROM tok
+),
+chunks AS (
+  SELECT id, chunk_id, count(*) AS n_tokens
+  FROM mem0 GROUP BY id, chunk_id
+),
+kept AS (
+  SELECT id, chunk_id, n_tokens,
+         row_number() OVER (ORDER BY id, chunk_id) - 1 AS rn
+  FROM chunks WHERE chunk_id = 0 OR n_tokens > 4
+),
+fold AS (
+  SELECT rn, id, chunk_id, n_tokens, 0 AS bin_id, 0 AS bin_pos,
+         least(n_tokens, 128) AS fill
+  FROM kept WHERE rn = 0
+  UNION ALL
+  SELECT k.rn, k.id, k.chunk_id, k.n_tokens,
+         CASE WHEN f.fill + least(k.n_tokens, 128) > 128
+              THEN f.bin_id + 1 ELSE f.bin_id END,
+         CASE WHEN f.fill + least(k.n_tokens, 128) > 128
+              THEN 0 ELSE f.bin_pos + 1 END,
+         CASE WHEN f.fill + least(k.n_tokens, 128) > 128
+              THEN least(k.n_tokens, 128)
+              ELSE f.fill + least(k.n_tokens, 128) END
+  FROM fold f JOIN kept k ON k.rn = f.rn + 1
+)
+SELECT id AS doc_id, chunk_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(bin_id AS BIGINT) AS bin_id, CAST(bin_pos AS BIGINT) AS bin_pos,
+       CAST(fill AS BIGINT) AS fill
+FROM fold
+"""
+
+
 QUERIES = {
     "pipe_dedup_exact": pipe_dedup_exact,
     "pipe_dedup_minhash": pipe_dedup_minhash,
@@ -779,6 +850,7 @@ QUERIES = {
     "pipe_mm_decode": pipe_mm_decode,
     "pipe_mm_frames": pipe_mm_frames,
     "pipe_curate": pipe_curate,
+    "pipe_chunk_pack": pipe_chunk_pack,
 }
 
 ORACLES = {
@@ -799,4 +871,5 @@ ORACLES = {
     "pipe_mm_decode": PIPE_MM_DECODE_SQL,
     "pipe_mm_frames": PIPE_MM_FRAMES_SQL,
     "pipe_curate": PIPE_CURATE_SQL,
+    "pipe_chunk_pack": PIPE_CHUNK_PACK_SQL,
 }

@@ -60,7 +60,6 @@ GATE = [
     "q_orders_rollup",         # ROLLUP grouping sets
     "q_part_cube",             # CUBE grouping sets
     "q_events_daily",          # date bucketing + count distinct
-    "q_events_props",          # JSON navigation in relational query
     "q_events_sessionize",     # window-lag sessionization
     "q_setop_active_buyers",   # INTERSECT/set ops
     "q_semi_anti_orders",      # left-semi + left-anti
@@ -96,6 +95,7 @@ GATE = [
     "pipe_mm_decode",
     "pipe_mm_frames",
     "pipe_curate",
+    "pipe_chunk_pack",         # chunking + sequence packing
     # streaming operators
     "q_stream_windowed",
     "q_stream_sessions",
@@ -123,6 +123,7 @@ EXTRA = [
     "q4_order_priority",       # EXISTS semi ⊂ q_semi_anti
     "q13_customer_distribution",  # left outer ⊂ q_range_prev_events
     "q22_idle_rich_customers",  # anti + scalar subquery ⊂ q_semi_anti/q17
+    "q_events_props",          # get_json_object nav ⊂ jq_props_k (same semantic)
 ]
 
 
