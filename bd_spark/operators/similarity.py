@@ -247,14 +247,23 @@ def pq_codebooks(corpus: DataFrame, m: int = 8, ksub: int = 16,
     ]
 
 
-def _subdist2(vec: Column, j: int, code: list[float]) -> Column:
-    """Squared L2 distance of subvector j to a literal code."""
-    dsub = len(code)
-    sub = F.slice(_dvec(vec), j * dsub + 1, dsub)
+def _subdist2(sub: Column, code: list[float]) -> Column:
+    """Squared L2 distance of a (pre-sliced) subvector to a literal
+    code. Callers stage the slice ONCE per subspace and pass the
+    column reference — repeating the cast+slice inside each of the
+    ksub distance folds multiplied the expression tree ~16x (build +
+    codegen time, the jq staging lesson)."""
     diff = F.zip_with(
         sub, F.array(*[F.lit(x) for x in code]), lambda a, b: (a - b) * (a - b)
     )
     return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _with_subvectors(df: DataFrame, vec_col: str, m: int, dsub: int) -> DataFrame:
+    return df.withColumns({
+        f"_s{j}": F.slice(_dvec(F.col(vec_col)), j * dsub + 1, dsub)
+        for j in range(m)
+    })
 
 
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
@@ -265,19 +274,21 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     Row-local codegen — the corpus never shuffles to get encoded, and
     the encoded form is m bytes-ish per vector: the 100 TB memory
     story of PQ (a 64-dim float corpus compresses ~32x)."""
+    m, dsub = len(codebooks), len(codebooks[0][0])
+
     def argmin(j: int) -> Column:
         scored = F.array(*[
             F.struct(
-                F.round(_subdist2(F.col(vec_col), j, code), 9).alias("d"),
+                F.round(_subdist2(F.col(f"_s{j}"), code), 9).alias("d"),
                 F.lit(c).cast("long").alias("c"),
             )
             for c, code in enumerate(codebooks[j])
         ])
         return F.element_at(F.array_sort(scored), 1).getField("c")
 
-    return df.select(
+    return _with_subvectors(df, vec_col, m, dsub).select(
         F.col(id_col),
-        F.array(*[argmin(j) for j in range(len(codebooks))]).alias("codes"),
+        F.array(*[argmin(j) for j in range(m)]).alias("codes"),
     )
 
 
@@ -298,13 +309,13 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     - Deterministic: distances round to 9 digits before ranking, ties
       break by corpus id — a SQL oracle reproduces the output exactly.
     """
-    m = len(codebooks)
+    m, dsub = len(codebooks), len(codebooks[0][0])
     codes = pq_encode(corpus, codebooks, id_col, vec_col)
-    luts = queries.select(
+    luts = _with_subvectors(queries, vec_col, m, dsub).select(
         F.col(query_id_col),
         *[
             F.array(*[
-                F.round(_subdist2(F.col(vec_col), j, code), 9)
+                F.round(_subdist2(F.col(f"_s{j}"), code), 9)
                 for code in codebooks[j]
             ]).alias(f"_lut{j}")
             for j in range(m)

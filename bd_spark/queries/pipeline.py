@@ -832,6 +832,59 @@ FROM fold
 """
 
 
+def pipe_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate nearest neighbors (similarity.pq_topk):
+    4 subspaces x 8 codes trained-stand-in from the lowest-id
+    vectors, corpus encoded row-locally (~32x compression), queries
+    ranked by summed lookup-table distances. Every distance rounds to
+    9 digits before argmin/ranking, so the DuckDB oracle reproduces
+    codes, ADC distances, and ranks exactly."""
+    emb = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    books = similarity.pq_codebooks(emb, m=4, ksub=8)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_topk(emb, queries, k=8, codebooks=books)
+
+
+PIPE_PQ_TOPK_SQL = """
+WITH e AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+),
+cb AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 8),
+-- per (vector, subspace j, code c): squared L2 of the j-th subvector
+d2 AS (
+  SELECT e.vec_id, cb.c, j,
+         round(list_sum([ (e.v[j*16 + d + 1] - cb.cv[j*16 + d + 1])
+                          * (e.v[j*16 + d + 1] - cb.cv[j*16 + d + 1])
+                          for d in range(16)]), 9) AS d2
+  FROM e, cb, range(4) t(j)
+),
+-- encode: argmin code per (vector, subspace), ties -> lowest code
+enc AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rk
+    FROM d2
+  ) WHERE rk = 1
+),
+-- ADC: query LUT rows are d2 of the QUERY vectors; corpus rows join
+-- their code's LUT entry per subspace and sum
+adc AS (
+  SELECT q.vec_id AS query_id, enc.vec_id, round(sum(q.d2), 9) AS adc
+  FROM enc JOIN d2 q ON q.vec_id < 5 AND q.j = enc.j AND q.c = enc.code
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, round(adc, 6) AS adc,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+  FROM adc
+) WHERE rank <= 8
+"""
+
+
 QUERIES = {
     "pipe_dedup_exact": pipe_dedup_exact,
     "pipe_dedup_minhash": pipe_dedup_minhash,
@@ -851,6 +904,7 @@ QUERIES = {
     "pipe_mm_frames": pipe_mm_frames,
     "pipe_curate": pipe_curate,
     "pipe_chunk_pack": pipe_chunk_pack,
+    "pipe_pq_topk": pipe_pq_topk,
 }
 
 ORACLES = {
@@ -872,4 +926,5 @@ ORACLES = {
     "pipe_mm_frames": PIPE_MM_FRAMES_SQL,
     "pipe_curate": PIPE_CURATE_SQL,
     "pipe_chunk_pack": PIPE_CHUNK_PACK_SQL,
+    "pipe_pq_topk": PIPE_PQ_TOPK_SQL,
 }

@@ -124,6 +124,7 @@ EXTRA = [
     "q13_customer_distribution",  # left outer ⊂ q_range_prev_events
     "q22_idle_rich_customers",  # anti + scalar subquery ⊂ q_semi_anti/q17
     "q_events_props",          # get_json_object nav ⊂ jq_props_k (same semantic)
+    "pipe_pq_topk",            # PQ/ADC compressed ANN (full DuckDB oracle)
 ]
 
 
