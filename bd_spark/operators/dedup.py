@@ -284,13 +284,15 @@ def connected_components(ids: DataFrame, pairs: DataFrame,
     iteration-order-independent, so a DuckDB recursive CTE reproduces
     it exactly.
 
-    Scale notes: rounds needed = graph diameter; near-dup graphs are
-    shallow (clusters are quasi-cliques from LSH banding), so a
-    handful of rounds suffice.  ``localCheckpoint`` truncates plan
-    lineage each round (iterative joins otherwise stack plans
-    exponentially).  For adversarial long-chain graphs use the
-    star-contraction variants (Kiveris et al., "Connected Components
-    in MapReduce"), which converge in O(log n) rounds.
+    Scale notes: each round combines neighbor-min (HashMin) with
+    POINTER JUMPING (adopt label(label(x))), so rounds needed are
+    O(log diameter), not O(diameter) — adversarial path graphs
+    converge comfortably inside max_iter (see the 300-node-chain
+    test), while the quasi-clique graphs LSH banding produces still
+    finish in 2-3 rounds.  ``localCheckpoint`` truncates plan lineage
+    each round (iterative joins otherwise stack plans exponentially).
+    The same family of ideas at larger scale is star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -325,19 +327,36 @@ def connected_components(ids: DataFrame, pairs: DataFrame,
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr, labels.id == nbr.src, "left").select(
+            labels.id.alias("id"),
+            F.least(
+                labels.label, F.coalesce(nbr.nbr_label, labels.label)
+            ).alias("label"),
+        )
+        # pointer jumping: additionally adopt label(label(x)) — the
+        # remaining propagation distance halves each round, so long
+        # chains converge in O(log diameter) rounds instead of
+        # O(diameter) (plain HashMin needs diameter rounds and would
+        # silently exceed max_iter on adversarial path graphs; see
+        # tests/test_pipeline_ops.py::test_connected_components_long_chain).
+        # label(x) is itself a node id, and labels only decrease, so
+        # the jump preserves the min-reachable-id fixed point exactly.
+        a, b = stepped.alias("a"), stepped.alias("b")
+        jumped = a.join(b, F.col("a.label") == F.col("b.id"), "left").select(
+            F.col("a.id").alias("id"),
+            F.least(
+                F.col("a.label"), F.coalesce(F.col("b.label"), F.col("a.label"))
+            ).alias("label"),
+        )
         # the convergence flag rides along in the checkpointed frame:
-        # one job materializes labels AND the change count (the old
-        # separate new-vs-old join re-ran the whole round's plan)
+        # one job materializes labels AND the change count
         new_labels = (
-            labels.join(nbr, labels.id == nbr.src, "left")
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
             .select(
-                labels.id.alias("id"),
-                F.least(
-                    labels.label, F.coalesce(nbr.nbr_label, labels.label)
-                ).alias("label"),
-                (F.coalesce(nbr.nbr_label, labels.label) < labels.label).alias(
-                    "chg"
-                ),
+                F.col("n.id").alias("id"),
+                F.col("n.label").alias("label"),
+                (F.col("n.label") < F.col("o.label")).alias("chg"),
             )
             .localCheckpoint()
         )

@@ -278,3 +278,20 @@ def test_curate_composite_invariants(spark, sf_dir):
     assert 0 < kept_total <= n_unique_texts <= n_quality <= n_docs
     for r in out:
         assert 0.9 <= r.avg_quality <= 1.0
+
+
+def test_connected_components_long_chain(spark):
+    """Adversarial path graph: a 300-node chain has diameter 299, far
+    past max_iter=20 rounds of plain min-label propagation — pointer
+    jumping must still converge it to one component, plus keep an
+    isolated node and a separate triangle correct."""
+    n = 300
+    ids = spark.createDataFrame([(i,) for i in range(n + 4)], "id long")
+    chain = [(i, i + 1) for i in range(n - 1)]
+    triangle = [(n, n + 1), (n + 1, n + 2), (n, n + 2)]
+    pairs = spark.createDataFrame(chain + triangle, "id_a long, id_b long")
+    out = dedup.connected_components(ids, pairs, max_iter=20)
+    got = {r.id: r.cluster for r in out.collect()}
+    assert all(got[i] == 0 for i in range(n))          # whole chain -> 0
+    assert all(got[i] == n for i in (n, n + 1, n + 2))  # triangle -> n
+    assert got[n + 3] == n + 3                          # singleton
