@@ -321,7 +321,7 @@ def connected_components(ids: DataFrame, pairs: DataFrame,
         .select("id", F.col("id").alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for round_idx in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -332,34 +332,38 @@ def connected_components(ids: DataFrame, pairs: DataFrame,
             F.least(
                 labels.label, F.coalesce(nbr.nbr_label, labels.label)
             ).alias("label"),
+            labels.label.alias("old"),
         )
-        # pointer jumping: additionally adopt label(label(x)) — the
-        # remaining propagation distance halves each round, so long
-        # chains converge in O(log diameter) rounds instead of
-        # O(diameter) (plain HashMin needs diameter rounds and would
-        # silently exceed max_iter on adversarial path graphs; see
-        # tests/test_pipeline_ops.py::test_connected_components_long_chain).
-        # label(x) is itself a node id, and labels only decrease, so
-        # the jump preserves the min-reachable-id fixed point exactly.
-        a, b = stepped.alias("a"), stepped.alias("b")
-        jumped = a.join(b, F.col("a.label") == F.col("b.id"), "left").select(
-            F.col("a.id").alias("id"),
-            F.least(
-                F.col("a.label"), F.coalesce(F.col("b.label"), F.col("a.label"))
-            ).alias("label"),
-        )
+        if round_idx >= 3:
+            # Pointer jumping: additionally adopt label(label(x)) — the
+            # remaining propagation distance halves per round, so long
+            # chains converge in O(log diameter) rounds instead of
+            # O(diameter) (plain HashMin would silently exceed
+            # max_iter on adversarial path graphs; see
+            # test_connected_components_long_chain). label(x) is a
+            # node id and labels only decrease, so the jump preserves
+            # the min-reachable-id fixed point exactly. Engaged only
+            # after round 3: LSH near-dup graphs are quasi-cliques
+            # that converge by then, and each jump join costs a
+            # per-round plan compile the common case shouldn't pay.
+            a, b = stepped.alias("a"), stepped.alias("b")
+            stepped = a.join(
+                b, F.col("a.label") == F.col("b.id"), "left"
+            ).select(
+                F.col("a.id").alias("id"),
+                F.least(
+                    F.col("a.label"),
+                    F.coalesce(F.col("b.label"), F.col("a.label")),
+                ).alias("label"),
+                F.col("a.old").alias("old"),
+            )
         # the convergence flag rides along in the checkpointed frame:
         # one job materializes labels AND the change count
-        new_labels = (
-            jumped.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .select(
-                F.col("n.id").alias("id"),
-                F.col("n.label").alias("label"),
-                (F.col("n.label") < F.col("o.label")).alias("chg"),
-            )
-            .localCheckpoint()
-        )
+        new_labels = stepped.select(
+            "id",
+            "label",
+            (F.col("label") < F.col("old")).alias("chg"),
+        ).localCheckpoint()
         changed = new_labels.where("chg").count()
         labels = new_labels.drop("chg")
         if changed == 0:
