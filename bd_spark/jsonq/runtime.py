@@ -80,6 +80,18 @@ class JsonQ:
         )
 
     # -- running -------------------------------------------------------
+
+    # Compiled-plan cache (the jq engine's "prepared statement" cache).
+    # Building a compiled jq plan costs thousands of Py4J round-trips
+    # (~0.3 ms each — measured 4.9 s of a 5.4 s jq_builtins run, with
+    # execution itself at 0.5 s), so re-running the same query text on
+    # a semantically identical input stream should not pay it twice.
+    # Keyed by (session, query, ordered, input schema, input plan
+    # semanticHash) — semanticHash is Catalyst's own canonical plan
+    # hash, one Py4J call to compute.  Bounded FIFO, 64 entries.
+    _PLAN_CACHE: dict[tuple, DataFrame] = {}
+    _PLAN_CACHE_MAX = 64
+
     def run(self, query: str, stream: DataFrame, ordered: bool = True) -> DataFrame:
         """Run a query on a document stream.
 
@@ -89,10 +101,30 @@ class JsonQ:
         hash order-insensitively pass ``ordered=False``: at scale the
         global sort is a pure waste (a full range-shuffle of every
         result row) and Catalyst cannot always prove it removable.
+
+        Results are DataFrames (immutable, lazily executed), so a
+        cache hit returns the previously compiled plan verbatim.
         """
+        try:
+            plan_key = (
+                id(stream.sparkSession),
+                query,
+                ordered,
+                stream.schema.simpleString(),
+                stream._jdf.queryExecution().logical().semanticHash(),
+            )
+        except Exception:  # noqa: BLE001 — cache is best-effort only
+            plan_key = None
+        if plan_key is not None and plan_key in self._PLAN_CACHE:
+            return self._PLAN_CACHE[plan_key]
         fn = compile_query(parser.parse(query))
         out = fn(stream)
-        return out.orderBy("seq", "ord") if ordered else out
+        out = out.orderBy("seq", "ord") if ordered else out
+        if plan_key is not None:
+            if len(self._PLAN_CACHE) >= self._PLAN_CACHE_MAX:
+                self._PLAN_CACHE.pop(next(iter(self._PLAN_CACHE)))
+            self._PLAN_CACHE[plan_key] = out
+        return out
 
     def run_texts(self, query: str, texts: list[str]) -> list[tuple[object, str | None]]:
         """Convenience for tests: returns [(python_value, err), ...]

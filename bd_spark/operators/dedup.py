@@ -152,12 +152,14 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
     # The signature frame feeds both sides of the band self-join AND
     # the verify joins; persist so shingling/hashing runs once.  At
     # cluster scale this is the standard pattern: signatures are tiny
-    # (k longs + shingle set) next to the raw text.  The cache is
-    # materialized by ONE deliberate action before its four consumers
-    # race on it (see ngram_jaccard_pairs — a lazily-built cache under
-    # concurrent consumers recomputes the signature pass).
+    # (k longs + shingle set) next to the raw text.  No eager
+    # materialization here: unlike ngram_jaccard_pairs there is no
+    # separate driver action (broadcast-size estimate) racing the main
+    # job, so the single downstream action populates the cache
+    # deterministically — an eager pass was measured to DOUBLE wall
+    # time (5.2 s -> 12.4 s at sf0.1) by serially recomputing the
+    # shingle+signature stage before the main job reran it.
     sig = minhash_signature(df, id_col, text_col, shingle_n=shingle_n).persist()
-    sig.agg(F.sum(F.size("shingle_hashes"))).first()
     pairs = lsh_candidate_pairs(sig)
     # verify on 31-bit-hashed shingle sets, not the raw strings:
     # integer array_intersect is ~7x cheaper (same trick as the ngram
@@ -231,12 +233,13 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     one uniform-key shuffle.
     """
     # persist: the chunk explode self-join would otherwise recompute
-    # the simhash expression on both join sides; materialized by one
-    # action before the two join sides race on the lazy cache
+    # the simhash expression on both join sides.  Both sides belong to
+    # the SAME downstream action, which populates the cache once — no
+    # concurrent driver action exists here, so no eager
+    # materialization (an eager count() regressed this 1.6 -> 2.3 s).
     sh = rebalance(df).select(
         F.col(id_col).alias("id"), simhash_column(text_col).alias("simhash")
     ).persist()
-    sh.agg(F.count("simhash")).first()
     chunks = sh.select(
         "id",
         "simhash",
@@ -491,12 +494,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     ga = docs.select(F.col("id").alias("id_a"), F.col("ghash").alias("grams_a"))
     gb = docs.select(F.col("id").alias("id_b"), F.col("ghash").alias("grams_b"))
-    # verify-join sides: the hashed gram sets total ~8 bytes/gram —
-    # when they fit the broadcast budget, the verify runs map-side and
-    # the (large) arrays never shuffle (that shuffle dominated the
-    # whole pipeline); beyond the budget the same guard as freq
-    # degrades it to a shuffle join on the uniform id key.
-    if est_rows * 12 < freq_broadcast_threshold:
+    # verify-join sides: when they fit the broadcast budget, the
+    # verify runs map-side and the (large) arrays never shuffle (that
+    # shuffle dominated the whole pipeline); beyond the budget the
+    # same guard as freq degrades it to a shuffle join on the uniform
+    # id key.  Budget 24 bytes/entry (long + JVM array/row overhead)
+    # times TWO relations — both sides get broadcast, so the driver
+    # and every executor hold two full copies of the hash-set frame.
+    if est_rows * 2 * 24 < freq_broadcast_threshold:
         ga, gb = F.broadcast(ga), F.broadcast(gb)
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size("grams_a") + F.size("grams_b") - inter

@@ -89,11 +89,21 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
 def hyperplane(j: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane j (values in [-0.5, 0.5]).
 
-    Integer LCG -> double division; exactly reproducible in SQL:
-      ((1103515245*(j*dim+d) + 12345) % 2147483647) / 2147483647 - 0.5
+    md5-derived (the same engine-portable H60 primitive as every
+    dedup hash), reproducible in SQL:
+      (CAST('0x' || substr(md5('hp:' || j || ':' || d), 1, 15) AS BIGINT)
+       % 2147483647) / 2147483647.0 - 0.5            -- DuckDB
+    NOT an LCG: an affine sequence (A*k+C) mod P is a Weyl sequence,
+    so "planes" drawn from consecutive arguments are mutually
+    correlated — measured banded-LSH recall 0.44 where independent
+    planes give 0.98 (the miss events across bands were far from
+    independent).  md5 scrambles each (j, d) independently.
     """
+    import hashlib
+
     return [
-        ((_LCG_A * (j * dim + d) + _LCG_C) % P31) / P31 - 0.5
+        (int(hashlib.md5(f"hp:{j}:{d}".encode()).hexdigest()[:15], 16) % P31)
+        / P31 - 0.5
         for d in range(dim)
     ]
 
@@ -105,6 +115,22 @@ def lsh_bucket(vec_col: Column, dim: int, planes: int = ANN_PLANES) -> Column:
     for j in range(planes):
         r = F.array(*[F.lit(x) for x in hyperplane(j, dim)])
         bucket = bucket + F.when(dot(v, r) >= 0, F.lit(2 ** j)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def lsh_band_bucket(vec_col: Column, dim: int, band: int, rows: int) -> Column:
+    """Sign bucket for one LSH band: bit i = (v . r_{band*rows+i} >= 0).
+
+    Global plane numbering (band*rows + i) keeps every plane drawn
+    from the same LCG stream as ``hyperplane``, so a SQL oracle
+    reproduces all bands with one formula."""
+    v = _dvec(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i in range(rows):
+        r = F.array(*[F.lit(x) for x in hyperplane(band * rows + i, dim)])
+        bucket = bucket + (
+            F.when(dot(v, r) >= 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
+        )
     return bucket
 
 
@@ -131,12 +157,20 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
       ranking on round(cos, 9) so the DuckDB oracle orders
       identically.
     """
+    # lowest-id rows by ORDER BY + LIMIT, not `id < nlist`: ids need
+    # not be contiguous from 0 (offset/sparse id layouts would
+    # silently under-fill the centroid set)
     cents = sorted(
         (r[0], [float(x) for x in r[1]])
-        for r in corpus.where(F.col(id_col) < nlist)
-        .select(id_col, vec_col)
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(nlist)
         .collect()
     )
+    if len(cents) < nlist:
+        raise ValueError(
+            f"corpus has {len(cents)} rows; need >= nlist={nlist} centroids"
+        )
 
     def best_cids(vec: Column, top: int) -> Column:
         """array of the `top` centroid ids by (round(cos,9) desc, cid asc)."""
@@ -189,35 +223,81 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     )
 
 
+NEARDUP_BANDS = 4
+NEARDUP_ROWS = 8  # planes per band
+
+
 def embedding_near_dupes(df: DataFrame, dim: int, threshold: float = 0.95,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         planes: int = ANN_PLANES) -> DataFrame:
-    """Near-duplicate vector pairs via sign-LSH blocking + exact
-    cosine verify within buckets.
+                         bands: int = NEARDUP_BANDS,
+                         rows_per_band: int = NEARDUP_ROWS) -> DataFrame:
+    """Near-duplicate vector pairs via MULTI-BAND sign-LSH blocking +
+    exact cosine verify on candidates only.
 
-    One shuffle on the (uniformly distributed) bucket key; candidate
-    count ~ n²/2^planes instead of n².  Trade-off documented: pairs
-    whose hyperplane signs differ are missed — raise `planes`
-    banding (multiple tables) for recall at scale.
+    Band b hashes the vector with planes [b*r, (b+1)*r); a pair is a
+    candidate when it collides in ANY band (same banding algebra as
+    MinHash-LSH).  vs the old single 8-plane table this gives tunable
+    recall — miss probability (1 - p^r)^b with p the per-plane
+    sign-agreement probability — AND bounded bucket sizes: each band's
+    buckets stay ~n/2^r, so a pathological single-table bucket cannot
+    swallow the corpus.  One shuffle on the uniform (band, bucket)
+    key; candidates ~ bands * n²/2^r within buckets, each verified
+    with one exact cosine (output-size cost).  See the recall test vs
+    brute force in tests/test_pipeline_ops.py.
     """
-    b = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    # vectors stay OUT of the band join and the pair-dedup shuffle:
+    # bandrow carries only (id, band, bucket) longs; the distinct runs
+    # on bare id pairs, and the 64-dim arrays join back once per
+    # SURVIVING pair — shuffling vectors through the candidate
+    # distinct was measured 4x the whole operator's cost.
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).persist()
+    # all bands*rows plane dots in ONE transform over a literal plane
+    # matrix (the vector is staged once): per-band expression trees
+    # each re-deriving the cast vector made plan build + codegen the
+    # dominant cost (32 copies of a 64-wide fold)
+    planes_lit = F.array(*[
+        F.array(*[F.lit(x) for x in hyperplane(j, dim)])
+        for j in range(bands * rows_per_band)
+    ])
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(rows_per_band)])
+    sgn = F.transform(planes_lit, lambda r: dot(F.col("_dv"), r) >= 0)
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.aggregate(
+            F.zip_with(
+                F.slice(F.col("_sgn"), b * rows_per_band + 1, rows_per_band),
+                pow2,
+                lambda s, p: F.when(s, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
     )
-    l, r = b.alias("l"), b.alias("r")
-    cos = cosine(F.col("l.vec"), F.col("r.vec"))
-    return (
+    bandrow = (
+        vecs.withColumn("_dv", _dvec(F.col("vec")))
+        .withColumn("_sgn", sgn)
+        .select("id", F.posexplode(buckets).alias("band", "bucket"))
+    )
+    l, r = bandrow.alias("l"), bandrow.alias("r")
+    cand = (
         l.join(
             r,
-            (F.col("l.bucket") == F.col("r.bucket"))
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.round(cos, 6).alias("cos"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    va = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
@@ -231,12 +311,22 @@ def pq_codebooks(corpus: DataFrame, m: int = 8, ksub: int = 16,
     corpus vectors (the same offline-k-means stand-in as ivf_topk's
     centroids — tiny by construction, reproducible by any engine).
     Returns codebooks[j][c] = list of dsub floats."""
+    # lowest-id rows by ORDER BY + LIMIT (ids need not be contiguous
+    # from 0 — an offset/sparse id layout would silently yield fewer
+    # than ksub codes and crash on rows[0])
     rows = sorted(
         (r[0], [float(x) for x in r[1]])
-        for r in corpus.where(F.col(id_col) < ksub)
-        .select(id_col, vec_col)
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(ksub)
         .collect()
     )
+    if len(rows) < ksub:
+        raise ValueError(
+            f"corpus has {len(rows)} rows; need >= ksub={ksub} codebook seeds"
+        )
+    if not rows[0][1]:
+        raise ValueError(f"unreadable/empty vector in column {vec_col!r}")
     dim = len(rows[0][1])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")

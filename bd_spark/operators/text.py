@@ -185,8 +185,11 @@ def chunk_documents(df, id_col: str, text_col: str,
     ``posexplode``, chunk membership is integer arithmetic on the
     position (stride = max_tokens - overlap), and chunks re-assemble
     with a single groupBy on (id, chunk_id) — one shuffle on a uniform
-    key, no Python, no window function. A doc shorter than
-    ``max_tokens`` yields exactly one chunk. Output:
+    key, no Python, no window function. A NON-EMPTY doc shorter than
+    ``max_tokens`` yields exactly one chunk; an empty or
+    whitespace-only doc tokenizes to zero rows and produces NO chunks
+    (it vanishes from the output — downstream joins that must keep
+    every doc should left-join back to the source). Output:
     (id, chunk_id, n_tokens, chunk_text).
 
     At 100 TB this is the shape you want: explode fan-out is bounded

@@ -206,8 +206,8 @@ SELECT id, min(r) AS cluster FROM reach GROUP BY id
 
 
 def pipe_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding high-similarity pairs: 8-plane sign-LSH blocking +
-    exact cosine verify within buckets.
+    """Embedding high-similarity pairs: multi-band sign-LSH blocking
+    (4 bands x 8 planes) + exact cosine verify on candidates.
 
     Threshold 0.3 (not the real-world near-dup 0.95) because the
     synthetic embeddings are near-orthogonal random vectors — max
@@ -219,27 +219,35 @@ def pipe_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HYPER = (
-    f"((((1103515245 * (j*64 + d) + 12345) % {P31}) / {P31}.0) - 0.5)"
+    "((CAST('0x' || substr(md5('hp:' || j || ':' || d), 1, 15) AS BIGINT)"
+    f" % {P31}) / {P31}.0 - 0.5)"
 )
 
+# banded buckets: plane j of band b is global plane b*8+i, same LCG
+# stream as the Spark side's hyperplane(); a pair is a candidate when
+# it collides in ANY band (DISTINCT over the band join)
 PIPE_EMBED_NEARDUP_SQL = f"""
 WITH v AS (
   SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
 ), s AS (
-  SELECT vec_id, v, j,
+  SELECT vec_id, v, CAST(j // 8 AS BIGINT) AS band, CAST(j % 8 AS INTEGER) AS bit,
          list_sum([v[d+1] * {_HYPER} for d in range(64)]) AS sgn
-  FROM v, range(8) t(j)
+  FROM v, range(32) t(j)
 ), bk AS (
-  SELECT vec_id, v,
-         CAST(SUM(CASE WHEN sgn >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
-  FROM s GROUP BY vec_id, v
+  SELECT vec_id, v, band,
+         CAST(SUM(CASE WHEN sgn >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS bucket
+  FROM s GROUP BY vec_id, v, band
+), cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b, l.v AS va, r.v AS vb
+  FROM bk l JOIN bk r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
 )
 SELECT id_a, id_b, cos FROM (
-  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-         round(list_sum([l.v[i+1] * r.v[i+1] for i in range(64)])
-               / (sqrt(list_sum([x*x for x in l.v]))
-                  * sqrt(list_sum([x*x for x in r.v]))), 6) AS cos
-  FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  SELECT id_a, id_b,
+         round(list_sum([va[i+1] * vb[i+1] for i in range(64)])
+               / (sqrt(list_sum([x*x for x in va]))
+                  * sqrt(list_sum([x*x for x in vb]))), 6) AS cos
+  FROM cand
 ) WHERE cos >= 0.3
 """
 

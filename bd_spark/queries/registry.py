@@ -127,6 +127,15 @@ EXTRA = [
     "pipe_pq_topk",            # PQ/ADC compressed ANN (full DuckDB oracle)
 ]
 
+# Benched every round but deliberately oracle-free: sketch outputs are
+# implementation-defined, so their gate is an error-bound pytest
+# (test_relational.py::test_approx_stats_bounds), not a value hash.
+# Kept in the bench loop so a perf regression stays visible
+# (VERDICT r3 #7: it silently dropped out of BENCH_r03).
+BENCH_ONLY = [
+    "q_approx_stats",          # HLL++ distinct + quantile sketches
+]
+
 
 def _collect() -> tuple[dict[str, Callable], dict[str, str]]:
     qs: dict[str, Callable] = {}
@@ -162,3 +171,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def extra_oracles() -> dict[str, str]:
     return _ordered(EXTRA)[1]
+
+
+def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _ordered(BENCH_ONLY)[0]

@@ -101,6 +101,8 @@ def _decode_item(buf: bytes, pos: int) -> tuple[object, int]:
                 if k is _BREAK:
                     return d, pos
                 v, pos = _decode_item(buf, pos)
+                if v is _BREAK:
+                    raise CborError("break in map-value position")
                 d[_key(k)] = v
             return d, pos
         n, pos = _read_uint(buf, pos, info)
@@ -110,6 +112,8 @@ def _decode_item(buf: bytes, pos: int) -> tuple[object, int]:
             if k is _BREAK:
                 raise CborError("break in definite map")
             v, pos = _decode_item(buf, pos)
+            if v is _BREAK:
+                raise CborError("break in map-value position")
             d[_key(k)] = v
         return d, pos
     if major == 6:  # tag: unwrap transparently (§6.1: content drives JSON)
@@ -282,7 +286,12 @@ def stream_from_binary_column(
                             ([i] if multi else [], json.dumps(v, ensure_ascii=False), None)
                             for i, v in enumerate(vals)
                         ]
-                    except CborError as e:
+                    # catch everything, not just CborError: a decoder
+                    # bug on one malformed document must become an
+                    # in-band err row, never a task failure that kills
+                    # the whole job (ADVICE r3: the _BREAK sentinel
+                    # escaping to json.dumps raised TypeError)
+                    except Exception as e:  # noqa: BLE001
                         docs = [([], None, f"decode error: {e}")]
                 for ordv, j, err in docs:
                     rows["seq"].append(s)

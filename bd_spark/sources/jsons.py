@@ -120,18 +120,49 @@ def _parse_concat(text: str) -> list[tuple[str | None, str | None]]:
 
 # ---------------------------------------------------------------- sinks
 
+# A row needs the Python canonicalizer when its JVM-serialized form
+# contains (a) a float literal — the reference's `{:e}` format differs
+# from Jackson's — or (b) a \uXXXX escape — Jackson uppercases the hex
+# where the reference lowercases it.  The regex over-matches (a string
+# VALUE containing "1.5" also trips it), which only costs that row the
+# slow path — conservative, never wrong.
+_NEEDS_PY_RE = r"[0-9]\.[0-9]|[0-9][eE][-+0-9]|\\u"
+
+
 def canonical_text(df: DataFrame) -> DataFrame:
     """Document stream → ``(seq, ord, line STRING)`` canonical text.
 
-    Canonicalization (key order, float format) runs Arrow-batched via
-    ``mapInPandas`` — sink-only, never in the query hot path
-    (SURVEY.md §4.3). mapInPandas (a standalone plan node) rather
-    than a scalar pandas UDF: a UDF projected alongside a very wide
-    compiled-jq variant expression can fail Catalyst's Python-UDF
-    extraction (INTERNAL_ERROR Cannot evaluate expression), while a
-    map node is immune to the surrounding expression shape.
+    JVM FAST PATH: Spark's VARIANT binary form stores object fields
+    key-sorted, so ``to_json(v)`` already emits the reference's
+    canonical bytes (sorted keys, compact separators, `/` unescaped,
+    non-ASCII literal — verified against the 52-case golden corpus)
+    for every document with no float and no control-char escape.
+    Those rows pass through untouched; only flagged rows (float
+    `{:e}` formatting, lowercase \\uXXXX) pay the Python
+    canonicalizer.  One Arrow-batched ``mapInPandas`` pass either
+    way — mapInPandas (a standalone plan node) rather than a scalar
+    pandas UDF: a UDF projected alongside a very wide compiled-jq
+    variant expression can fail Catalyst's Python-UDF extraction,
+    while a map node is immune to the surrounding expression shape.
     """
-    src = df.select("seq", "ord", F.to_json("v").alias("j"))
+    # localCheckpoint before the Python boundary, for two reasons:
+    # (1) the collapsed jq projection under a mapInPandas child was
+    # observed failing janino's 64 KB method limit and re-running
+    # interpreted (6-12 s for work that codegens in ~1 s under a
+    # normal action); materializing evaluates it through the normal
+    # codegen path once.  (2) it lets one cheap count decide whether
+    # ANY row needs Python at all — the common all-fast case then
+    # never launches a Python worker.  The sink materializes its
+    # output exactly once either way (it is the terminal operator).
+    src = df.select("seq", "ord", F.to_json("v").alias("j")).withColumn(
+        "needs_py", F.col("j").rlike(_NEEDS_PY_RE) | F.col("j").isNull()
+    ).localCheckpoint(eager=False)
+    n_slow = src.where("needs_py").count()
+    fast = src.where(~F.col("needs_py")).select(
+        "seq", "ord", F.col("j").alias("line")
+    )
+    if n_slow == 0:
+        return fast
 
     def batches(it):
         for pdf in it:
@@ -140,7 +171,10 @@ def canonical_text(df: DataFrame) -> DataFrame:
             )
             yield pdf[["seq", "ord", "line"]]
 
-    return src.mapInPandas(batches, "seq long, ord array<bigint>, line string")
+    slow = src.where("needs_py").mapInPandas(
+        batches, "seq long, ord array<bigint>, line string"
+    )
+    return fast.unionByName(slow)
 
 
 def canonical_lines(df: DataFrame) -> list[str]:

@@ -8,6 +8,12 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed as a full action (count of the result) after a
 warm-up of the session; per-query wall time includes planning +
 execution, which is what a user sees.
+
+Noise isolation (VERDICT r3 #5): each query runs
+$SPARK_GRAFT_BENCH_RUNS times (default 2) and reports the per-query
+MINIMUM — one shared-JVM run per query was observed doubling
+untouched queries' times (GC/codegen-cache ordering effects), making
+real regressions indistinguishable from noise.
 """
 
 from __future__ import annotations
@@ -20,33 +26,41 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from __spark_entry__ import queries  # noqa: E402
-from bd_spark.queries.registry import extra_queries  # noqa: E402
+from bd_spark.queries.registry import bench_only_queries, extra_queries  # noqa: E402
 from bd_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     spark = get_spark("bd_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # gate queries plus the pytest-gated EXTRA tranche — bench keeps
-    # timing continuity for every implemented query across rounds
+    # gate queries plus the pytest-gated EXTRA tranche plus the
+    # bench-only sketch queries — timing continuity for every
+    # implemented query across rounds
     qs = dict(queries())
     qs.update(extra_queries())
+    qs.update(bench_only_queries())
     # warm up the JVM + parquet footer caches with a trivial action
     next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            timings[name] = -1.0
-            print(f"# bench error {name}: {e}", file=sys.stderr)
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            except Exception as e:  # noqa: BLE001
+                best = -1.0
+                print(f"# bench error {name}: {e}", file=sys.stderr)
+                break
+        timings[name] = round(best, 3)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({
         "metric": "headline_queries_total",

@@ -157,6 +157,65 @@ def test_embedding_near_dupes_bucketed(spark):
     assert pairs[0].cos == 1.0
 
 
+def test_embedding_near_dupes_recall_vs_brute_force(spark, sf_dir):
+    """Banded sign-LSH (4 bands x 8 planes) must recover nearly all
+    TRUE near-duplicate pairs at the operator's real operating point
+    (cos >= 0.95) — the recall guarantee that motivates multi-band
+    over a single wider table (miss prob (1-p^r)^b; at cos ~0.99 the
+    per-plane agreement p ~ 0.955 gives banded recall ~0.99 where a
+    single 32-plane table would score p^32 ~ 0.23).
+
+    The synthetic corpus is near-orthogonal (max pairwise cos ~0.5),
+    so true near-dups are PLANTED: each corpus vector gets a
+    deterministically perturbed twin with cos ~0.98-0.995.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    # twin id = vec_id + n; perturbation d of dim j derived from the
+    # same LCG stream as the hyperplanes (deterministic, seed-free)
+    pert = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x, j: x
+        + 0.08
+        * (((F.lit(similarity._LCG_A) * (F.col("vec_id") * 64 + j)
+             + F.lit(similarity._LCG_C)) % F.lit(similarity.P31))
+           / F.lit(float(similarity.P31)) - 0.5),
+    )
+    twins = emb.select(
+        (F.col("vec_id") + n).alias("vec_id"), pert.alias("embedding")
+    )
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).union(twins)
+    threshold = 0.95
+    l = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    r = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    true_pairs = {
+        (row.id_a, row.id_b)
+        for row in l.crossJoin(r)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", similarity.cosine(F.col("va"), F.col("vb")).alias("cos")
+        )
+        .where(F.col("cos") >= threshold)
+        .collect()
+    }
+    lsh_pairs = {
+        (row.id_a, row.id_b)
+        for row in similarity.embedding_near_dupes(
+            corpus, dim=64, threshold=threshold
+        ).collect()
+    }
+    assert lsh_pairs <= true_pairs  # verify step keeps LSH exact-precision
+    assert len(true_pairs) >= n * 0.9, "planting failed to create near-dups"
+    recall = len(lsh_pairs) / len(true_pairs)
+    assert recall >= 0.85, f"recall {recall:.2f} below floor"
+
+
 def test_lang_id_and_quality(spark):
     df = spark.createDataFrame(
         [
