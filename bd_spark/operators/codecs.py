@@ -1,0 +1,291 @@
+"""Real media codecs for the multimodal pipeline — zero dependencies.
+
+The blueprint stubs "real" decode behind PIL/ffmpeg, which this
+container does not ship.  But several production formats decode fine
+with the standard library + numpy, so the real path is genuinely real
+for them:
+
+- **PNG** (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced):
+  ``zlib`` inflate + scanline unfiltering (all 5 filter types,
+  vectorized with numpy where the filter allows).
+- **BMP** (uncompressed BI_RGB, 8/24/32-bit, bottom-up or top-down).
+- **PPM/PGM** (P5/P6 binary).
+- **WAV** (PCM via the stdlib ``wave`` module).
+- **JPEG & everything else**: delegated to PIL *if importable*
+  (``pip install pillow`` — pure-python wheel available), else a
+  ``CodecUnavailable`` error naming the dependency contract.
+
+Decoded images are numpy ``uint8`` arrays of shape (h, w, channels);
+``resize_nearest`` is a numpy index-gather (no Python pixel loops).
+
+All of this runs inside Arrow-batched ``mapInPandas`` stages
+(bd_spark.operators.multimodal) — per-executor Python, never on the
+driver, never per-row pickled.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+import numpy as np
+
+
+class CodecError(ValueError):
+    """Malformed payload for the sniffed format."""
+
+
+class CodecUnavailable(NotImplementedError):
+    """Format needs an optional dependency that is not installed."""
+
+
+def _pil():
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+# --------------------------------------------------------------- sniff
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff(buf: bytes) -> str:
+    """Best-effort container sniff from magic bytes."""
+    if buf[:8] == _PNG_MAGIC:
+        return "png"
+    if buf[:2] == b"BM":
+        return "bmp"
+    if buf[:2] in (b"P5", b"P6"):
+        return "pnm"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return "wav"
+    if buf[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    return "unknown"
+
+
+# ----------------------------------------------------------------- PNG
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG → uint8 array (h, w, c).  8-bit, non-interlaced only —
+    the overwhelmingly common case; anything else raises CodecError
+    (or falls through to PIL in :func:`decode_image`)."""
+    if buf[:8] != _PNG_MAGIC:
+        raise CodecError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    h = bit_depth = color_type = None
+    while pos + 8 <= len(buf):
+        (length,), ctype = struct.unpack(">I", buf[pos:pos + 4]), buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if interlace:
+                raise CodecError("interlaced PNG unsupported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise CodecError("missing IHDR/IDAT")
+    if bit_depth != 8:
+        raise CodecError(f"bit depth {bit_depth} unsupported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise CodecError(f"color type {color_type} unsupported (palette needs PIL)")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise CodecError("IDAT size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        f, cur = int(filters[y]), lines[y].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        if f == 0:  # None
+            out[y] = cur
+        elif f == 2:  # Up — fully vectorized
+            out[y] = (cur + prev) & 0xFF
+        else:
+            # Sub/Average/Paeth carry a left-neighbor dependency; the
+            # per-pixel loop is over ``stride`` cells of ONE scanline
+            # (numpy row ops do the rest) — fine for codec-sized images
+            row = out[y]
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:  # Sub
+                    row[x] = (cur[x] + a) & 0xFF
+                elif f == 3:  # Average
+                    row[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                elif f == 4:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    row[x] = (cur[x] + pred) & 0xFF
+                else:
+                    raise CodecError(f"filter {f} invalid")
+    return out.astype(np.uint8).reshape(h, w, channels)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0 rows) — fixtures and round-trip
+    tests; deterministic output."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ----------------------------------------------------------------- BMP
+def decode_bmp(buf: bytes) -> np.ndarray:
+    if buf[:2] != b"BM":
+        raise CodecError("not a BMP")
+    data_off = struct.unpack("<I", buf[10:14])[0]
+    hdr_size = struct.unpack("<I", buf[14:18])[0]
+    if hdr_size < 40:
+        raise CodecError("BMP core header unsupported")
+    w, h = struct.unpack("<ii", buf[18:26])
+    planes, bpp = struct.unpack("<HH", buf[26:30])
+    compression = struct.unpack("<I", buf[30:34])[0]
+    if compression != 0:
+        raise CodecError(f"BMP compression {compression} unsupported")
+    if bpp not in (8, 24, 32):
+        raise CodecError(f"BMP {bpp}bpp unsupported")
+    flip = h > 0
+    h = abs(h)
+    nchan = bpp // 8
+    row_bytes = (w * nchan + 3) & ~3  # 4-byte aligned
+    px = np.frombuffer(
+        buf, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * nchan].reshape(h, w, nchan)
+    if flip:
+        px = px[::-1]
+    if nchan >= 3:  # BGR(A) -> RGB(A)
+        px = px[:, :, [2, 1, 0] + ([3] if nchan == 4 else [])]
+    return np.ascontiguousarray(px)
+
+
+# ------------------------------------------------------------- PPM/PGM
+def decode_pnm(buf: bytes) -> np.ndarray:
+    magic = buf[:2]
+    if magic not in (b"P5", b"P6"):
+        raise CodecError("only binary P5/P6 PNM supported")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    toks: list[bytes] = []
+    pos = 2
+    while len(toks) < 3 and pos < len(buf):
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        toks.append(buf[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in toks)
+    if maxval > 255:
+        raise CodecError("16-bit PNM unsupported")
+    c = 1 if magic == b"P5" else 3
+    need = w * h * c
+    px = np.frombuffer(buf, dtype=np.uint8, count=need, offset=pos)
+    return px.reshape(h, w, c).copy()
+
+
+# ----------------------------------------------------------------- WAV
+def decode_wav(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """WAV → (n_channels, sample_rate, n_frames, int16/uint8 samples
+    of shape (n_frames, n_channels))."""
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(buf), "rb") as wv:
+            nch, sw, rate, nframes = (
+                wv.getnchannels(), wv.getsampwidth(), wv.getframerate(),
+                wv.getnframes(),
+            )
+            pcm = wv.readframes(nframes)
+    except wave.Error as e:
+        raise CodecError(f"wav: {e}") from None
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise CodecError(f"sample width {sw} unsupported")
+    samples = np.frombuffer(pcm, dtype=dtype).reshape(-1, nch)
+    return nch, rate, nframes, samples
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    import wave
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wv:
+        wv.setnchannels(samples.shape[1])
+        wv.setsampwidth(samples.dtype.itemsize)
+        wv.setframerate(rate)
+        wv.writeframes(np.ascontiguousarray(samples).tobytes())
+    return bio.getvalue()
+
+
+# ------------------------------------------------------------ dispatch
+def decode_image(buf: bytes) -> np.ndarray:
+    """Bytes → uint8 (h, w, c).  Stdlib formats decode natively;
+    everything else goes through PIL when installed."""
+    buf = bytes(buf)
+    fmt = sniff(buf)
+    try:
+        if fmt == "png":
+            return decode_png(buf)
+        if fmt == "bmp":
+            return decode_bmp(buf)
+        if fmt == "pnm":
+            return decode_pnm(buf)
+    except CodecError:
+        # structurally invalid for the sniffed format — PIL may still
+        # handle variants (palette PNG, RLE BMP, ...)
+        pass
+    pil = _pil()
+    if pil is None:
+        raise CodecUnavailable(
+            f"format {fmt!r} needs Pillow (pip install pillow); native "
+            "support covers PNG(8-bit)/BMP(BI_RGB)/PPM/PGM"
+        )
+    img = pil.open(io.BytesIO(buf))
+    arr = np.asarray(img.convert("RGB") if img.mode == "P" else img)
+    return arr[:, :, None] if arr.ndim == 2 else arr
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize as a pure numpy index gather."""
+    h, w = img.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return img[ys][:, xs]

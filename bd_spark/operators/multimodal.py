@@ -6,13 +6,16 @@ feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` stages so the heavy bytes never pass through
 row-at-a-time Python pickling.
 
-The actual codec step is STUBBED in this container (no PIL/ffmpeg):
-``decode_image_batch`` raises NotImplementedError unless
-``fake=True``, in which case it computes a deterministic byte-level
-feature set (length, byte sum, 16-bin histogram head) so the Spark
-plumbing — schema, Arrow batching, partition flow — is fully real
-and testable, and the driver oracle can reproduce the features in
-SQL for ASCII payloads.
+Codecs: ``fake=True`` (the oracle-gated default) computes a
+deterministic byte-level feature set (length, byte sum, 16-bin
+histogram) so the driver oracle can reproduce the features in SQL.
+``fake=False`` performs REAL decoding via
+:mod:`bd_spark.operators.codecs`: PNG/BMP/PPM/PGM and PCM WAV decode
+natively (stdlib zlib/struct/wave + numpy — no optional deps), other
+formats (JPEG, ...) via PIL when installed; a missing dependency or
+bad payload is an in-band per-row error, never a task failure.
+Video frame extraction still requires ffmpeg (documented contract:
+``sample_frames(fake=False)`` raises until pyav/ffmpeg is present).
 
 Scale notes:
 - `mapInPandas` keeps the binary column zero-copy in Arrow buffers;
@@ -27,6 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -80,31 +84,82 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[int]]:
     return n, total, hist
 
 
+REAL_DECODED_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("fmt", StringType()),            # png | bmp | pnm | wav | ...
+    StructField("width", LongType()),            # images; frames for audio
+    StructField("height", LongType()),           # images; channels for audio
+    StructField("channels", LongType()),
+    StructField("pix_sum", LongType()),          # decoded-sample checksum
+    StructField("err", StringType()),            # in-band decode error
+])
+
+
 def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched decode stage over the binary payload column.
 
-    Real decoding (PIL / torchaudio / pyav) is not available in this
-    container; with fake=False this raises NotImplementedError at
-    executor time, by design.
+    ``fake=True`` (the oracle-gated path): deterministic byte-level
+    features with schema ``DECODED_SCHEMA`` — plumbing-identical to a
+    codec but reproducible in SQL.
+
+    ``fake=False``: REAL decode via :mod:`bd_spark.operators.codecs`
+    — PNG/BMP/PPM/PGM images and PCM WAV audio natively (stdlib +
+    numpy), anything else through PIL when installed.  Output schema
+    ``REAL_DECODED_SCHEMA`` with per-row in-band errors: one bad
+    payload (or one format needing the optional PIL dependency) marks
+    its row, never fails the task.
     """
+    if fake:
+        def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = [_fake_decode(p) for p in pdf["payload"]]
+                yield pd.DataFrame({
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": [r[0] for r in rows],
+                    "byte_sum": [r[1] for r in rows],
+                    "hist16": [r[2] for r in rows],
+                })
 
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return assets.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+    from bd_spark.operators import codecs
+
+    def real_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image/audio decode requires PIL/ffmpeg; "
-                    "run with fake=True in this environment"
-                )
-            rows = [_fake_decode(p) for p in pdf["payload"]]
-            yield pd.DataFrame({
-                "asset_id": pdf["asset_id"],
-                "media_type": pdf["media_type"],
-                "byte_len": [r[0] for r in rows],
-                "byte_sum": [r[1] for r in rows],
-                "hist16": [r[2] for r in rows],
-            })
+            out = {k: [] for k in (
+                "asset_id", "media_type", "fmt", "width", "height",
+                "channels", "pix_sum", "err",
+            )}
+            for aid, mt, p in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                fmt, w, h, c, s, err = None, None, None, None, None, None
+                try:
+                    buf = bytes(p) if p is not None else b""
+                    fmt = codecs.sniff(buf)
+                    if fmt == "wav":
+                        nch, _rate, nframes, samples = codecs.decode_wav(buf)
+                        w, h, c = nframes, nch, nch
+                        s = int(np.int64(samples.astype(np.int64).sum()))
+                    else:
+                        img = codecs.decode_image(buf)
+                        h, w, c = (int(x) for x in img.shape)
+                        s = int(img.astype(np.int64).sum())
+                except Exception as e:  # noqa: BLE001 — in-band per row
+                    err = f"{type(e).__name__}: {e}"
+                out["asset_id"].append(aid)
+                out["media_type"].append(mt)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["pix_sum"].append(s)
+                out["err"].append(err)
+            yield pd.DataFrame(out)
 
-    return assets.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+    return assets.mapInPandas(real_batches, schema=REAL_DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType([
@@ -132,11 +187,31 @@ def resize_images(assets: DataFrame, width: int, height: int,
     payload directions zero-copy.
     """
 
+    if not fake:
+        from bd_spark.operators import codecs
+
+        def do_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                payloads = []
+                for p in pdf["payload"]:
+                    img = codecs.decode_image(bytes(p))
+                    payloads.append(
+                        codecs.encode_png(
+                            codecs.resize_nearest(img, width, height)
+                        )
+                    )
+                yield pd.DataFrame({
+                    "asset_id": pdf["asset_id"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "payload": payloads,
+                })
+
+        return assets.mapInPandas(do_real, schema=RESIZED_SCHEMA)
+
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_n = width * height
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real resize requires PIL")
             payloads = []
             for p in pdf["payload"]:
                 n = len(p)
@@ -167,7 +242,11 @@ def sample_frames(assets: DataFrame, frame_bytes: int = 256,
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError("real frame extraction requires ffmpeg")
+                raise NotImplementedError(
+                    "real frame extraction requires ffmpeg/pyav (not "
+                    "installed); images and WAV audio decode for real "
+                    "via decode_assets(fake=False)"
+                )
             ids, idxs, lens, sums = [], [], [], []
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                 n_frames = (len(p) + frame_bytes - 1) // frame_bytes

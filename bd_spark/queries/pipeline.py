@@ -177,12 +177,15 @@ SELECT id_a, id_b, jaccard FROM (
 
 
 def pipe_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster assignment: connected components (iterative
-    min-label propagation) over the MinHash-LSH pair graph; every doc
-    gets its component's min doc_id as cluster label."""
+    """Near-dup cluster assignment: connected components by
+    alternating star contraction (Kiveris et al.) over the
+    MinHash-LSH pair graph; every doc gets its component's min doc_id
+    as cluster label (same fixed point as min-label propagation, so
+    the recursive-CTE oracle is unchanged — equivalence is asserted
+    in test_star_contraction_matches_hashmin)."""
     docs = table(spark, "documents", sf_dir)
     pairs = dedup.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.7)
-    return dedup.connected_components(
+    return dedup.connected_components_star(
         docs.select(F.col("doc_id").alias("id")), pairs
     )
 
@@ -692,7 +695,7 @@ def pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree's quality/langid expressions evaluate once
     uniq = kept.join(exact_reps, "doc_id", "left_semi").persist()
     pairs = dedup.minhash_lsh_dedup(uniq, "doc_id", "text", threshold=0.7)
-    comps = dedup.connected_components(
+    comps = dedup.connected_components_star(
         uniq.select(F.col("doc_id").alias("id")), pairs
     )
     reps = comps.where(F.col("id") == F.col("cluster")).select(

@@ -267,14 +267,19 @@ def test_multimodal_decode_fake(spark):
     assert len(r.hist16) == 16 and sum(r.hist16) == 3
 
 
-def test_multimodal_decode_real_is_stubbed(spark):
+def test_multimodal_decode_real_in_band_errors(spark):
+    """fake=False is REAL now (stdlib PNG/BMP/PNM/WAV codecs); a
+    payload that is not decodable media yields an in-band err row —
+    one bad document must never fail the task (same contract as every
+    source).  Real decodes are covered in tests/test_codecs.py."""
     docs = spark.createDataFrame([(1, "x", "en", "s", 1)],
                                  ["doc_id", "text", "lang", "source", "n_chars"])
-    df = multimodal.decode_assets(
+    rows = multimodal.decode_assets(
         multimodal.assets_from_documents(docs), fake=False
-    )
-    with pytest.raises(Exception, match="NotImplementedError|real image"):
-        df.collect()
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].err is not None  # text bytes are not valid media
+    assert rows[0].fmt == "unknown"
 
 
 def test_mm_resize_and_frames(spark, sf_dir):
@@ -354,3 +359,45 @@ def test_connected_components_long_chain(spark):
     assert all(got[i] == 0 for i in range(n))          # whole chain -> 0
     assert all(got[i] == n for i in (n, n + 1, n + 2))  # triangle -> n
     assert got[n + 3] == n + 3                          # singleton
+
+
+def test_star_contraction_matches_hashmin(spark):
+    """connected_components_star must produce EXACTLY the labels of
+    the HashMin+jumping implementation on adversarial shapes: chain
+    (high diameter), quasi-cliques (the LSH near-dup shape), a random
+    sparse graph, and an empty edge set."""
+    import random
+
+    rnd = random.Random(42)
+    shapes = {
+        "chain": [(i, i + 1) for i in range(49)],
+        "cliques": [
+            (a, b)
+            for base in (100, 200, 300)
+            for a in range(base, base + 6)
+            for b in range(a + 1, base + 6)
+        ],
+        "random": [
+            (rnd.randrange(60), rnd.randrange(60)) for _ in range(80)
+        ],
+        "empty": [],
+    }
+    for name, edges in shapes.items():
+        nodes = sorted(
+            {x for e in edges for x in e} | {400, 401}
+        )  # plus guaranteed singletons
+        ids = spark.createDataFrame([(i,) for i in nodes], "id long")
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], "id_a long, id_b long"
+        )
+        if not edges:
+            pairs = pairs.where("id_a != id_a")  # empty frame, same schema
+        a = {
+            r.id: r.cluster
+            for r in dedup.connected_components(ids, pairs, max_iter=25).collect()
+        }
+        b = {
+            r.id: r.cluster
+            for r in dedup.connected_components_star(ids, pairs).collect()
+        }
+        assert a == b, f"label mismatch on {name}"
