@@ -13,3 +13,8 @@ from bd_spark.sources.lenient_json import (  # noqa: F401
     parse_many,
     parse_one,
 )
+
+# Binary document formats (reference README.md:20): imported as
+# modules — both expose decode/decode_all/encode/
+# stream_from_binary_column with identical shapes.
+from bd_spark.sources import cbor, msgpack  # noqa: E402,F401
