@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bd_spark.catalog import rebalance
-from bd_spark.operators.hashing import P31, h31, h60, minhash_coefficients
+from bd_spark.operators.hashing import P31, h31, h60, lit_longs, minhash_coefficients
 from bd_spark.operators.text import char_ngrams, tokens, word_shingles
 
 MINHASH_K = 32
@@ -61,8 +61,8 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     all inside codegen.
     """
     a, b = minhash_coefficients(k)
-    a_arr = F.array(*[F.lit(x) for x in a])
-    b_arr = F.array(*[F.lit(x) for x in b])
+    a_arr = lit_longs(a)
+    b_arr = lit_longs(b)
     # Single-pass fold: the md5-per-shingle array appears exactly ONCE
     # in the expression tree.  The naive transform-per-permutation
     # formulation gets inlined k times by CollapseProject and costs
@@ -198,7 +198,7 @@ def simhash_column(text_col: str, bits: int = SIMHASH_BITS):
         F.transform(dt, lambda t: F.size(F.filter(toks, lambda x: x == t)).cast("long")),
         lambda h, c: F.struct(h.alias("h"), c.alias("c")),
     )
-    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    pow2 = lit_longs(1 << i for i in range(bits))
     votes = F.aggregate(
         weighted,
         F.array_repeat(F.lit(0).cast("long"), bits),

@@ -46,6 +46,12 @@ def minhash_coefficients(k: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def lit_longs(vals) -> Column:
+    """Literal BIGINT array via ONE SQL-parsed expression — per-element
+    ``F.lit`` costs a Py4J round-trip each (see similarity._lit_vec)."""
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in vals) + ")")
+
+
 def h60(col: Column) -> Column:
     """60-bit md5-derived hash of a string column (Spark side)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

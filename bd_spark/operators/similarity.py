@@ -33,6 +33,28 @@ def _dvec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _lit_vec(vals) -> Column:
+    """Literal double array via ONE SQL-parsed expression.
+    ``F.array(*[F.lit(x) ...])`` costs one Py4J round-trip per
+    element (~0.3 ms each) — for 64-dim hyperplanes / centroids /
+    codebooks that made plan BUILD dominate these operators (measured
+    1.8 s -> 0.02 s for 32x64 literals).  repr() keeps the shortest
+    round-trip decimal; the D suffix pins the SQL type to double."""
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")")
+
+
+def _lit_mat(rows) -> Column:
+    """Literal array<array<double>> via one SQL-parsed expression."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")"
+            for r in rows
+        )
+        + ")"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -113,7 +135,7 @@ def lsh_bucket(vec_col: Column, dim: int, planes: int = ANN_PLANES) -> Column:
     v = _dvec(vec_col)
     bucket = F.lit(0).cast("long")
     for j in range(planes):
-        r = F.array(*[F.lit(x) for x in hyperplane(j, dim)])
+        r = _lit_vec(hyperplane(j, dim))
         bucket = bucket + F.when(dot(v, r) >= 0, F.lit(2 ** j)).otherwise(F.lit(0)).cast("long")
     return bucket
 
@@ -127,7 +149,7 @@ def lsh_band_bucket(vec_col: Column, dim: int, band: int, rows: int) -> Column:
     v = _dvec(vec_col)
     bucket = F.lit(0).cast("long")
     for i in range(rows):
-        r = F.array(*[F.lit(x) for x in hyperplane(band * rows + i, dim)])
+        r = _lit_vec(hyperplane(band * rows + i, dim))
         bucket = bucket + (
             F.when(dot(v, r) >= 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
         )
@@ -179,7 +201,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
         scored = F.array(*[
             F.struct(
                 (-F.round(
-                    dot(v, F.array(*[F.lit(x) for x in cv]))
+                    dot(v, _lit_vec(cv))
                     / (nv * F.lit(sum(x * x for x in cv) ** 0.5)),
                     9,
                 )).alias("negcos"),
@@ -257,11 +279,12 @@ def embedding_near_dupes(df: DataFrame, dim: int, threshold: float = 0.95,
     # matrix (the vector is staged once): per-band expression trees
     # each re-deriving the cast vector made plan build + codegen the
     # dominant cost (32 copies of a 64-wide fold)
-    planes_lit = F.array(*[
-        F.array(*[F.lit(x) for x in hyperplane(j, dim)])
-        for j in range(bands * rows_per_band)
-    ])
-    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(rows_per_band)])
+    planes_lit = _lit_mat(
+        hyperplane(j, dim) for j in range(bands * rows_per_band)
+    )
+    from bd_spark.operators.hashing import lit_longs
+
+    pow2 = lit_longs(1 << i for i in range(rows_per_band))
     sgn = F.transform(planes_lit, lambda r: dot(F.col("_dv"), r) >= 0)
     buckets = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -344,7 +367,7 @@ def _subdist2(sub: Column, code: list[float]) -> Column:
     ksub distance folds multiplied the expression tree ~16x (build +
     codegen time, the jq staging lesson)."""
     diff = F.zip_with(
-        sub, F.array(*[F.lit(x) for x in code]), lambda a, b: (a - b) * (a - b)
+        sub, _lit_vec(code), lambda a, b: (a - b) * (a - b)
     )
     return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
 
