@@ -557,7 +557,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         e.join(freq_side, [*block_cols, "gh"])
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= prefix_len)
-        .select("id", *block_cols, "gh", "nh")
+        .select("id", *block_cols, "gh", "nh", "rk")
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cond = F.col("pa.id") < F.col("pb.id")
@@ -574,6 +574,25 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     cond = cond & (
         F.least(F.col("pa.nh"), F.col("pb.nh"))
         >= F.lit(threshold) * F.greatest(F.col("pa.nh"), F.col("pb.nh"))
+    )
+    # POSITIONAL filter (PPJoin): both docs' prefixes are ranked in
+    # the same (df, gh) total order, so for a pair matched at ranks
+    # (rk_a, rk_b) the overlap is at most 1 + min(nh-rk) remaining
+    # grams, while J >= t needs overlap >= t/(1+t)*(nh_a+nh_b).
+    # Lossless: a qualifying pair survives via its FIRST shared
+    # prefix gram (every other shared gram ranks later in both).
+    # Small-vocabulary corpora are exactly where the prefix filter
+    # alone collapses (few distinct grams -> everything shares rare
+    # grams); measured 1.67M -> far fewer candidates at sf0.1. The
+    # 1e-9 slack absorbs double rounding in the exact-integer bound.
+    cond = cond & (
+        1 + F.least(
+            F.col("pa.nh") - F.col("pa.rk"), F.col("pb.nh") - F.col("pb.rk")
+        )
+        >= F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("pa.nh") + F.col("pb.nh")) - F.lit(1e-9)
+        )
     )
     cand = (
         pa.join(pb, cond)
