@@ -563,7 +563,7 @@ def _col_hof(name: str, f: ast.Node) -> ColFn:
 
             def apply_elem(x: Column) -> Column:
                 cv = argfn(x)
-                r = F.to_json(cv.v)
+                r = V.vjson(cv.v)
                 if cv.err is not None:
                     r = F.when(cv.err.isNotNull(), F.lit("null")).otherwise(r)
                 return r
@@ -624,7 +624,7 @@ def _col_list(node: ast.ListCons) -> ColFn | None:
             drop = _merge_drop(drop, cv.drop)
         arr_json = F.concat(
             F.lit("["),
-            F.concat_ws(",", F.array(*[F.to_json(cv.v) for cv in cvs])),
+            F.concat_ws(",", F.array(*[V.vjson(cv.v) for cv in cvs])),
             F.lit("]"),
         )
         return CV(F.parse_json(arr_json), err, drop)
@@ -642,7 +642,7 @@ def _col_dict(parts: list[tuple[CV, CV]]) -> CV:
         # non-string keys are skipped entirely (ops.rs:693-697), not
         # coerced: null k falls to the isNotNull filter below
         k = F.when(V.vtype(kc.v) == "string", V.as_string(kc.v))
-        entries.append(F.struct(k.alias("k"), F.to_json(vc.v).alias("j")))
+        entries.append(F.struct(k.alias("k"), V.vjson(vc.v).alias("j")))
     arr = F.filter(F.array(*entries), lambda e: e["k"].isNotNull())
     out = F.parse_json(V.json_of_entries(V.dedup_last_wins(arr)))
     return CV(out, err, drop)
@@ -670,7 +670,7 @@ def _col_dict_static(parts: list[tuple[str, CV]]) -> CV:
         # concat_ws skips it — same entry-dropping as the runtime path
         pieces.append(
             F.concat(
-                F.lit(_json.dumps(k, ensure_ascii=False) + ":"), F.to_json(vc.v)
+                F.lit(_json.dumps(k, ensure_ascii=False) + ":"), V.vjson(vc.v)
             )
         )
     out = F.parse_json(
@@ -960,8 +960,19 @@ def _stage_cv_many(
             cse.seen = saved_cse
             fallback.append((i, node, name))
             continue
+        cv, depth, landed = res
+        # A top-level item can come back UN-landed (landed is None)
+        # referencing an intermediate `__d*` temp: a CSE hit on a
+        # previously staged subtree, or a Pipe whose tail is
+        # Identity/Literal returning its mid CV. apply() drops temps
+        # after the layers run, so a returned CV must only reference
+        # FINAL columns — re-land those into {name}_v/{name}_e here.
+        # Bare Identity/Literal items reference only the root v/err
+        # (never dropped) and skip the extra column.
+        if landed is None and not isinstance(node, (ast.Identity, ast.Literal)):
+            cv, depth, landed = _pemit(scratch, cv, None, name, depth)
         plan.merge(scratch)
-        out[i] = res[0]
+        out[i] = cv
     df = plan.apply(df)
     for i, node, name in fallback:
         df = _stage(df, node, name)
@@ -1195,7 +1206,7 @@ def _stream_list(expr: ast.Node | None) -> StreamFn:
         s = compile_stream(expr)(base)
         collected = s.groupBy(g).agg(
             F.sort_array(
-                F.collect_list(F.struct(F.col("ord"), F.col("err"), F.to_json("v").alias("j")))
+                F.collect_list(F.struct(F.col("ord"), F.col("err"), V.vjson(F.col("v")).alias("j")))
             ).alias("__items")
         )
         joined = base.select("seq", "ord", "err", g, *_carries(df)).join(
@@ -1308,7 +1319,7 @@ def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
                         if skeys_all[i] is not None
                         else V.as_string(F.col(pair_cols[i]["k"][1]))
                     ).alias("k"),
-                    F.to_json(F.col(pair_cols[i]["v"][1])).alias("j"),
+                    V.vjson(F.col(pair_cols[i]["v"][1])).alias("j"),
                 )
                 for i in range(len(pairs))
             ]

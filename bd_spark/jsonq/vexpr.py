@@ -28,10 +28,18 @@ def vlong(x: Column) -> Column:
 
 
 def vdouble(x: Column) -> Column:
-    # cast(double as string) yields '1.0E32' / '180.0' forms that
-    # parse_json accepts; canonical text formatting happens only in
-    # the serializer (canonical.py), not here.
-    return F.parse_json(x.cast("string"))
+    # cast(double as string) yields '6.0' / '1.0E32' forms — but
+    # parse_json NORMALIZES plain-decimal text to DECIMAL, and
+    # DECIMAL(p,0) is the INT tower ('6.0' -> int 6: float-ness
+    # lost, wrong type tag AND wrong canonical text vs the
+    # reference's Float(6.0), json.rs:474).  Exponent notation is
+    # the one form parse_json keeps as DOUBLE, so force it: append
+    # E0 unless the cast already produced scientific notation.
+    # Caught by the jq_canonical_floats hash oracle (integral
+    # quotients must render 6e0, not 6).
+    s = x.cast("string")
+    sci = F.when(s.contains("E"), s).otherwise(F.concat(s, F.lit("E0")))
+    return F.parse_json(sci)
 
 
 def vstring(s: Column) -> Column:
@@ -115,6 +123,26 @@ def as_map(v: Column) -> Column:
 
 
 # ------------------------------------------------------------ rebuild
+def vjson(v: Column) -> Column:
+    """JSON text of a variant value that SURVIVES a parse_json
+    round-trip with its numeric tower intact: a top-level DOUBLE
+    prints as '6.0', which parse_json would normalize to
+    DECIMAL(1,0) — the int tower — so float results of engine
+    arithmetic would silently become ints inside dict/array
+    construction (caught by the jq_canonical_floats oracle). E0 is
+    appended to plain-decimal double text; all other values pass
+    through to_json unchanged. Limitation (documented): floats
+    nested DEEPER than one assembly level still normalize, since
+    to_json renders the whole subtree at once."""
+    j = F.to_json(v)
+    st = F.schema_of_variant(v)
+    return F.when(
+        ((st == "DOUBLE") | (st == "FLOAT"))
+        & ~j.contains("E") & ~j.contains("e"),
+        F.concat(j, F.lit("E0")),
+    ).otherwise(j)
+
+
 def json_quote(s: Column) -> Column:
     """JSON text of a string value (escaped, quoted)."""
     j = F.to_json(F.array(s))  # ["..."]
@@ -123,10 +151,11 @@ def json_quote(s: Column) -> Column:
 
 def json_of_array(arr: Column) -> Column:
     """JSON text of an ARRAY<VARIANT> (to_json rejects array<variant>
-    directly, so assemble element-wise)."""
+    directly, so assemble element-wise; vjson keeps DOUBLE elements
+    in the float tower through the re-parse)."""
     return F.concat(
         F.lit("["),
-        F.concat_ws(",", F.transform(arr, lambda x: F.to_json(x))),
+        F.concat_ws(",", F.transform(arr, lambda x: vjson(x))),
         F.lit("]"),
     )
 

@@ -401,6 +401,53 @@ FROM p
 """
 
 
+def jq_canonical_floats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{:e}` float formatting (json.rs:577) under a HASH oracle —
+    closing the one corner the main jq_canonical row avoids (VERDICT
+    r3 missing #3).  .k/2 and .k/8 are exact binary halves/eighths,
+    so their shortest-round-trip scientific form is exactly the
+    decimal digits of k*5 / k*125 with an exponent shift — which
+    DuckDB can build by string arithmetic, making every byte of the
+    float formatter (mantissa trimming, exponent sign, 0e0) hash-
+    gated, not just golden-tested."""
+    from bd_spark.sources.jsons import canonical_text
+
+    ev = table(spark, "events", sf_dir).select("event_id", "props")
+    jq = JsonQ(spark)
+    stream = jq.stream_from_text_column(ev, "props", seq_col="event_id")
+    out = jq.run("{h: (.k / 2), k: .k, q: (.k / 8)}", stream, ordered=False)
+    return canonical_text(out).select(F.col("seq").alias("event_id"), "line")
+
+
+JQ_CANONICAL_FLOATS_SQL = """
+WITH p AS (
+  SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), d AS (
+  SELECT event_id, k,
+         rtrim(CAST(k*5 AS VARCHAR), '0') AS m2,
+         length(CAST(k*5 AS VARCHAR)) - 2 AS e2,
+         rtrim(CAST(k*125 AS VARCHAR), '0') AS m8,
+         length(CAST(k*125 AS VARCHAR)) - 4 AS e8
+  FROM p
+)
+SELECT event_id,
+  '{"h":' ||
+  CASE WHEN k = 0 THEN '0e0' ELSE
+    substr(m2,1,1) ||
+    CASE WHEN length(m2) > 1 THEN '.' || substr(m2,2) ELSE '' END ||
+    'e' || e2
+  END
+  || ',"k":' || k || ',"q":' ||
+  CASE WHEN k = 0 THEN '0e0' ELSE
+    substr(m8,1,1) ||
+    CASE WHEN length(m8) > 1 THEN '.' || substr(m8,2) ELSE '' END ||
+    'e' || e8
+  END || '}' AS line
+FROM d
+"""
+
+
 QUERIES = {
     "jq_props_k": jq_props_k,
     "jq_token_count": jq_token_count,
@@ -414,6 +461,7 @@ QUERIES = {
     "jq_bitwise": jq_bitwise,
     "jq_overloads": jq_overloads,
     "jq_canonical": jq_canonical,
+    "jq_canonical_floats": jq_canonical_floats,
 }
 
 ORACLES = {
@@ -429,4 +477,5 @@ ORACLES = {
     "jq_bitwise": JQ_BITWISE_SQL,
     "jq_overloads": JQ_OVERLOADS_SQL,
     "jq_canonical": JQ_CANONICAL_SQL,
+    "jq_canonical_floats": JQ_CANONICAL_FLOATS_SQL,
 }

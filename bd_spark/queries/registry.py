@@ -125,6 +125,7 @@ EXTRA = [
     "q22_idle_rich_customers",  # anti + scalar subquery ⊂ q_semi_anti/q17
     "q_events_props",          # get_json_object nav ⊂ jq_props_k (same semantic)
     "pipe_pq_topk",            # PQ/ADC compressed ANN (full DuckDB oracle)
+    "jq_canonical_floats",     # {:e} float formatting vs string-built oracle
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are
