@@ -305,3 +305,118 @@ def pack_chunks(chunks, budget: int, shards: int | None = None,
         .sortWithinPartitions(id_col, chunk_col)
         .mapInPandas(assign, out_schema)
     )
+
+
+def decontaminate(train, eval_df, id_col: str, text_col: str,
+                  eval_id_col: str | None = None,
+                  eval_text_col: str | None = None,
+                  n: int = 13,
+                  broadcast_threshold: int | None = None):
+    """Benchmark decontamination: flag training documents that share
+    ANY character ``n``-gram with an evaluation/test corpus — the
+    standard leakage filter before pre-training (the n-gram-overlap
+    rule popularized by GPT-3 appendix C / PaLM; n=13 chars is the
+    common conservative window).
+
+    Returns (id, n_hits, contaminated): one row per TRAIN doc,
+    ``n_hits`` = number of distinct train-doc grams found in the eval
+    gram set, engine-portable (h31-hashed grams, like every dedup
+    operator) so a DuckDB oracle reproduces counts exactly.
+
+    100 TB shape: the EVAL side is small by definition (benchmarks
+    are thousands of docs, the corpus is billions), so its distinct
+    gram-hash set builds once and BROADCASTS — the train corpus is
+    scanned exactly once, map-side, with one per-row array_intersect
+    against the broadcast set; no train-side shuffle at all beyond
+    the final per-doc projection.  A size estimate guards the
+    broadcast (same policy as ngram_jaccard_pairs): an oversized eval
+    set degrades to a shuffled semi-join on the uniform gram-hash key.
+    """
+    eval_id_col = eval_id_col or id_col
+    eval_text_col = eval_text_col or text_col
+    if broadcast_threshold is None:
+        try:
+            broadcast_threshold = int(
+                train.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            )
+        except (TypeError, ValueError):
+            broadcast_threshold = 10 << 20
+    eval_grams = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.array_distinct(char_ngrams(F.col(eval_text_col), n)), h31
+                    )
+                )
+            ).alias("gh")
+        )
+        .distinct()
+    )
+    tr = train.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(F.array_distinct(char_ngrams(F.col(text_col), n)), h31)
+        ).alias("ghash"),
+    )
+    # one cheap action on the (tiny) eval side sizes the broadcast;
+    # ~24 bytes/entry for a long + set overhead in the build relation
+    n_eval = eval_grams.count()
+    if n_eval * 24 < broadcast_threshold:
+        gset = eval_grams.agg(F.collect_set("gh").alias("gs")).select(
+            F.sort_array("gs").alias("gs")
+        )
+        hits = F.size(F.array_intersect(F.col("ghash"), F.col("gs")))
+        return (
+            tr.crossJoin(F.broadcast(gset))
+            .select(
+                "id",
+                hits.cast("long").alias("n_hits"),
+                (hits > 0).alias("contaminated"),
+            )
+        )
+    # eval set too big to broadcast: shuffled join on the uniform
+    # gram-hash key, counting distinct matched grams per train doc
+    ex = tr.select("id", F.size("ghash").alias("_ng"), F.explode("ghash").alias("gh"))
+    matched = ex.join(eval_grams, "gh").groupBy("id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        tr.select("id")
+        .join(matched, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def sample_by_hash(df, id_col: str, fraction: float,
+                   stratum_cols: list[str] | None = None,
+                   fractions: dict | None = None,
+                   denom: int = 1_000_000):
+    """Deterministic, engine-portable (stratified) sampling: keep a
+    row iff ``h31(id) % denom < fraction * denom``.
+
+    Unlike ``DataFrame.sample`` this is (a) exactly reproducible
+    across engines, runs, and partitionings — the sample is a pure
+    function of the id — and (b) CONSISTENT across tables: sampling
+    two tables by the same key keeps joinable rows together (the
+    standard trick for sampling a star schema).  With
+    ``stratum_cols``/``fractions``, each stratum gets its own rate
+    (e.g. downsample web text, keep all books).  Row-local: zero
+    shuffle, scales with input bytes.
+    """
+    key = h31(F.col(id_col).cast("string")) % denom
+    if stratum_cols and fractions is not None:
+        rate = None
+        for val, fr in fractions.items():
+            cond = F.col(stratum_cols[0]) == F.lit(val)
+            rate = (
+                F.when(cond, F.lit(fr)) if rate is None else rate.when(cond, F.lit(fr))
+            )
+        rate = rate.otherwise(F.lit(fraction))
+    else:
+        rate = F.lit(fraction)
+    return df.where(key < rate * denom)

@@ -896,6 +896,60 @@ FROM (
 """
 
 
+def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style 13-char-gram overlap):
+    every 10th document stands in for the eval/benchmark set; train
+    docs sharing any 13-gram with it are flagged. The eval gram set
+    broadcasts (eval corpora are tiny next to the training corpus) —
+    one map-side train scan, zero train shuffle."""
+    docs = table(spark, "documents", sf_dir)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    eval_df = docs.where(F.col("doc_id") % 10 == 0)
+    return T.decontaminate(train, eval_df, "doc_id", "text", n=13)
+
+
+PIPE_DECONTAMINATE_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([{_h31('x')} for x in
+           list_distinct([substr(s, i+1, 13)
+                          for i in range(greatest(length(s) - 12, 0))])]) AS grams
+  FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents)
+), ev AS (
+  SELECT DISTINCT unnest(grams) AS gh FROM g WHERE doc_id % 10 = 0
+), evset AS (
+  SELECT list(gh ORDER BY gh) AS gs FROM ev
+)
+SELECT g.doc_id AS id,
+       CAST(len(list_intersect(g.grams, evset.gs)) AS BIGINT) AS n_hits,
+       len(list_intersect(g.grams, evset.gs)) > 0 AS contaminated
+FROM g, evset
+WHERE g.doc_id % 10 <> 0
+"""
+
+
+def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: downsample 'en'
+    to 30%, 'zh' to 60%, everything else 50% — reproducible across
+    engines/runs/partitionings (the sample is a pure function of the
+    id), row-local, zero shuffle."""
+    docs = table(spark, "documents", sf_dir)
+    return T.sample_by_hash(
+        docs.select("doc_id", "lang"),
+        "doc_id",
+        fraction=0.5,
+        stratum_cols=["lang"],
+        fractions={"en": 0.3, "zh": 0.6},
+    )
+
+
+PIPE_SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE ({_h31("CAST(doc_id AS VARCHAR)")} % 1000000)
+      < CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.6 ELSE 0.5 END * 1000000
+"""
+
+
 QUERIES = {
     "pipe_dedup_exact": pipe_dedup_exact,
     "pipe_dedup_minhash": pipe_dedup_minhash,
@@ -915,6 +969,8 @@ QUERIES = {
     "pipe_mm_frames": pipe_mm_frames,
     "pipe_curate": pipe_curate,
     "pipe_chunk_pack": pipe_chunk_pack,
+    "pipe_decontaminate": pipe_decontaminate,
+    "pipe_sample_stratified": pipe_sample_stratified,
     "pipe_pq_topk": pipe_pq_topk,
 }
 
@@ -937,5 +993,7 @@ ORACLES = {
     "pipe_mm_frames": PIPE_MM_FRAMES_SQL,
     "pipe_curate": PIPE_CURATE_SQL,
     "pipe_chunk_pack": PIPE_CHUNK_PACK_SQL,
+    "pipe_decontaminate": PIPE_DECONTAMINATE_SQL,
+    "pipe_sample_stratified": PIPE_SAMPLE_STRATIFIED_SQL,
     "pipe_pq_topk": PIPE_PQ_TOPK_SQL,
 }

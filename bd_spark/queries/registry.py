@@ -126,6 +126,8 @@ EXTRA = [
     "q_events_props",          # get_json_object nav ⊂ jq_props_k (same semantic)
     "pipe_pq_topk",            # PQ/ADC compressed ANN (full DuckDB oracle)
     "jq_canonical_floats",     # {:e} float formatting vs string-built oracle
+    "pipe_decontaminate",      # eval-set n-gram leakage filter (broadcast set)
+    "pipe_sample_stratified",  # deterministic hash sampling per stratum
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

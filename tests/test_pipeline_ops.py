@@ -401,3 +401,60 @@ def test_star_contraction_matches_hashmin(spark):
             for r in dedup.connected_components_star(ids, pairs).collect()
         }
         assert a == b, f"label mismatch on {name}"
+
+
+def test_decontaminate_broadcast_and_shuffle_paths_agree(spark):
+    """The broadcast-set fast path and the shuffled-join fallback must
+    produce identical flags/counts — the guard threshold only picks a
+    plan, never a result."""
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated content with zero overlap here!"),
+            (3, "xy"),  # shorter than n -> no grams -> clean
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox is a benchmark sentence")],
+        ["doc_id", "text"],
+    )
+    bc = {
+        r.id: (r.n_hits, r.contaminated)
+        for r in T.decontaminate(train, eval_df, "doc_id", "text", n=13).collect()
+    }
+    sh = {
+        r.id: (r.n_hits, r.contaminated)
+        for r in T.decontaminate(
+            train, eval_df, "doc_id", "text", n=13, broadcast_threshold=0
+        ).collect()
+    }
+    assert bc == sh
+    assert bc[1][1] is True and bc[1][0] > 0   # shares "the quick brown fox"
+    assert bc[2] == (0, False)
+    assert bc[3] == (0, False)
+
+
+def test_sample_by_hash_deterministic_and_stratified(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    a = T.sample_by_hash(docs, "doc_id", 0.5).collect()
+    b = T.sample_by_hash(docs.repartition(7), "doc_id", 0.5).collect()
+    # pure function of the id: identical sample under any partitioning
+    assert {r.doc_id for r in a} == {r.doc_id for r in b}
+    n = docs.count()
+    assert 0.4 * n < len(a) < 0.6 * n
+    strat = T.sample_by_hash(
+        docs, "doc_id", 0.5, stratum_cols=["lang"],
+        fractions={"en": 0.1, "zh": 0.9},
+    )
+    rates = {
+        r["lang"]: r["kept"] / r["total"]
+        for r in strat.groupBy("lang").agg(F.count("*").alias("kept"))
+        .join(
+            docs.groupBy("lang").agg(F.count("*").alias("total")), "lang"
+        )
+        .collect()
+    }
+    assert rates["en"] < 0.25 and rates["zh"] > 0.75
