@@ -458,3 +458,39 @@ def test_sample_by_hash_deterministic_and_stratified(spark, sf_dir):
         .collect()
     }
     assert rates["en"] < 0.25 and rates["zh"] > 0.75
+
+
+def test_star_contraction_random_graphs_vs_union_find(spark):
+    """Property check on random graphs: connected_components_star must
+    equal a plain union-find ground truth (min id per component) for
+    arbitrary edge sets — stronger than the fixed adversarial shapes."""
+    import random
+
+    for seed in (1, 2, 3, 4, 5):
+        rnd = random.Random(seed)
+        n = rnd.randrange(5, 60)
+        m = rnd.randrange(0, 2 * n)
+        edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(m)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(n)}
+
+        ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], "id_a long, id_b long"
+        )
+        got = {
+            r.id: r.cluster
+            for r in dedup.connected_components_star(ids, pairs).collect()
+        }
+        assert got == want, f"seed {seed}: mismatch"
