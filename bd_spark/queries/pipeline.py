@@ -928,6 +928,67 @@ WHERE g.doc_id % 10 <> 0
 """
 
 
+def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus selection (the data-mixing step of a
+    training pipeline): per language, admit documents in
+    quality-descending order until a 5000-token budget fills — the
+    greedy knapsack every 'take the best N billion tokens per source'
+    recipe uses. One window (partitionBy lang, order by quality desc,
+    doc_id) + a running token sum; a doc is admitted while the budget
+    is not yet exhausted BEFORE it. Deterministic ties by doc_id;
+    100 TB shape: one shuffle on the (few-valued) lang key with AQE
+    skew-split, no driver state."""
+    from pyspark.sql import Window
+
+    budget = 5000
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "lang",
+        F.round(T.quality_score(F.col("text")), 6).alias("q"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("q"), F.asc("doc_id"))
+    cum = F.sum("n_tokens").over(w)
+    return (
+        docs.withColumn("cum_tokens", cum)
+        .where(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .select("doc_id", "lang", "q", "n_tokens", "cum_tokens")
+    )
+
+
+PIPE_TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, length(text) AS nc, {_TOKS} AS w FROM documents
+), m AS (
+  SELECT doc_id, lang,
+    CAST(len(w) AS BIGINT) AS n_tokens,
+    CASE WHEN len(w) > 0
+         THEN CAST(coalesce(list_sum([length(tk) for tk in w]), 0) AS DOUBLE) / len(w)
+         ELSE 0.0 END AS mtl,
+    CASE WHEN nc > 0
+         THEN CAST(length(regexp_replace(lower(text), '[a-z ]', '', 'g')) AS DOUBLE) / nc
+         ELSE 0.0 END AS nar,
+    CASE WHEN len(w) > 0
+         THEN CAST(len([tk for tk in w if list_contains(['the','a','of','and','to','in','is','it'], tk)]) AS DOUBLE) / len(w)
+         ELSE 0.0 END AS sr
+  FROM t
+), q AS (
+  SELECT doc_id, lang, n_tokens,
+         round(least(n_tokens / 20.0, 1.0)
+               * (1.0 - least(nar * 2, 1.0))
+               * (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.5 END), 6) AS q
+  FROM m
+), c AS (
+  SELECT doc_id, lang, q, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM q
+)
+SELECT doc_id, lang, q, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < 5000
+"""
+
+
 def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based stratified sampling: downsample 'en'
     to 30%, 'zh' to 60%, everything else 50% — reproducible across
@@ -971,6 +1032,7 @@ QUERIES = {
     "pipe_chunk_pack": pipe_chunk_pack,
     "pipe_decontaminate": pipe_decontaminate,
     "pipe_sample_stratified": pipe_sample_stratified,
+    "pipe_token_budget": pipe_token_budget,
     "pipe_pq_topk": pipe_pq_topk,
 }
 
@@ -995,5 +1057,6 @@ ORACLES = {
     "pipe_chunk_pack": PIPE_CHUNK_PACK_SQL,
     "pipe_decontaminate": PIPE_DECONTAMINATE_SQL,
     "pipe_sample_stratified": PIPE_SAMPLE_STRATIFIED_SQL,
+    "pipe_token_budget": PIPE_TOKEN_BUDGET_SQL,
     "pipe_pq_topk": PIPE_PQ_TOPK_SQL,
 }

@@ -128,6 +128,7 @@ EXTRA = [
     "jq_canonical_floats",     # {:e} float formatting vs string-built oracle
     "pipe_decontaminate",      # eval-set n-gram leakage filter (broadcast set)
     "pipe_sample_stratified",  # deterministic hash sampling per stratum
+    "pipe_token_budget",       # quality-greedy selection under token budget
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

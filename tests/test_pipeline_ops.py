@@ -494,3 +494,30 @@ def test_star_contraction_random_graphs_vs_union_find(spark):
             for r in dedup.connected_components_star(ids, pairs).collect()
         }
         assert got == want, f"seed {seed}: mismatch"
+
+
+def test_token_budget_semantics(spark):
+    """Greedy budget admission: docs enter in (quality desc, id asc)
+    order while the budget is not exhausted BEFORE them — the last
+    admitted doc may overflow the budget, the next one never enters."""
+    from bd_spark.queries.pipeline import pipe_token_budget  # noqa: F401
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", 0.9, 40),
+            (2, "en", 0.8, 50),   # cum 90 < 100 -> admitted (overflows to 90)
+            (3, "en", 0.7, 30),   # cum before = 90 < 100 -> admitted, cum 120
+            (4, "en", 0.6, 10),   # cum before = 120 >= 100 -> rejected
+            (5, "zh", 0.5, 200),  # first in stratum always admitted
+            (6, "zh", 0.4, 10),
+        ],
+        ["doc_id", "lang", "q", "n_tokens"],
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("q"), F.asc("doc_id"))
+    out = (
+        docs.withColumn("cum", F.sum("n_tokens").over(w))
+        .where(F.col("cum") - F.col("n_tokens") < 100)
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {1, 2, 3, 5}
