@@ -88,3 +88,48 @@ def test_stream_enrich_broadcasts_dim(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     join_side = plan.split("BroadcastHashJoin")[0]
     assert "Exchange hashpartitioning" not in join_side
+
+
+def test_decontaminate_broadcasts_eval_set(spark, sf_dir):
+    """The eval gram set must reach the train scan as a broadcast —
+    the train corpus is scanned exactly once, map-side, with no
+    train-side exchange before the flagging projection."""
+    from bd_spark.catalog import table
+    from bd_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    docs = table(spark, "documents", sf_dir)
+    out = T.decontaminate(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        "doc_id", "text", n=13,
+    )
+    plan = _plan(out)
+    assert "Broadcast" in plan
+    # the train side feeds the broadcast join straight from its scan
+    train_side = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange hashpartitioning" not in train_side
+
+
+def test_sample_by_hash_no_shuffle(spark, sf_dir):
+    """Hash sampling is a pure row-local filter: zero exchanges."""
+    from bd_spark.catalog import table
+    from bd_spark.operators import text as T
+
+    out = T.sample_by_hash(
+        table(spark, "documents", sf_dir).select("doc_id", "lang"),
+        "doc_id", 0.5,
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+
+
+def test_embed_neardup_candidates_shuffle_ids_only(spark, sf_dir, queries):
+    """The banded-LSH candidate distinct must not carry the 64-dim
+    vectors: every hash exchange before the verify joins ships only
+    (id, band, bucket) longs (shuffling vectors through the pair
+    distinct was measured 4x the whole operator)."""
+    plan = _plan(queries["pipe_embed_neardup"](spark, sf_dir))
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        keyspec = frag.split(")")[0]
+        assert "vec" not in keyspec
