@@ -412,7 +412,12 @@ def jq_canonical_floats(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated, not just golden-tested."""
     from bd_spark.sources.jsons import canonical_text
 
-    ev = table(spark, "events", sf_dir).select("event_id", "props")
+    # deterministic 1-in-10 subset: every row exercises the Python
+    # {:e} path by construction (all values carry floats), so the
+    # formatter is fully gated at a tenth of the sink cost
+    ev = table(spark, "events", sf_dir).where(
+        F.col("event_id") % 10 == 0
+    ).select("event_id", "props")
     jq = JsonQ(spark)
     stream = jq.stream_from_text_column(ev, "props", seq_col="event_id")
     out = jq.run("{h: (.k / 2), k: .k, q: (.k / 8)}", stream, ordered=False)
@@ -422,7 +427,7 @@ def jq_canonical_floats(spark: SparkSession, sf_dir: str) -> DataFrame:
 JQ_CANONICAL_FLOATS_SQL = """
 WITH p AS (
   SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-  FROM events
+  FROM events WHERE event_id % 10 = 0
 ), d AS (
   SELECT event_id, k,
          rtrim(CAST(k*5 AS VARCHAR), '0') AS m2,
