@@ -194,35 +194,51 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
             f"corpus has {len(cents)} rows; need >= nlist={nlist} centroids"
         )
 
-    def best_cids(vec: Column, top: int) -> Column:
+    # all nlist centroid cosines in ONE transform over a literal
+    # centroid matrix (vector and its norm staged once as columns) —
+    # nlist separate dot-expression trees each re-deriving the cast
+    # vector made plan build the dominant cost (the banding lesson)
+    cents_mat = _lit_mat(cv for _, cv in cents)
+    cnorms = _lit_vec(sum(x * x for x in cv) ** 0.5 for _, cv in cents)
+    cids_lit = F.expr(
+        "array(" + ",".join(f"{int(cid)}L" for cid, _ in cents) + ")"
+    )
+
+    def best_cids(dv: Column, nv: Column, top: int) -> Column:
         """array of the `top` centroid ids by (round(cos,9) desc, cid asc)."""
-        v = _dvec(vec)
-        nv = l2norm(v)
-        scored = F.array(*[
-            F.struct(
+        scored = F.transform(
+            cents_mat,
+            lambda cv, i: F.struct(
                 (-F.round(
-                    dot(v, _lit_vec(cv))
-                    / (nv * F.lit(sum(x * x for x in cv) ** 0.5)),
-                    9,
+                    dot(dv, cv) / (nv * F.element_at(cnorms, i + 1)), 9
                 )).alias("negcos"),
-                F.lit(cid).cast("long").alias("cid"),
-            )
-            for cid, cv in cents
-        ])
+                F.element_at(cids_lit, i + 1).alias("cid"),
+            ),
+        )
         return F.slice(
             F.transform(F.array_sort(scored), lambda s: s.getField("cid")), 1, top
         )
 
-    assigned = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.element_at(best_cids(F.col(vec_col), 1), 1).alias("cid"),
+    assigned = (
+        corpus.withColumn("_dv", _dvec(F.col(vec_col)))
+        .withColumn("_nv", l2norm(F.col("_dv")))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(
+                best_cids(F.col("_dv"), F.col("_nv"), 1), 1
+            ).alias("cid"),
+        )
     )
     probes = F.broadcast(
-        queries.select(
+        queries.withColumn("_dv", _dvec(F.col(vec_col)))
+        .withColumn("_nv", l2norm(F.col("_dv")))
+        .select(
             F.col(query_id_col),
             F.col(vec_col).alias("_qvec"),
-            F.explode(best_cids(F.col(vec_col), nprobe)).alias("cid"),
+            F.explode(
+                best_cids(F.col("_dv"), F.col("_nv"), nprobe)
+            ).alias("cid"),
         )
     )
     scored = assigned.join(probes, "cid").select(
@@ -360,15 +376,15 @@ def pq_codebooks(corpus: DataFrame, m: int = 8, ksub: int = 16,
     ]
 
 
-def _subdist2(sub: Column, code: list[float]) -> Column:
-    """Squared L2 distance of a (pre-sliced) subvector to a literal
-    code. Callers stage the slice ONCE per subspace and pass the
+def _subdist2(sub: Column, code: Column | list[float]) -> Column:
+    """Squared L2 distance of a (pre-sliced) subvector to a code —
+    either a literal list or a Column (an element of a staged code
+    matrix). Callers stage the slice ONCE per subspace and pass the
     column reference — repeating the cast+slice inside each of the
     ksub distance folds multiplied the expression tree ~16x (build +
     codegen time, the jq staging lesson)."""
-    diff = F.zip_with(
-        sub, _lit_vec(code), lambda a, b: (a - b) * (a - b)
-    )
+    code_col = code if isinstance(code, Column) else _lit_vec(code)
+    diff = F.zip_with(sub, code_col, lambda a, b: (a - b) * (a - b))
     return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -390,13 +406,15 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     m, dsub = len(codebooks), len(codebooks[0][0])
 
     def argmin(j: int) -> Column:
-        scored = F.array(*[
-            F.struct(
+        # all ksub code distances via one transform over the literal
+        # code matrix — per-code expression trees made build dominate
+        scored = F.transform(
+            _lit_mat(codebooks[j]),
+            lambda code, c: F.struct(
                 F.round(_subdist2(F.col(f"_s{j}"), code), 9).alias("d"),
-                F.lit(c).cast("long").alias("c"),
-            )
-            for c, code in enumerate(codebooks[j])
-        ])
+                c.cast("long").alias("c"),
+            ),
+        )
         return F.element_at(F.array_sort(scored), 1).getField("c")
 
     return _with_subvectors(df, vec_col, m, dsub).select(
@@ -424,15 +442,18 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     """
     m, dsub = len(codebooks), len(codebooks[0][0])
     codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    def _lut(j: int):
+        # factory closure: a `lambda code, _j=j` default arg would be
+        # introspected by PySpark as a TWO-arg (element, index) lambda
+        sub = F.col(f"_s{j}")
+        return F.transform(
+            _lit_mat(codebooks[j]),
+            lambda code: F.round(_subdist2(sub, code), 9),
+        )
+
     luts = _with_subvectors(queries, vec_col, m, dsub).select(
         F.col(query_id_col),
-        *[
-            F.array(*[
-                F.round(_subdist2(F.col(f"_s{j}"), code), 9)
-                for code in codebooks[j]
-            ]).alias(f"_lut{j}")
-            for j in range(m)
-        ],
+        *[_lut(j).alias(f"_lut{j}") for j in range(m)],
     )
     adc = sum(
         (F.element_at(F.col(f"_lut{j}"), F.col("codes")[j].cast("int") + 1)
