@@ -30,6 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="inputs are concatenated/multi-line JSON docs, not one per line",
     )
     p.add_argument(
+        "--format", choices=["json", "cbor", "msgpack"], default="json",
+        help="input document format (binary formats read whole files / "
+             "stdin as concatenated document streams)",
+    )
+    p.add_argument(
         "--errors", action="store_true",
         help="print in-band error entries to stderr instead of dropping them",
     )
@@ -99,7 +104,23 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     jq = JsonQ(spark)
 
-    if args.files:
+    if args.format != "json":
+        # binary document stream (reference README.md:20 formats):
+        # each file / stdin is a concatenated CBOR (RFC 8742) or
+        # msgpack stream, bursting to one row per document
+        from bd_spark.sources import cbor, msgpack
+
+        mod = cbor if args.format == "cbor" else msgpack
+        if args.files:
+            payloads = [open(f, "rb").read() for f in args.files]
+        else:
+            payloads = [sys.stdin.buffer.read()]
+        df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in enumerate(payloads)],
+            "seq long, blob binary",
+        )
+        stream = mod.stream_from_binary_column(df, "blob", multi=True)
+    elif args.files:
         reader = jsons.read_json_concat if args.concat else jsons.read_jsonl
         stream = reader(spark, args.files)
     else:

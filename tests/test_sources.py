@@ -191,3 +191,18 @@ def test_format_agnostic_roundtrip(spark, sf_dir, tmp_path):
         for r in spark.read.schema(docs.schema).json(str(jsn)).collect()
     )
     assert got_json == expect
+
+
+def test_cli_cbor_and_msgpack_files(spark, tmp_path, capsys):
+    from bd_spark.cli import main
+    from bd_spark.sources import cbor, msgpack
+
+    pc = tmp_path / "in.cbor"
+    pc.write_bytes(cbor.encode({"foo": {"bar": 41}}) + cbor.encode({"foo": {"bar": 1}}))
+    assert main(["--format", "cbor", ".foo.bar + 1", str(pc)]) == 0
+    assert capsys.readouterr().out == "42\n2\n"
+
+    pm = tmp_path / "in.msgpack"
+    pm.write_bytes(msgpack.encode({"x": [1, 2, 3]}) + msgpack.encode({"x": []}))
+    assert main(["--format", "msgpack", ".x | length", str(pm)]) == 0
+    assert capsys.readouterr().out == "3\n0\n"
