@@ -123,24 +123,66 @@ def as_map(v: Column) -> Column:
 
 
 # ------------------------------------------------------------ rebuild
+
+# A quoted JSON string (with escapes) OR a maximal run of non-quote
+# text. to_json output alternates between exactly these two token
+# kinds, so transforming only the non-string tokens is string-safe.
+_JSON_TOKEN_RE = r'"(?:[^"\\]|\\.)*"|[^"]+'
+
+# Inside a non-string token, `<digit>.0` followed by a delimiter (or
+# token end, which for numbers is always text end — a number literal
+# can never abut an opening quote in valid JSON) is EXACTLY the
+# rendering of an integral DOUBLE: parse_json normalizes decimal
+# input so integral DECIMALs are always scale 0 (render "6", never
+# "6.0"), while Java renders integral doubles < 1e7 as "6.0" and
+# everything else keeps an exponent. Non-integral doubles ("6.5")
+# re-parse into DECIMAL(p,s>0) — still the float tower — so only the
+# ".0" form needs the E0 tag to survive a parse_json round-trip.
+_INT_DOUBLE_RE = r"(?<=\d)\.0(?=[,\]}]|$)"
+
+
+def _retag_nested_doubles(j: Column) -> Column:
+    """Append E0 to every integral-double literal in JSON text `j`,
+    skipping string values (tokenize strings / non-strings, transform
+    only the latter). All codegen: regexp + higher-order functions."""
+    toks = F.regexp_extract_all(j, F.lit(_JSON_TOKEN_RE), 0)
+    return F.concat_ws(
+        "",
+        F.transform(
+            toks,
+            lambda t: F.when(t.startswith('"'), t).otherwise(
+                F.regexp_replace(t, _INT_DOUBLE_RE, ".0E0")
+            ),
+        ),
+    )
+
+
 def vjson(v: Column) -> Column:
     """JSON text of a variant value that SURVIVES a parse_json
-    round-trip with its numeric tower intact: a top-level DOUBLE
-    prints as '6.0', which parse_json would normalize to
+    round-trip with its numeric tower intact, at ANY nesting depth:
+    a DOUBLE prints as '6.0', which parse_json would normalize to
     DECIMAL(1,0) — the int tower — so float results of engine
-    arithmetic would silently become ints inside dict/array
-    construction (caught by the jq_canonical_floats oracle). E0 is
-    appended to plain-decimal double text; all other values pass
-    through to_json unchanged. Limitation (documented): floats
-    nested DEEPER than one assembly level still normalize, since
-    to_json renders the whole subtree at once."""
+    arithmetic (json.rs:930 int/int→float) would silently become
+    ints inside dict/array construction (caught by the
+    jq_canonical_floats depth-2 hash oracle). A top-level DOUBLE gets
+    E0 appended directly; a container whose text carries a candidate
+    integral-double literal goes through the string-safe retag pass.
+    Everything else passes through to_json unchanged."""
     j = F.to_json(v)
     st = F.schema_of_variant(v)
-    return F.when(
-        ((st == "DOUBLE") | (st == "FLOAT"))
-        & ~j.contains("E") & ~j.contains("e"),
-        F.concat(j, F.lit("E0")),
-    ).otherwise(j)
+    return (
+        F.when(
+            ((st == "DOUBLE") | (st == "FLOAT"))
+            & ~j.contains("E") & ~j.contains("e"),
+            F.concat(j, F.lit("E0")),
+        )
+        .when(
+            (st.startswith("ARRAY") | st.startswith("OBJECT") | st.startswith("STRUCT"))
+            & j.rlike(r"\d\.0([,\]}]|$)"),
+            _retag_nested_doubles(j),
+        )
+        .otherwise(j)
+    )
 
 
 def json_quote(s: Column) -> Column:

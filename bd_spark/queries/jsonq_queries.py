@@ -402,32 +402,34 @@ FROM p
 
 
 def jq_canonical_floats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`{:e}` float formatting (json.rs:577) under a HASH oracle —
-    closing the one corner the main jq_canonical row avoids (VERDICT
-    r3 missing #3).  .k/2 and .k/8 are exact binary halves/eighths,
-    so their shortest-round-trip scientific form is exactly the
-    decimal digits of k*5 / k*125 with an exponent shift — which
-    DuckDB can build by string arithmetic, making every byte of the
-    float formatter (mantissa trimming, exponent sign, 0e0) hash-
-    gated, not just golden-tested."""
+    """`{:e}` float formatting (json.rs:577) AND float-tower survival
+    through NESTED construction (json.rs:930 int/int→float) under a
+    HASH oracle, over the FULL events input.  .k/2 and .k/8 are exact
+    binary halves/eighths, so their shortest-round-trip scientific
+    form is exactly the decimal digits of k*5 / k*125 with an
+    exponent shift — which DuckDB can build by string arithmetic,
+    making every byte of the float formatter (mantissa trimming,
+    exponent sign, 0e0) hash-gated, not just golden-tested.  The
+    depth-2 shapes `n:{q:...}` and `a:[...]` gate vexpr.vjson's
+    string-safe integral-double retag: a float assembled one level
+    down must still render Ne0, not N (VERDICT r4 wrong #1)."""
     from bd_spark.sources.jsons import canonical_text
 
-    # deterministic 1-in-10 subset: every row exercises the Python
-    # {:e} path by construction (all values carry floats), so the
-    # formatter is fully gated at a tenth of the sink cost
-    ev = table(spark, "events", sf_dir).where(
-        F.col("event_id") % 10 == 0
-    ).select("event_id", "props")
+    ev = table(spark, "events", sf_dir).select("event_id", "props")
     jq = JsonQ(spark)
     stream = jq.stream_from_text_column(ev, "props", seq_col="event_id")
-    out = jq.run("{h: (.k / 2), k: .k, q: (.k / 8)}", stream, ordered=False)
+    out = jq.run(
+        "{h: (.k / 2), k: .k, n: {q: (.k / 8)}, a: [(.k / 2)]}",
+        stream,
+        ordered=False,
+    )
     return canonical_text(out).select(F.col("seq").alias("event_id"), "line")
 
 
 JQ_CANONICAL_FLOATS_SQL = """
 WITH p AS (
   SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-  FROM events WHERE event_id % 10 = 0
+  FROM events
 ), d AS (
   SELECT event_id, k,
          rtrim(CAST(k*5 AS VARCHAR), '0') AS m2,
@@ -435,21 +437,24 @@ WITH p AS (
          rtrim(CAST(k*125 AS VARCHAR), '0') AS m8,
          length(CAST(k*125 AS VARCHAR)) - 4 AS e8
   FROM p
+), e AS (
+  SELECT event_id, k,
+    CASE WHEN k = 0 THEN '0e0' ELSE
+      substr(m2,1,1) ||
+      CASE WHEN length(m2) > 1 THEN '.' || substr(m2,2) ELSE '' END ||
+      'e' || e2
+    END AS h,
+    CASE WHEN k = 0 THEN '0e0' ELSE
+      substr(m8,1,1) ||
+      CASE WHEN length(m8) > 1 THEN '.' || substr(m8,2) ELSE '' END ||
+      'e' || e8
+    END AS q
+  FROM d
 )
 SELECT event_id,
-  '{"h":' ||
-  CASE WHEN k = 0 THEN '0e0' ELSE
-    substr(m2,1,1) ||
-    CASE WHEN length(m2) > 1 THEN '.' || substr(m2,2) ELSE '' END ||
-    'e' || e2
-  END
-  || ',"k":' || k || ',"q":' ||
-  CASE WHEN k = 0 THEN '0e0' ELSE
-    substr(m8,1,1) ||
-    CASE WHEN length(m8) > 1 THEN '.' || substr(m8,2) ELSE '' END ||
-    'e' || e8
-  END || '}' AS line
-FROM d
+  '{"a":[' || h || '],"h":' || h || ',"k":' || k
+  || ',"n":{"q":' || q || '}}' AS line
+FROM e
 """
 
 

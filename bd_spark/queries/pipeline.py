@@ -933,24 +933,70 @@ def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pipeline): per language, admit documents in
     quality-descending order until a 5000-token budget fills — the
     greedy knapsack every 'take the best N billion tokens per source'
-    recipe uses. One window (partitionBy lang, order by quality desc,
-    doc_id) + a running token sum; a doc is admitted while the budget
-    is not yet exhausted BEFORE it. Deterministic ties by doc_id;
-    100 TB shape: one shuffle on the (few-valued) lang key with AQE
-    skew-split, no driver state."""
+    recipe uses. Deterministic ties by doc_id.
+
+    100 TB shape — TWO-PHASE PREFIX SUM (a naive
+    Window.partitionBy(lang) running sum would pull an entire
+    language — tens of TB of "en" — through ONE sort task, and AQE
+    cannot split window partitions):
+
+      1. per-language quality-quantile boundaries (approx_percentile;
+         accuracy only affects bucket BALANCE, never results — any
+         boundary set partitions the quality-descending order into
+         contiguous runs, so phase-4 sums are exact regardless),
+      2. row-local bucket assignment (broadcast the tiny boundary
+         table; ties share a bucket because assignment compares
+         values, not ranks),
+      3. per-(lang, bucket) token totals -> cumulative bucket offsets
+         (a window over the K x #langs-row summary — trivially small),
+      4. buckets whose offset already exceeds the budget are dropped
+         WITHOUT sorting (cum - n_tokens >= offset >= budget for every
+         doc in them); the within-bucket prefix-sum window — keyed by
+         (lang, bucket), so one task never holds more than ~1/K of a
+         language — runs only over the surviving ~budget-sized head.
+    """
     from pyspark.sql import Window
 
     budget = 5000
+    n_buckets = 16
     docs = table(spark, "documents", sf_dir).select(
         "doc_id",
         "lang",
         F.round(T.quality_score(F.col("text")), 6).alias("q"),
         T.token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("q"), F.asc("doc_id"))
-    cum = F.sum("n_tokens").over(w)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = docs.groupBy("lang").agg(
+        F.percentile_approx("q", probs, 10000).alias("bs")
+    )
+    # bucket 0 = best quality; equal q always maps to the same bucket
+    bucketed = docs.join(F.broadcast(bounds), "lang").select(
+        "doc_id",
+        "lang",
+        "q",
+        "n_tokens",
+        F.size(F.filter("bs", lambda b: b > F.col("q"))).alias("bucket"),
+    )
+    bsums = bucketed.groupBy("lang", "bucket").agg(
+        F.sum("n_tokens").alias("btoks")
+    )
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bsums.select(
+        "lang",
+        "bucket",
+        F.coalesce(F.sum("btoks").over(w_off), F.lit(0)).alias("off"),
+    ).where(F.col("off") < budget)
+    w_in = Window.partitionBy("lang", "bucket").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    cum = (F.col("off") + F.sum("n_tokens").over(w_in)).alias("cum_tokens")
     return (
-        docs.withColumn("cum_tokens", cum)
+        bucketed.join(F.broadcast(offsets), ["lang", "bucket"])
+        .withColumn("cum_tokens", cum)
         .where(F.col("cum_tokens") - F.col("n_tokens") < budget)
         .select("doc_id", "lang", "q", "n_tokens", "cum_tokens")
     )

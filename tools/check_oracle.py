@@ -79,6 +79,20 @@ def main() -> int:
         )
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # Explicitly-named EXTRA queries are checkable too (their oracle
+    # normally runs in tests/test_extra_oracle.py, not the driver gate)
+    extra_requested = only - set(queries)
+    if extra_requested:
+        from bd_spark.queries import registry
+
+        ex_q, ex_o = registry.extra_queries(), registry.extra_oracles()
+        for n in sorted(extra_requested):
+            if n in ex_q:
+                queries[n] = ex_q[n]
+                if n in ex_o:
+                    oracles[n] = ex_o[n]
+            else:
+                print(f"SKIP {n}: unknown query name")
     failed = []
     for name, fn in queries.items():
         if only and name not in only:
