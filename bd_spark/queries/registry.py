@@ -129,6 +129,8 @@ EXTRA = [
     "pipe_decontaminate",      # eval-set n-gram leakage filter (broadcast set)
     "pipe_sample_stratified",  # deterministic hash sampling per stratum
     "pipe_token_budget",       # quality-greedy selection under token budget
+    "pipe_ann_ivf_trained",    # IVF with deterministic k-means centroids
+    "pipe_pq_topk_trained",    # PQ with deterministic per-subspace k-means
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

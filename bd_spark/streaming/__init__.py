@@ -9,6 +9,7 @@ stateful operators a 100 TB event pipeline needs.
 
 from bd_spark.streaming.ops import (  # noqa: F401
     read_events_stream,
+    read_rate_events,
     run_to_memory,
     sessionized_stats,
     stream_documents,

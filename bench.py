@@ -14,6 +14,12 @@ $SPARK_GRAFT_BENCH_RUNS times (default 2) and reports the per-query
 MINIMUM — one shared-JVM run per query was observed doubling
 untouched queries' times (GC/codegen-cache ordering effects), making
 real regressions indistinguishable from noise.
+
+Cold-run visibility (VERDICT r4 wrong #3a): min-of-N composes with
+the JsonQ compiled-plan cache, hiding first-run plan-build cost. The
+output therefore also carries ``queries_cold`` — each query's FIRST
+run (plan build + execution, what a fresh session pays once) — so a
+plan-build regression can't hide behind the warm minimum.
 """
 
 from __future__ import annotations
@@ -47,17 +53,21 @@ def main() -> None:
     next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in qs.items():
         best = None
-        for _ in range(runs):
+        for i in range(runs):
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
                 df.count()
                 dt = time.perf_counter() - t0
+                if i == 0:
+                    cold[name] = round(dt, 3)
                 best = dt if best is None or dt < best else best
             except Exception as e:  # noqa: BLE001
                 best = -1.0
+                cold[name] = -1.0
                 print(f"# bench error {name}: {e}", file=sys.stderr)
                 break
         timings[name] = round(best, 3)
@@ -67,6 +77,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
         "sf": sf,
     }))
     spark.stop()
