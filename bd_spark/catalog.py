@@ -7,6 +7,8 @@ documents embeddings — one parquet file each under a scale-factor dir.
 from __future__ import annotations
 
 import os
+import uuid
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -90,6 +92,21 @@ def _fix_time_types(df: DataFrame) -> DataFrame:
 _REBALANCE_MEMO: dict[tuple, bool] = {}
 _REBALANCE_MEMO_MAX = 256
 
+# Session identity for cache keys: NOT id(session) — CPython can
+# reuse a dead session's id for a new one, resurrecting cache entries
+# bound to the stopped session (ADVICE r4). A WeakKeyDictionary hands
+# each live session a unique token; a GC'd session's token can never
+# be handed out again.
+_SESSION_TOKENS = weakref.WeakKeyDictionary()
+
+
+def session_token(spark: SparkSession) -> str:
+    tok = _SESSION_TOKENS.get(spark)
+    if tok is None:
+        tok = uuid.uuid4().hex
+        _SESSION_TOKENS[spark] = tok
+    return tok
+
 
 def rebalance(df: DataFrame) -> DataFrame:
     """Ensure at least one partition per core before CPU-dense
@@ -108,7 +125,7 @@ def rebalance(df: DataFrame) -> DataFrame:
         key = None
         try:
             key = (
-                id(df.sparkSession),
+                session_token(df.sparkSession),
                 df.schema.simpleString(),
                 df._jdf.queryExecution().logical().semanticHash(),
             )

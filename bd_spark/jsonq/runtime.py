@@ -89,6 +89,9 @@ class JsonQ:
     # Keyed by (session, query, ordered, input schema, input plan
     # semanticHash) — semanticHash is Catalyst's own canonical plan
     # hash, one Py4J call to compute.  Bounded FIFO, 64 entries.
+    # The session component is catalog.session_token (weakref-keyed),
+    # not id(): a reused CPython id could resurrect a dead session's
+    # cached DataFrame (ADVICE r4).
     _PLAN_CACHE: dict[tuple, DataFrame] = {}
     _PLAN_CACHE_MAX = 64
 
@@ -106,8 +109,10 @@ class JsonQ:
         cache hit returns the previously compiled plan verbatim.
         """
         try:
+            from bd_spark.catalog import session_token
+
             plan_key = (
-                id(stream.sparkSession),
+                session_token(stream.sparkSession),
                 query,
                 ordered,
                 stream.schema.simpleString(),

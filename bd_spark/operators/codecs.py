@@ -11,9 +11,13 @@ for them:
 - **BMP** (uncompressed BI_RGB, 8/24/32-bit, bottom-up or top-down).
 - **PPM/PGM** (P5/P6 binary).
 - **WAV** (PCM via the stdlib ``wave`` module).
-- **JPEG & everything else**: delegated to PIL *if importable*
-  (``pip install pillow`` — pure-python wheel available), else a
-  ``CodecUnavailable`` error naming the dependency contract.
+- **JPEG** (baseline sequential DCT — the dominant web format —
+  grayscale/YCbCr, any sampling, restart markers: the pure-Python
+  decoder in :mod:`bd_spark.operators.jpeg`).
+- **Progressive JPEG & everything else**: delegated to PIL *if
+  importable* (``pip install pillow`` — pure-python wheel available),
+  else a ``CodecUnavailable`` error naming the dependency contract
+  and the native decoder's reason.
 
 Decoded images are numpy ``uint8`` arrays of shape (h, w, channels);
 ``resize_nearest`` is a numpy index-gather (no Python pixel loops).
@@ -185,6 +189,21 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     ).reshape(h, row_bytes)[:, : w * nchan].reshape(h, w, nchan)
     if flip:
         px = px[::-1]
+    if bpp == 8:
+        # 8bpp is PALETTIZED: pixel bytes index the mandatory color
+        # table after the info header (BGRX entries, biClrUsed colors,
+        # 0 meaning 256) — raw indices are not sample values (ADVICE r4)
+        n_colors = struct.unpack("<I", buf[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > data_off:
+            raise CodecError("BMP color table truncated")
+        pal = np.frombuffer(
+            buf, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(n_colors, 4)[:, 2::-1]  # BGRX -> RGB
+        idx = px.reshape(h, w)
+        if int(idx.max(initial=0)) >= n_colors:
+            raise CodecError("BMP palette index out of range")
+        return np.ascontiguousarray(pal[idx])
     if nchan >= 3:  # BGR(A) -> RGB(A)
         px = px[:, :, [2, 1, 0] + ([3] if nchan == 4 else [])]
     return np.ascontiguousarray(px)
@@ -261,6 +280,7 @@ def decode_image(buf: bytes) -> np.ndarray:
     everything else goes through PIL when installed."""
     buf = bytes(buf)
     fmt = sniff(buf)
+    native_err = None
     try:
         if fmt == "png":
             return decode_png(buf)
@@ -268,15 +288,22 @@ def decode_image(buf: bytes) -> np.ndarray:
             return decode_bmp(buf)
         if fmt == "pnm":
             return decode_pnm(buf)
-    except CodecError:
-        # structurally invalid for the sniffed format — PIL may still
-        # handle variants (palette PNG, RLE BMP, ...)
-        pass
+        if fmt == "jpeg":
+            from bd_spark.operators.jpeg import decode_jpeg
+
+            return decode_jpeg(buf)
+    except CodecError as e:
+        # structurally invalid or out-of-scope for the native decoder
+        # — PIL may still handle variants (palette PNG, RLE BMP,
+        # progressive JPEG, ...)
+        native_err = str(e)
     pil = _pil()
     if pil is None:
         raise CodecUnavailable(
-            f"format {fmt!r} needs Pillow (pip install pillow); native "
-            "support covers PNG(8-bit)/BMP(BI_RGB)/PPM/PGM"
+            f"format {fmt!r} needs Pillow (pip install pillow)"
+            + (f" — native decoder said: {native_err}" if native_err else "")
+            + "; native support covers PNG(8-bit)/BMP(BI_RGB)/PPM/PGM/"
+            "JPEG(baseline)"
         )
     img = pil.open(io.BytesIO(buf))
     arr = np.asarray(img.convert("RGB") if img.mode == "P" else img)

@@ -169,6 +169,15 @@ RESIZED_SCHEMA = StructType([
     StructField("payload", BinaryType()),
 ])
 
+# real-codec path carries per-row in-band errors (null payload + err)
+RESIZED_REAL_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("err", StringType()),
+])
+
 FRAME_SCHEMA = StructType([
     StructField("asset_id", LongType()),
     StructField("frame_idx", LongType()),
@@ -193,21 +202,31 @@ def resize_images(assets: DataFrame, width: int, height: int,
         def do_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 payloads = []
+                errs = []
                 for p in pdf["payload"]:
-                    img = codecs.decode_image(bytes(p))
-                    payloads.append(
-                        codecs.encode_png(
-                            codecs.resize_nearest(img, width, height)
+                    # per-row in-band errors, like decode_assets: one
+                    # undecodable payload must never fail the task
+                    # (ADVICE r4)
+                    try:
+                        img = codecs.decode_image(bytes(p))
+                        payloads.append(
+                            codecs.encode_png(
+                                codecs.resize_nearest(img, width, height)
+                            )
                         )
-                    )
+                        errs.append(None)
+                    except Exception as e:  # noqa: BLE001 — in-band
+                        payloads.append(None)
+                        errs.append(f"{type(e).__name__}: {e}")
                 yield pd.DataFrame({
                     "asset_id": pdf["asset_id"],
                     "width": [width] * len(pdf),
                     "height": [height] * len(pdf),
                     "payload": payloads,
+                    "err": errs,
                 })
 
-        return assets.mapInPandas(do_real, schema=RESIZED_SCHEMA)
+        return assets.mapInPandas(do_real, schema=RESIZED_REAL_SCHEMA)
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_n = width * height

@@ -8,7 +8,7 @@ Two paths, per the blueprint:
   at any scale.  Ranking shuffles only (n_queries * k') rows.
 - **Random-hyperplane LSH bucketing** — the scale path: each vector
   gets a b-bit sign bucket from b fixed pseudo-random hyperplanes;
-  candidates join per bucket.  Hyperplanes are integer-LCG derived
+  candidates join per bucket.  Hyperplanes are md5-derived integers
   so the DuckDB oracle reproduces them exactly.
 
 All arithmetic is double-precision folds in index order, so Spark
@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bd_spark.operators.hashing import P31, _LCG_A, _LCG_C
+from bd_spark.operators.hashing import P31
 
 ANN_PLANES = 8
 
@@ -144,8 +144,9 @@ def lsh_band_bucket(vec_col: Column, dim: int, band: int, rows: int) -> Column:
     """Sign bucket for one LSH band: bit i = (v . r_{band*rows+i} >= 0).
 
     Global plane numbering (band*rows + i) keeps every plane drawn
-    from the same LCG stream as ``hyperplane``, so a SQL oracle
-    reproduces all bands with one formula."""
+    from ``hyperplane``'s md5-derived formula — component d of plane
+    j is md5("hp:j:d") reduced mod P31 and centered — so a SQL oracle
+    reproduces all bands with one expression."""
     v = _dvec(vec_col)
     bucket = F.lit(0).cast("long")
     for i in range(rows):
@@ -357,10 +358,45 @@ NEARDUP_BANDS = 4
 NEARDUP_ROWS = 8  # planes per band
 
 
+def neardup_geometry(n: int, design_sim: float = 0.95) -> tuple[int, int]:
+    """Auto-tuned (bands, rows_per_band) for a corpus of ``n`` vectors.
+
+    The fixed (4, 8) default keeps candidate pairs ~ 4 * n^2 / 2^8 —
+    quadratic, the alpha=0.93 scale-killer VERDICT r4 flagged.  The
+    cure is holding expected BUCKET OCCUPANCY constant: rows r grows
+    with log2(n) so n/2^r stays ~2^4, making candidates ~ bands *
+    16n — linear.  Wider bands lower per-band recall (p^r), so bands
+    b grows to keep the THEORETICAL miss probability at the
+    ``design_sim`` operating point equal to the (4, 8) baseline's:
+    sign-LSH per-plane agreement is p = 1 - arccos(cos)/pi; miss =
+    (1 - p^r)^b.  The design point is the near-duplicate regime
+    (cos >= 0.95) — that is the recall LSH banding can efficiently
+    guarantee; a verify threshold far below it (far pairs) has weak
+    recall under ANY affordable banding, so the geometry deliberately
+    does NOT chase it.
+
+    Stepped (not continuous) in n so every engine/SF computes the
+    same geometry from the same count — at the gate SFs (n <= 4096)
+    this IS (4, 8), so the DuckDB oracle stays valid verbatim.
+    At design_sim=0.95 the ladder is (4,8) -> (7,12) -> (12,16).
+    """
+    import math
+
+    r = 8 if n <= 4096 else (12 if n <= 65536 else 16)
+    if r == 8:
+        return (4, 8)
+    p = 1.0 - math.acos(min(design_sim, 0.999)) / math.pi
+    baseline_miss = (1.0 - p ** 8) ** 4
+    b = max(4, min(16, math.ceil(
+        math.log(baseline_miss) / math.log(1.0 - p ** r) - 1e-9
+    )))
+    return (b, r)
+
+
 def embedding_near_dupes(df: DataFrame, dim: int, threshold: float = 0.95,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         bands: int = NEARDUP_BANDS,
-                         rows_per_band: int = NEARDUP_ROWS) -> DataFrame:
+                         bands: int | None = None,
+                         rows_per_band: int | None = None) -> DataFrame:
     """Near-duplicate vector pairs via MULTI-BAND sign-LSH blocking +
     exact cosine verify on candidates only.
 
@@ -374,6 +410,12 @@ def embedding_near_dupes(df: DataFrame, dim: int, threshold: float = 0.95,
     key; candidates ~ bands * n²/2^r within buckets, each verified
     with one exact cosine (output-size cost).  See the recall test vs
     brute force in tests/test_pipeline_ops.py.
+
+    ``bands``/``rows_per_band`` default to ``neardup_geometry`` —
+    bucket occupancy (and so candidates/row) held ~constant as the
+    corpus grows, with bands widened to keep theoretical recall at
+    the (4, 8) baseline (VERDICT r4 next #7).  Pass both explicitly
+    to pin a geometry.
     """
     # vectors stay OUT of the band join and the pair-dedup shuffle:
     # bandrow carries only (id, band, bucket) longs; the distinct runs
@@ -383,6 +425,8 @@ def embedding_near_dupes(df: DataFrame, dim: int, threshold: float = 0.95,
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).persist()
+    if bands is None or rows_per_band is None:
+        bands, rows_per_band = neardup_geometry(vecs.count())
     # all bands*rows plane dots in ONE transform over a literal plane
     # matrix (the vector is staged once): per-band expression trees
     # each re-deriving the cast vector made plan build + codegen the

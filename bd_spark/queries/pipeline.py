@@ -210,7 +210,12 @@ SELECT id, min(r) AS cluster FROM reach GROUP BY id
 
 def pipe_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding high-similarity pairs: multi-band sign-LSH blocking
-    (4 bands x 8 planes) + exact cosine verify on candidates.
+    + exact cosine verify on candidates.  Geometry auto-tunes with
+    corpus size (similarity.neardup_geometry): at the sf0.01 gate
+    n=2000 keeps the (4 bands x 8 planes) baseline the oracle SQL
+    encodes; larger corpora widen to (7x12)/(12x16), holding bucket
+    occupancy — and so candidates/row — constant instead of the
+    quadratic 4*n^2/2^8 growth (VERDICT r4 next #7).
 
     Threshold 0.3 (not the real-world near-dup 0.95) because the
     synthetic embeddings are near-orthogonal random vectors — max
@@ -226,8 +231,9 @@ _HYPER = (
     f" % {P31}) / {P31}.0 - 0.5)"
 )
 
-# banded buckets: plane j of band b is global plane b*8+i, same LCG
-# stream as the Spark side's hyperplane(); a pair is a candidate when
+# banded buckets: plane i of band b is global plane b*8+i, the same
+# md5-derived formula as the Spark side's hyperplane() (component d
+# of plane j = md5('hp:j:d') mod P31, centered); a pair is a candidate when
 # it collides in ANY band (DISTINCT over the band join)
 PIPE_EMBED_NEARDUP_SQL = f"""
 WITH v AS (

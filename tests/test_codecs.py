@@ -109,6 +109,40 @@ def test_bmp_roundtrip():
     assert np.array_equal(codecs.decode_bmp(buf), img)
 
 
+def _encode_bmp8(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """8bpp palettized BMP: color table (BGRX) then index rows."""
+    h, w = idx.shape
+    row = (w + 3) & ~3
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+    px = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        px += bytes(idx[y]) + b"\x00" * (row - w)
+    off = 54 + len(pal)
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(px), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(px),
+                      2835, 2835, len(palette), 0)
+        + pal + bytes(px)
+    )
+
+
+def test_bmp_8bpp_applies_palette():
+    """8bpp BMP pixels are palette INDICES — decode must map them
+    through the color table, not return raw index bytes (ADVICE r4)."""
+    palette = _rng(7).integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = _rng(8).integers(0, 16, size=(4, 5), dtype=np.uint8)
+    buf = _encode_bmp8(idx, palette)
+    got = codecs.decode_bmp(buf)
+    assert got.shape == (4, 5, 3)
+    assert np.array_equal(got, palette[idx])
+    # out-of-range index -> clean CodecError, not silent garbage
+    bad = _encode_bmp8(np.full((2, 2), 99, dtype=np.uint8), palette[:16])
+    import pytest as _pytest
+
+    with _pytest.raises(codecs.CodecError):
+        codecs.decode_bmp(bad)
+
+
 # ------------------------------------------------------------- pnm
 def test_ppm_and_pgm():
     img = _rng(5).integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
@@ -161,26 +195,46 @@ def test_decode_assets_real_path(spark):
 
     from bd_spark.operators import multimodal
 
+    from tests.test_jpeg import encode_jpeg
+
     rng = _rng(21)
     png = codecs.encode_png(rng.integers(0, 256, (3, 4, 3), dtype=np.uint8))
     wav = codecs.encode_wav(rng.integers(-100, 100, (50, 1)).astype(np.int16))
+    jpg = encode_jpeg(
+        np.repeat(np.repeat(
+            rng.integers(60, 196, (2, 3, 3), dtype=np.uint8), 8, axis=0
+        ), 8, axis=1)
+    )
     rows = [
         (1, "image", bytearray(png), ("t", len(png))),
         (2, "audio", bytearray(wav), ("t", len(wav))),
         (3, "image", bytearray(b"\xff\xd8\xffnot-a-real-jpeg"), ("t", 3)),
         (4, "image", bytearray(b"garbage"), ("t", 7)),
+        (5, "image", bytearray(jpg), ("t", len(jpg))),
     ]
     assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
     out = {r.asset_id: r for r in multimodal.decode_assets(assets, fake=False).collect()}
     assert out[1].fmt == "png" and (out[1].width, out[1].height, out[1].channels) == (4, 3, 3)
     assert out[1].err is None and out[1].pix_sum > 0
     assert out[2].fmt == "wav" and out[2].width == 50 and out[2].channels == 1
-    # jpeg without PIL / garbage: in-band err rows, job still succeeds
-    assert out[3].err is not None or out[3].fmt == "jpeg"
+    # truncated jpeg / garbage: in-band err rows, job still succeeds
+    assert out[3].err is not None
     assert out[4].err is not None
+    # REAL baseline JPEG decodes natively, no PIL needed
+    assert out[5].fmt == "jpeg" and out[5].err is None
+    assert (out[5].width, out[5].height, out[5].channels) == (24, 16, 3)
 
     # real resize: PNG in, resized PNG out, decodable
     imgs = assets.where(F.col("asset_id") == 1)
     rz = multimodal.resize_images(imgs, 2, 2, fake=False).collect()[0]
     assert (rz.width, rz.height) == (2, 2)
+    assert rz.err is None
     assert codecs.decode_png(bytes(rz.payload)).shape == (2, 2, 3)
+
+    # real resize with an undecodable payload: in-band err row, the
+    # task (and the good rows beside it) still succeed (ADVICE r4)
+    both = assets.where(F.col("asset_id").isin(1, 4))
+    rz_all = {r.asset_id: r for r in
+              multimodal.resize_images(both, 2, 2, fake=False).collect()}
+    assert rz_all[1].err is None and rz_all[1].payload is not None
+    assert rz_all[4].payload is None and rz_all[4].err is not None

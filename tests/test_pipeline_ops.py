@@ -179,12 +179,14 @@ def test_embedding_near_dupes_recall_vs_brute_force(spark, sf_dir):
     n = emb.count()
     # twin id = vec_id + n; perturbation d of dim j derived from the
     # same LCG stream as the hyperplanes (deterministic, seed-free)
+    from bd_spark.operators.hashing import _LCG_A, _LCG_C
+
     pert = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x, j: x
         + 0.08
-        * (((F.lit(similarity._LCG_A) * (F.col("vec_id") * 64 + j)
-             + F.lit(similarity._LCG_C)) % F.lit(similarity.P31))
+        * (((F.lit(_LCG_A) * (F.col("vec_id") * 64 + j)
+             + F.lit(_LCG_C)) % F.lit(similarity.P31))
            / F.lit(float(similarity.P31)) - 0.5),
     )
     twins = emb.select(
@@ -214,6 +216,35 @@ def test_embedding_near_dupes_recall_vs_brute_force(spark, sf_dir):
     assert len(true_pairs) >= n * 0.9, "planting failed to create near-dups"
     recall = len(lsh_pairs) / len(true_pairs)
     assert recall >= 0.85, f"recall {recall:.2f} below floor"
+
+    # the WIDENED auto-tune geometries (what bigger corpora select)
+    # must hold the same recall floor on the same planted pairs — the
+    # equal-recall claim behind neardup_geometry (VERDICT r4 next #7)
+    for bands, rows in [(7, 12), (12, 16)]:
+        wide = {
+            (row.id_a, row.id_b)
+            for row in similarity.embedding_near_dupes(
+                corpus, dim=64, threshold=threshold,
+                bands=bands, rows_per_band=rows,
+            ).collect()
+        }
+        assert wide <= true_pairs
+        wrecall = len(wide) / len(true_pairs)
+        assert wrecall >= 0.85, f"({bands}x{rows}) recall {wrecall:.2f}"
+
+
+def test_neardup_geometry_ladder():
+    """Stepped geometry: (4,8) at gate SFs — keeping the DuckDB
+    oracle valid verbatim — then (7,12) and (12,16), bucket occupancy
+    ~2^4 throughout."""
+    from bd_spark.operators.similarity import neardup_geometry
+
+    assert neardup_geometry(200) == (4, 8)
+    assert neardup_geometry(4096) == (4, 8)
+    assert neardup_geometry(20_000) == (7, 12)
+    assert neardup_geometry(65_536) == (7, 12)
+    assert neardup_geometry(200_000) == (12, 16)
+    assert neardup_geometry(10_000_000) == (12, 16)
 
 
 def test_lang_id_and_quality(spark):
