@@ -15,6 +15,8 @@ oracle checks use value equality, so this stays out of the hot path
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 _ESCAPES = {
     '"': '\\"',
     "\\": "\\\\",
@@ -29,7 +31,26 @@ _ESCAPES = {
 def format_float(x: float) -> str:
     """Rust `{:e}` format: shortest mantissa that round-trips,
     exponent without sign-padding. Negative zero normalizes to 0e0
-    (golden corpus testdata/test_simple.jsons.ref.jsons:31,35)."""
+    (golden corpus testdata/test_simple.jsons.ref.jsons:31,35).
+
+    Built from ``repr(x)`` — CPython's repr IS the shortest decimal
+    that round-trips (same digits the old try-precisions loop found),
+    re-normalized to one leading digit via Decimal.as_tuple. ~2-3x
+    faster than the loop (it ran up to 17 formatted round-trip
+    probes per float), which dominated the canonical sink's Python
+    slow path; equivalence is property-tested against the loop."""
+    if x == 0.0:
+        return "0e0"
+    sign, digits, exp = Decimal(repr(x)).normalize().as_tuple()
+    mant = str(digits[0])
+    if len(digits) > 1:
+        mant += "." + "".join(map(str, digits[1:]))
+    return f"{'-' if sign else ''}{mant}e{exp + len(digits) - 1}"
+
+
+def _format_float_probing(x: float) -> str:
+    """The original try-increasing-precisions formatter — kept ONLY
+    as the test oracle for format_float's equivalence property."""
     if x == 0.0:
         return "0e0"
     for prec in range(1, 18):

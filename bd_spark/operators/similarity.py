@@ -417,16 +417,27 @@ def embedding_near_dupes(df: DataFrame, dim: int, threshold: float = 0.95,
     the (4, 8) baseline (VERDICT r4 next #7).  Pass both explicitly
     to pin a geometry.
     """
+    from bd_spark.catalog import rebalance
+
     # vectors stay OUT of the band join and the pair-dedup shuffle:
     # bandrow carries only (id, band, bucket) longs; the distinct runs
     # on bare id pairs, and the 64-dim arrays join back once per
     # SURVIVING pair — shuffling vectors through the candidate
     # distinct was measured 4x the whole operator's cost.
-    vecs = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).persist()
+    # rebalance: the bands*rows plane dots are CPU-dense row-local
+    # work (84 x 64-wide folds/row at the (7,12) geometry) — a
+    # few-file parquet read would run them on as many cores as input
+    # splits (measured 2 tasks for the whole sf1 signature stage).
+    # The geometry count runs on the RAW frame (a parquet count is
+    # metadata-cheap); the persisted projection then materializes as
+    # a side effect of the first real job, per the caching
+    # discipline in SCALE.md — an eager vecs.count() here was
+    # measured +1.7 s of pure overhead at sf0.1.
     if bands is None or rows_per_band is None:
-        bands, rows_per_band = neardup_geometry(vecs.count())
+        bands, rows_per_band = neardup_geometry(df.count())
+    vecs = rebalance(df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )).persist()
     # all bands*rows plane dots in ONE transform over a literal plane
     # matrix (the vector is staged once): per-band expression trees
     # each re-deriving the cast vector made plan build + codegen the

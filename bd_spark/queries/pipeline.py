@@ -1140,12 +1140,17 @@ def pipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     budget = 5000
     n_buckets = 16
+    # quality/token metrics are the expensive row-local part; compute
+    # them ONCE and persist the narrow (id, lang, q, n_tokens)
+    # projection — phases 1/3/4 all read it (without this, the
+    # two-phase design re-scans the corpus and re-runs the regex
+    # metrics three times: measured 3.3x at sf0.1)
     docs = table(spark, "documents", sf_dir).select(
         "doc_id",
         "lang",
         F.round(T.quality_score(F.col("text")), 6).alias("q"),
         T.token_count(F.col("text")).cast("long").alias("n_tokens"),
-    )
+    ).persist()
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = docs.groupBy("lang").agg(
         F.percentile_approx("q", probs, 10000).alias("bs")

@@ -79,3 +79,27 @@ def test_format_float_roundtrips(x):
     s = format_float(x)
     assert float(s) == (0.0 if x == 0.0 else x)
     assert math.copysign(1, float(s)) == math.copysign(1, x) or x == 0.0
+
+
+@settings(max_examples=500)
+@given(finite_floats)
+def test_format_float_matches_probing_oracle(x):
+    """The repr/Decimal fast path vs the original try-increasing-
+    precisions formatter: byte-identical except in round-half-even
+    TIE cases (e.g. 2^-24), where the probing loop's correctly-
+    rounded k-digit string fails to round-trip and it falls through
+    to k+1 digits — while repr (like Rust's shortest {:e}) finds the
+    k-digit neighbor that DOES round-trip. There the fast path must
+    be strictly shorter; it is the reference-parity behavior."""
+    from bd_spark.jsonq.canonical import _format_float_probing
+
+    fast, probing = format_float(x), _format_float_probing(x)
+    if fast != probing:
+        assert len(fast) < len(probing)
+        assert float(fast) == x
+
+
+def test_format_float_tie_case_prefers_shortest():
+    """2^-24: probing emitted 5.9604644775390625e-8 (17 digits);
+    Rust {:e} and repr agree on 5.960464477539063e-8 (16)."""
+    assert format_float(2.0 ** -24) == "5.960464477539063e-8"

@@ -39,8 +39,11 @@ HEAVY = [
     "pipe_chunk_pack",
     "jq_builtins",
     "jq_canonical",
+    "jq_canonical_floats",      # full-input Python {:e} sink (r5)
     "jq_iter_list",
     "q_stream_attribution",
+    "pipe_token_budget",        # two-phase bucketed prefix sum (r5)
+    "pipe_ann_ivf_trained",     # k-means training iterations (r5)
 ]
 
 
