@@ -145,18 +145,25 @@ def canonical_text(df: DataFrame) -> DataFrame:
     variant expression can fail Catalyst's Python-UDF extraction,
     while a map node is immune to the surrounding expression shape.
     """
-    # localCheckpoint before the Python boundary, for two reasons:
-    # (1) the collapsed jq projection under a mapInPandas child was
-    # observed failing janino's 64 KB method limit and re-running
-    # interpreted (6-12 s for work that codegens in ~1 s under a
-    # normal action); materializing evaluates it through the normal
-    # codegen path once.  (2) it lets one cheap count decide whether
-    # ANY row needs Python at all — the common all-fast case then
-    # never launches a Python worker.  The sink materializes its
-    # output exactly once either way (it is the terminal operator).
+    # persist + EAGER count before the Python boundary, for two
+    # reasons:
+    # (1) the collapsed jq projection must be evaluated under a
+    #     NORMAL action: under a mapInPandas child it fails janino's
+    #     64 KB method limit and re-runs interpreted — measured 15 s
+    #     for a fill that codegens in ~0.5 s (this also rules out a
+    #     lazy persist: the union action would drive the cache fill
+    #     from beneath the Python node). After the count, every
+    #     consumer reads the InMemoryRelation, whose scan is a small
+    #     codegen-friendly plan.
+    # (2) the count decides whether ANY row needs Python at all —
+    #     the common all-fast case never launches a Python worker.
+    # persist (deserialized columnar), NOT localCheckpoint: the
+    # checkpoint's row serialization made the same materialization
+    # cost 5.4 s of jq_canonical_floats' 7.7 s at sf0.1; the cached
+    # fill is ~0.5 s for the identical rows.
     src = df.select("seq", "ord", F.to_json("v").alias("j")).withColumn(
         "needs_py", F.col("j").rlike(_NEEDS_PY_RE) | F.col("j").isNull()
-    ).localCheckpoint(eager=False)
+    ).persist()
     n_slow = src.where("needs_py").count()
     fast = src.where(~F.col("needs_py")).select(
         "seq", "ord", F.col("j").alias("line")
