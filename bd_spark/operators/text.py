@@ -144,6 +144,151 @@ def lang_id(text: Column) -> Column:
     return F.when(best > 0, expr).otherwise(F.lit("und"))
 
 
+def repetition_metrics(text: Column) -> dict[str, Column]:
+    """Gopher-style REPETITION signals (Rae et al. §A1.1) — the
+    filters that catch boilerplate/spam the plain quality_metrics
+    miss.  All row-local codegen, engine-portable:
+
+      - ``top2_frac``:   occurrences of the most frequent word 2-gram
+                         / total 2-gram occurrences,
+      - ``dup5_frac``:   fraction of word-5-gram occurrences that are
+                         repeats of an earlier one,
+      - ``max_tok_run``: longest run of one token repeated
+                         consecutively (catches "buy buy buy ...").
+
+    The 2-gram mode count is O(n_2grams²) comparisons per row — fine
+    for documents (a 1k-token doc is 1M cheap string equalities in
+    codegen); web-page-scale docs would swap in the chunked variant.
+    """
+    toks = tokens(text)
+    sh2 = word_shingles(toks, 2)
+    sh5 = word_shingles(toks, 5)
+    n2, n5 = F.size(sh2), F.size(sh5)
+    mode2 = F.array_max(
+        F.transform(sh2, lambda g: F.size(F.filter(sh2, lambda x: x == g)))
+    )
+    top2 = F.when(n2 > 0, mode2 / n2).otherwise(F.lit(0.0))
+    dup5 = F.when(
+        n5 > 0, (n5 - F.size(F.array_distinct(sh5))) / n5
+    ).otherwise(F.lit(0.0))
+    run = F.aggregate(
+        toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda a, t: F.struct(
+            t.alias("prev"),
+            F.when(t == a.getField("prev"), a.getField("run") + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                a.getField("best"),
+                F.when(t == a.getField("prev"), a.getField("run") + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda a: a.getField("best"),
+    )
+    return {
+        "top2_frac": F.round(top2, 6).cast("double"),
+        "dup5_frac": F.round(dup5, 6).cast("double"),
+        "max_tok_run": run.cast("long"),
+    }
+
+
+# PII redaction patterns — deliberately inside the Java-regex ∩ RE2
+# common subset (no lookaround/backrefs) so the DuckDB oracle applies
+# the IDENTICAL patterns. Order matters (emails contain dots that the
+# IP pattern must not see first): email, ipv4, phone.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / IPv4 addresses / NNN-NNN-NNNN phone numbers
+    with typed placeholders — the minimum-viable PII scrub every
+    training pipeline runs before tokenization. One row-local
+    regexp_replace chain in codegen; patterns in PII_PATTERNS."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def dedup_lines(df, id_col: str, text_col: str, line_tokens: int = 10):
+    """C4-style corpus-level LINE dedup: every line keeps exactly its
+    FIRST occurrence in the corpus (by (doc_id, line position)); all
+    later copies are dropped and documents are reassembled from their
+    surviving lines. Catches boilerplate (cookie banners, nav bars)
+    that document-level dedup can never see.
+
+    The synthetic corpus has no newlines, so a "line" here is a
+    fixed ``line_tokens``-token window — the operator's shape (and
+    its oracle) are identical for any splitter.
+
+    Scale shape: explode to (doc, idx, line) -> ONE shuffle on
+    md5(line) (uniform key; group size = duplication factor) ->
+    rank-1 window keeps the winner -> reassemble with a
+    groupBy(doc_id) sorted collect. Docs whose every line lost
+    rejoin as empty strings via the final left join, so the output
+    is total over input docs. Returns (id, text, n_lines,
+    n_lines_kept).
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    n_lines = F.ceil(F.size(toks) / F.lit(line_tokens)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_lines - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * line_tokens + 1, line_tokens)
+        ),
+    )
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.when(F.size(toks) > 0, lines_arr).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("idx", "line"),
+    )
+    w = Window.partitionBy(F.md5("line")).orderBy("_id", "idx")
+    kept = (
+        lines.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_lines_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "line"))
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+            ).alias("_text"),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.ceil(token_count(F.col(text_col)) / F.lit(line_tokens))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    return base.join(kept, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("_text", F.lit("")).alias(text_col),
+        "n_lines",
+        F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+    )
+
+
 def fingerprint_minhash(text: Column) -> Column:
     """Single 31-bit document fingerprint: min over token-5-gram hashes
     (rolling-hash winnowing collapsed to its global minimum).

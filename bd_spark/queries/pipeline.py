@@ -1221,6 +1221,128 @@ FROM c WHERE cum_tokens - n_tokens < 5000
 """
 
 
+def pipe_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-2-gram fraction,
+    duplicate-5-gram fraction, longest same-token run) — row-local
+    codegen over documents (operators.text.repetition_metrics)."""
+    docs = table(spark, "documents", sf_dir)
+    m = T.repetition_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["top2_frac"].alias("top2_frac"),
+        m["dup5_frac"].alias("dup5_frac"),
+        m["max_tok_run"].alias("max_tok_run"),
+    )
+
+
+PIPE_TEXT_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), g AS (
+  SELECT doc_id,
+    [w[i+1] || ' ' || w[i+2]
+     for i in range(greatest(len(w) - 1, 0))] AS sh2,
+    [w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]
+     for i in range(greatest(len(w) - 4, 0))] AS sh5
+  FROM t
+), u AS (
+  SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS idx FROM t
+), r AS (
+  SELECT doc_id, tok,
+         idx - row_number() OVER (PARTITION BY doc_id, tok ORDER BY idx) AS grp
+  FROM u
+), mr AS (
+  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_tok_run FROM (
+    SELECT doc_id, count(*) AS cnt FROM r GROUP BY doc_id, tok, grp
+  ) GROUP BY doc_id
+)
+SELECT g.doc_id,
+  round(CASE WHEN len(sh2) > 0
+    THEN CAST(list_max([len(list_filter(sh2, x -> x = gg)) for gg in sh2]) AS DOUBLE)
+         / len(sh2) ELSE 0.0 END, 6) AS top2_frac,
+  round(CASE WHEN len(sh5) > 0
+    THEN CAST(len(sh5) - len(list_distinct(sh5)) AS DOUBLE) / len(sh5)
+    ELSE 0.0 END, 6) AS dup5_frac,
+  coalesce(mr.max_tok_run, 0) AS max_tok_run
+FROM g LEFT JOIN mr ON g.doc_id = mr.doc_id
+"""
+
+
+def pipe_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / phone numbers -> typed
+    placeholders). The synthetic corpus carries no PII, so the query
+    INJECTS deterministic doc_id-derived PII first — the redaction
+    regexes are then fully exercised and hash-gated byte-for-byte."""
+    docs = table(spark, "documents", sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id", T.redact_pii(injected).alias("text_redacted")
+    )
+
+
+PIPE_TEXT_REDACT_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.7 call 555-123-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(s,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text_redacted
+FROM t
+"""
+
+
+def pipe_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup: first occurrence of every
+    line (10-token window) wins corpus-wide, documents reassemble
+    from surviving lines (operators.text.dedup_lines)."""
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    return T.dedup_lines(docs, "doc_id", "text", line_tokens=10)
+
+
+PIPE_DEDUP_LINES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), l0 AS (
+  SELECT doc_id,
+         [array_to_string(w[i*10 + 1 : i*10 + 10], ' ')
+          for i in range(CAST(ceil(len(w) / 10.0) AS BIGINT))] AS ls
+  FROM t WHERE len(w) > 0
+), l AS (
+  SELECT doc_id, CAST(generate_subscripts(ls, 1) - 1 AS INT) AS idx,
+         unnest(ls) AS line
+  FROM l0
+), k AS (
+  SELECT doc_id, idx, line,
+         row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, idx) AS rk
+  FROM l
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+         string_agg(line, ' ' ORDER BY idx) AS text
+  FROM k WHERE rk = 1 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(agg.text, '') AS text,
+       CAST(ceil(len(t.w) / 10.0) AS BIGINT) AS n_lines,
+       coalesce(agg.n_lines_kept, 0) AS n_lines_kept
+FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+"""
+
+
 def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based stratified sampling: downsample 'en'
     to 30%, 'zh' to 60%, everything else 50% — reproducible across
@@ -1268,6 +1390,9 @@ QUERIES = {
     "pipe_pq_topk": pipe_pq_topk,
     "pipe_ann_ivf_trained": pipe_ann_ivf_trained,
     "pipe_pq_topk_trained": pipe_pq_topk_trained,
+    "pipe_text_repetition": pipe_text_repetition,
+    "pipe_text_redact": pipe_text_redact,
+    "pipe_dedup_lines": pipe_dedup_lines,
 }
 
 ORACLES = {
@@ -1295,4 +1420,7 @@ ORACLES = {
     "pipe_pq_topk": PIPE_PQ_TOPK_SQL,
     "pipe_ann_ivf_trained": PIPE_ANN_IVF_TRAINED_SQL,
     "pipe_pq_topk_trained": PIPE_PQ_TOPK_TRAINED_SQL,
+    "pipe_text_repetition": PIPE_TEXT_REPETITION_SQL,
+    "pipe_text_redact": PIPE_TEXT_REDACT_SQL,
+    "pipe_dedup_lines": PIPE_DEDUP_LINES_SQL,
 }

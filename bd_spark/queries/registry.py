@@ -131,6 +131,9 @@ EXTRA = [
     "pipe_token_budget",       # quality-greedy selection under token budget
     "pipe_ann_ivf_trained",    # IVF with deterministic k-means centroids
     "pipe_pq_topk_trained",    # PQ with deterministic per-subspace k-means
+    "pipe_text_repetition",    # Gopher repetition filters (top/dup n-grams, runs)
+    "pipe_text_redact",        # PII redaction (email/IP/phone placeholders)
+    "pipe_dedup_lines",        # C4-style corpus-level line dedup
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

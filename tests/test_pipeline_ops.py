@@ -247,6 +247,71 @@ def test_neardup_geometry_ladder():
     assert neardup_geometry(10_000_000) == (12, 16)
 
 
+def test_repetition_metrics_hand_computed(spark):
+    from bd_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b a b a b"),        # 2-grams: [ab,ba,ab,ba,ab] -> top 3/5
+        (2, "x x x x y"),          # run of 4 x's
+        (3, "one two three four five one two three four five"),
+        (4, ""),                   # empty doc -> zeros
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    m = T.repetition_metrics(F.col("text"))
+    got = {
+        r.id: (r.t2, r.d5, r.run)
+        for r in df.select(
+            "id", m["top2_frac"].alias("t2"), m["dup5_frac"].alias("d5"),
+            m["max_tok_run"].alias("run")
+        ).collect()
+    }
+    assert got[1] == (0.6, 0.0, 1)        # 5-grams [ababa, babab]: distinct
+    assert got[2][2] == 4
+    # doc 3: ten tokens, 5-grams [12345,23451,34512,45123,51234,12345]
+    # -> 6 grams, 1 duplicate
+    assert got[3] == (round(2 / 9, 6), round(1 / 6, 6), 1)
+    assert got[4] == (0.0, 0.0, 0)
+
+
+def test_redact_pii_examples(spark):
+    from bd_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "mail me at jo.smith+x@sub.example.co.uk now"),
+        (2, "server 192.168.0.1 and phone 555-123-4567 ok"),
+        (3, "no pii here, just 3.14 and v1.2.3 and 12-34"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r.id: r.t for r in df.select("id", T.redact_pii(F.col("text")).alias("t")).collect()}
+    assert got[1] == "mail me at <EMAIL> now"
+    assert got[2] == "server <IP> and phone <PHONE> ok"
+    # decimals / versions / short digit pairs are NOT redacted
+    assert got[3] == "no pii here, just 3.14 and v1.2.3 and 12-34"
+
+
+def test_dedup_lines_first_occurrence_wins(spark):
+    from bd_spark.operators import text as T
+
+    # 2-token "lines"; the line "dup dup" appears in docs 1, 2 and
+    # twice in doc 3 — only doc 1's copy (the corpus-first) survives
+    rows = [
+        (1, "dup dup keep one"),
+        (2, "dup dup keep two"),
+        (3, "dup dup dup dup solo bit"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           T.dedup_lines(df, "doc_id", "text", line_tokens=2).collect()}
+    assert out[1].text == "dup dup keep one" and out[1].n_lines_kept == 2
+    assert out[2].text == "keep two" and out[2].n_lines_kept == 1
+    assert out[3].text == "solo bit" and out[3].n_lines_kept == 1
+    assert out[4].text == "" and out[4].n_lines == 0 and out[4].n_lines_kept == 0
+    assert out[3].n_lines == 3
+
+
 def test_lang_id_and_quality(spark):
     df = spark.createDataFrame(
         [
