@@ -354,6 +354,126 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     )
 
 
+def ivf_index_write(corpus: DataFrame, path: str,
+                    nlist: int = 16, train_iters: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    ) -> list[list[float]]:
+    """Persist an IVF index: the corpus written PARTITIONED BY its
+    centroid assignment, centroids alongside — the storage layout
+    SCALE.md's IVF story promises.  A probe then reads ~nprobe/nlist
+    of the data as a partition-PRUNED parquet scan (directory-level
+    skipping, no corpus scan at all), which is the only ANN shape
+    that matters at 100 TB: the index is built once (one assignment
+    pass, zero shuffle beyond the partitioned write) and every query
+    afterwards touches only its probed lists.
+
+    Returns the centroids (also written to ``<path>.centroids`` so a
+    fresh session can query without retraining)."""
+    cents = (
+        kmeans_fit(corpus, nlist, train_iters, id_col, vec_col)
+        if train_iters > 0
+        else _seed_vectors(corpus, nlist, id_col, vec_col, "centroids")
+    )
+    cents_pairs = list(enumerate(cents))
+    cents_mat = _lit_mat(cv for _, cv in cents_pairs)
+    cnorms = _lit_vec(sum(x * x for x in cv) ** 0.5 for _, cv in cents_pairs)
+    cids_lit = F.expr(
+        "array(" + ",".join(f"{c}L" for c, _ in cents_pairs) + ")"
+    )
+    scored = F.transform(
+        cents_mat,
+        lambda cv, i: F.struct(
+            (-F.round(
+                dot(F.col("_dv"), cv)
+                / (F.col("_nv") * F.element_at(cnorms, i + 1)),
+                9,
+            )).alias("negcos"),
+            F.element_at(cids_lit, i + 1).alias("cid"),
+        ),
+    )
+    cid = F.element_at(
+        F.transform(F.array_sort(scored), lambda s: s.getField("cid")), 1
+    )
+    (
+        corpus.withColumn("_dv", _dvec(F.col(vec_col)))
+        .withColumn("_nv", l2norm(F.col("_dv")))
+        .select(F.col(id_col), F.col(vec_col), cid.alias("cid"))
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(c, cv) for c, cv in cents_pairs], "cid long, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + ".centroids")
+    return cents
+
+
+def ivf_index_topk(spark, path: str, queries: DataFrame, k: int,
+                   nprobe: int = 4,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """Query a persisted IVF index (ivf_index_write): score the
+    stored centroids per query, collect the union of probed cids
+    (a tiny driver-side set — queries x nprobe longs), and scan ONLY
+    those partitions via an `isin` literal filter that parquet
+    partition pruning turns into directory skipping. Ranking is the
+    same deterministic round-9 cosine as ivf_topk."""
+    crows = sorted(
+        (int(r["cid"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(path + ".centroids").collect()
+    )
+    cents_mat = _lit_mat(cv for _, cv in crows)
+    cnorms = _lit_vec(sum(x * x for x in cv) ** 0.5 for _, cv in crows)
+    cids_lit = F.expr("array(" + ",".join(f"{c}L" for c, _ in crows) + ")")
+    scored = F.transform(
+        cents_mat,
+        lambda cv, i: F.struct(
+            (-F.round(
+                dot(F.col("_dv"), cv)
+                / (F.col("_nv") * F.element_at(cnorms, i + 1)),
+                9,
+            )).alias("negcos"),
+            F.element_at(cids_lit, i + 1).alias("cid"),
+        ),
+    )
+    top = F.slice(
+        F.transform(F.array_sort(scored), lambda s: s.getField("cid")),
+        1, nprobe,
+    )
+    probes = (
+        queries.withColumn("_dv", _dvec(F.col(vec_col)))
+        .withColumn("_nv", l2norm(F.col("_dv")))
+        .select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.explode(top).alias("cid"),
+        )
+    )
+    probe_cids = sorted(
+        {int(r["cid"]) for r in probes.select("cid").distinct().collect()}
+    )
+    lists = spark.read.parquet(path).where(F.col("cid").isin(probe_cids))
+    scored_rows = lists.join(F.broadcast(probes), "cid").select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(F.round(F.col("cos"), 9)), F.asc(id_col)
+    )
+    return (
+        scored_rows.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 NEARDUP_BANDS = 4
 NEARDUP_ROWS = 8  # planes per band
 
