@@ -354,6 +354,46 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     )
 
 
+def projection_matrix(dim_in: int, dim_out: int) -> list[list[float]]:
+    """Deterministic sign random-projection matrix (Achlioptas 2003):
+    entry (j, d) = ±1/sqrt(dim_out), sign from the same md5 primitive
+    as the LSH hyperplanes (independent entries; an affine stream
+    would correlate rows — the hyperplane() lesson). JL-style: for
+    unit vectors, E[<Pa, Pb>] = <a, b> with variance ~1/dim_out."""
+    import hashlib
+    import math
+
+    s = 1.0 / math.sqrt(dim_out)
+    return [
+        [
+            s if int(hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()[:15], 16) % 2
+            else -s
+            for d in range(dim_in)
+        ]
+        for j in range(dim_out)
+    ]
+
+
+def random_project(df: DataFrame, dim_in: int, dim_out: int,
+                   vec_col: str = "embedding",
+                   out_col: str = "projected") -> DataFrame:
+    """Reduce an embedding column to ``dim_out`` dims by the fixed
+    sign projection — the standard cheap pre-step before ANN/near-dup
+    at 100 TB (4x fewer bytes per vector at dim 64 -> 16 cuts every
+    downstream verify/shuffle cost proportionally, with distances
+    preserved to ~1/sqrt(dim_out)).  Row-local: one transform over a
+    literal matrix, zero shuffle, codegen throughout."""
+    mat = _lit_mat(projection_matrix(dim_in, dim_out))
+    proj = F.transform(
+        mat, lambda row: F.round(dot(F.col("_dv"), row), 9)
+    )
+    return (
+        df.withColumn("_dv", _dvec(F.col(vec_col)))
+        .withColumn(out_col, proj)
+        .drop("_dv")
+    )
+
+
 def ivf_index_write(corpus: DataFrame, path: str,
                     nlist: int = 16, train_iters: int = 2,
                     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -289,6 +289,32 @@ def dedup_lines(df, id_col: str, text_col: str, line_tokens: int = 10):
     )
 
 
+def hashed_linear_score(text: Column, salt: str = "qw") -> Column:
+    """Linear text-classifier INFERENCE (the fastText-style quality
+    filter every modern pretraining pipeline runs): score = sigmoid
+    of the mean per-token weight, with the weight of token t drawn
+    from a deterministic hashed-feature table (md5-derived, centered
+    on [-1, 1)).  The weights are a stand-in — the same deliberate
+    pattern as the IVF/PQ seed quantizers: the Spark-side plumbing
+    (hashed lookup, mean-pool, sigmoid, all row-local codegen) is the
+    real operator; a trained model swaps in a broadcast weight table
+    without touching the plan shape.  Engine-portable: DuckDB
+    reproduces the weight of every token from the same md5 formula.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+
+    def w(t: Column) -> Column:
+        hb = h60(F.concat(F.lit(salt + ":"), t)) % F.lit(P31)
+        return hb.cast("double") / F.lit(float(P31)) * 2 - 1
+
+    s = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + w(t)) / n,
+    ).otherwise(F.lit(0.0))
+    return (F.lit(1.0) / (F.lit(1.0) + F.exp(-s))).cast("double")
+
+
 def fingerprint_minhash(text: Column) -> Column:
     """Single 31-bit document fingerprint: min over token-5-gram hashes
     (rolling-hash winnowing collapsed to its global minimum).

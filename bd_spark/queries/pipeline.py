@@ -1343,6 +1343,62 @@ FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
 """
 
 
+def pipe_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-classifier inference (fastText-style quality
+    filter plumbing): sigmoid of the mean hashed-feature weight per
+    document — row-local codegen, deterministic md5-derived weights
+    (operators.text.hashed_linear_score)."""
+    docs = table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(T.hashed_linear_score(F.col("text")), 6).alias("score"),
+    )
+
+
+PIPE_TEXT_CLASSIFIER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+)
+SELECT doc_id,
+  round(1.0 / (1.0 + exp(-(
+    CASE WHEN len(w) > 0 THEN
+      list_sum([CAST({_h31("'qw:' || tk")} AS DOUBLE)
+                / 2147483647.0 * 2 - 1 for tk in w]) / len(w)
+    ELSE 0.0 END))), 6) AS score
+FROM t
+"""
+
+
+def pipe_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign random projection 64 -> 16 dims (Achlioptas JL transform;
+    operators.similarity.random_project): the cheap pre-step that
+    cuts every downstream ANN/near-dup byte cost 4x. Output exploded
+    to (vec_id, dim, val) scalars for the hash oracle."""
+    emb = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    proj = similarity.random_project(emb, dim_in=64, dim_out=16)
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("dim", "val")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("val", 6).alias("val"),
+    )
+
+
+PIPE_EMBED_PROJECT_SQL = """
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+)
+SELECT vec_id, CAST(t.j AS BIGINT) AS dim,
+  round(round(list_sum(
+    [v[d+1] * (CASE WHEN CAST('0x' || substr(md5('rp:' || t.j || ':' || d), 1, 15)
+                          AS BIGINT) % 2 = 1
+               THEN 0.25 ELSE -0.25 END)
+     for d in range(64)]), 9), 6) AS val
+FROM v, range(16) t(j)
+"""
+
+
 def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based stratified sampling: downsample 'en'
     to 30%, 'zh' to 60%, everything else 50% — reproducible across
@@ -1393,6 +1449,8 @@ QUERIES = {
     "pipe_text_repetition": pipe_text_repetition,
     "pipe_text_redact": pipe_text_redact,
     "pipe_dedup_lines": pipe_dedup_lines,
+    "pipe_text_classifier": pipe_text_classifier,
+    "pipe_embed_project": pipe_embed_project,
 }
 
 ORACLES = {
@@ -1423,4 +1481,6 @@ ORACLES = {
     "pipe_text_repetition": PIPE_TEXT_REPETITION_SQL,
     "pipe_text_redact": PIPE_TEXT_REDACT_SQL,
     "pipe_dedup_lines": PIPE_DEDUP_LINES_SQL,
+    "pipe_text_classifier": PIPE_TEXT_CLASSIFIER_SQL,
+    "pipe_embed_project": PIPE_EMBED_PROJECT_SQL,
 }

@@ -134,6 +134,8 @@ EXTRA = [
     "pipe_text_repetition",    # Gopher repetition filters (top/dup n-grams, runs)
     "pipe_text_redact",        # PII redaction (email/IP/phone placeholders)
     "pipe_dedup_lines",        # C4-style corpus-level line dedup
+    "pipe_text_classifier",    # hashed-linear quality-classifier inference
+    "pipe_embed_project",      # sign random projection 64->16 dims
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

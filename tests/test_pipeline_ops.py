@@ -312,6 +312,50 @@ def test_dedup_lines_first_occurrence_wins(spark):
     assert out[3].n_lines == 3
 
 
+def test_random_projection_preserves_cosine(spark, sf_dir):
+    """JL sanity: 64->16 sign projection keeps pairwise cosines
+    within the ~1/sqrt(16) band — the guarantee that makes projected
+    ANN/near-dup meaningful."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).where(F.col("vec_id") < 40)
+    proj = similarity.random_project(emb, 64, 16)
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    pvecs = {r.vec_id: [float(x) for x in r.projected] for r in proj.collect()}
+
+    import math
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    errs = [
+        abs(cos(vecs[i], vecs[j]) - cos(pvecs[i], pvecs[j]))
+        for i in range(10) for j in range(i + 1, 10)
+    ]
+    assert sum(errs) / len(errs) < 0.25     # mean error well inside band
+    assert max(errs) < 0.75                 # no catastrophic distortion
+
+
+def test_hashed_linear_score_contract(spark):
+    """Deterministic, (0,1)-bounded, token-order-invariant under
+    permutation of the same multiset, empty text -> exactly 0.5."""
+    from bd_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    rows = [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r.id: r.s for r in df.select(
+        "id", F.round(T.hashed_linear_score(F.col("text")), 9).alias("s")
+    ).collect()}
+    assert got[1] == got[2]          # mean pool: order-free
+    assert 0.0 < got[1] < 1.0
+    assert got[3] == 0.5
+
+
 def test_lang_id_and_quality(spark):
     df = spark.createDataFrame(
         [
