@@ -35,6 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
              "stdin as concatenated document streams)",
     )
     p.add_argument(
+        "--output-format", choices=["json", "cbor", "msgpack"],
+        default="json",
+        help="output format: canonical JSON text (default) or a "
+             "concatenated binary document stream",
+    )
+    p.add_argument(
+        "-o", "--output", default=None,
+        help="write output to FILE instead of stdout",
+    )
+    p.add_argument(
         "--errors", action="store_true",
         help="print in-band error entries to stderr instead of dropping them",
     )
@@ -47,11 +57,39 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _binary_encoder(fmt: str):
+    from bd_spark.sources import cbor, msgpack
+
+    return (cbor if fmt == "cbor" else msgpack).encode
+
+
+def _emit(values, args) -> None:
+    """Write result VALUES in the requested output format: canonical
+    JSON lines, or a concatenated CBOR / MsgPack document stream
+    (the write-side twin of ``--format``; reference README.md:20)."""
+    from bd_spark.jsonq.canonical import canonicalize
+
+    if args.output_format == "json":
+        lines = "".join(canonicalize(v) + "\n" for v in values)
+        if args.output:
+            with open(args.output, "w", encoding="utf-8") as f:
+                f.write(lines)
+        else:
+            sys.stdout.write(lines)
+        return
+    enc = _binary_encoder(args.output_format)
+    blob = b"".join(enc(v) for v in values)
+    if args.output:
+        with open(args.output, "wb") as f:
+            f.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+
+
 def _run_local(ast, args) -> int:
     """Interpreter path: zero JVM startup; same semantics (the
     interpreter and the Spark compiler share the conformance corpus
     and a differential test)."""
-    from bd_spark.jsonq.canonical import canonicalize
     from bd_spark.jsonq.interp import run as interp_run
     from bd_spark.sources.lenient_json import parse_many
 
@@ -65,13 +103,15 @@ def _run_local(ast, args) -> int:
         else [d for ln in text.splitlines() if ln.strip() for d in parse_many(ln)]
     )
     status = 0
+    vals = []
     for doc in docs:
         for val, err in interp_run(ast, doc):
             if err is not None:
                 print(f"bdq: {err}", file=sys.stderr)
                 status = 5
             else:
-                print(canonicalize(val))
+                vals.append(val)
+    _emit(vals, args)
     return status
 
 
@@ -136,10 +176,24 @@ def main(argv: list[str] | None = None) -> int:
             )
 
     out = compile_query(ast)(stream)
-    rows = jsons.canonical_text(out).orderBy("seq", "ord")
     err_rows = out.orderBy("seq", "ord").select("err") if args.errors else None
-    for r in rows.select("line").collect():
-        print(r.line)
+    if args.output_format == "json" and args.output is None:
+        rows = jsons.canonical_text(out).orderBy("seq", "ord")
+        for r in rows.select("line").collect():
+            print(r.line)
+    else:
+        import json as _json
+        from pyspark.sql import functions as F
+
+        collected = (
+            out.orderBy("seq", "ord")
+            .select(F.to_json("v").alias("j"), "err")
+            .collect()
+        )
+        # to_json keeps the float tower readable: engine DOUBLEs print
+        # with a fraction ('6.0'), so json.loads restores float-ness
+        vals = [_json.loads(r.j) for r in collected if r.err is None]
+        _emit(vals, args)
     if err_rows is not None:
         for r in err_rows.collect():
             if r.err is not None:

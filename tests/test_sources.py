@@ -170,6 +170,49 @@ def test_cli_local_stdin_concat(monkeypatch, capsys):
     assert capsys.readouterr().out == "1\n2\n"
 
 
+def test_cli_binary_output_local(tmp_path):
+    """--output-format cbor/msgpack writes a concatenated binary
+    document stream (the write-side twin of --format); decoding it
+    restores the query results exactly."""
+    from bd_spark.cli import main
+    from bd_spark.sources import cbor, msgpack
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"a": [1, 2], "s": "x"}\n{"a": [3], "s": "y"}\n')
+    want = [{"a": [1, 2], "s": "x"}, {"a": [3], "s": "y"}]
+    for fmt, mod in (("cbor", cbor), ("msgpack", msgpack)):
+        out = tmp_path / f"out.{fmt}"
+        assert main(["--local", ".", str(p),
+                     "--output-format", fmt, "-o", str(out)]) == 0
+        assert mod.decode_all(out.read_bytes()) == want
+
+
+def test_cli_binary_output_spark_full_cycle(spark, tmp_path, capsys):
+    """Spark path: jsonl in -> msgpack out -> read the msgpack back in
+    with --format msgpack -> canonical text: a full format cycle
+    through both the reader and the writer."""
+    from bd_spark.cli import main
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"v": 1.5, "k": 7}\n{"v": 2, "k": 8}\n')
+    mp = tmp_path / "docs.msgpack"
+    assert main([".", str(p), "--output-format", "msgpack",
+                 "-o", str(mp)]) == 0
+    capsys.readouterr()
+    assert main([".k", str(mp), "--format", "msgpack"]) == 0
+    assert capsys.readouterr().out == "7\n8\n"
+
+
+def test_cli_json_output_to_file(tmp_path):
+    from bd_spark.cli import main
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"foo": 41.5}\n')
+    out = tmp_path / "out.txt"
+    assert main(["--local", ".foo + 0.5", str(p), "-o", str(out)]) == 0
+    assert out.read_text() == "4.2e1\n"
+
+
 def test_format_agnostic_roundtrip(spark, sf_dir, tmp_path):
     """The reference aspires to format-agnostic sources (CBOR/MsgPack,
     README.md:18-22); on Spark that is the data source API. Round-trip
