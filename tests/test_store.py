@@ -63,6 +63,42 @@ def test_vacuum_keeps_current_and_window(spark, store):
         store.read(version=0)
 
 
+def test_streaming_ingest_commits_versions(spark, store, tmp_path):
+    """Streaming -> store integration: a foreachBatch sink commits
+    one append version per microbatch, so the store's history IS the
+    ingest log and any intermediate snapshot stays time-travelable —
+    the shape of a production 'bronze' ingest."""
+    import json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for b in range(3):
+        with open(src / f"b{b}.jsonl", "w") as f:
+            for i in range(5):
+                f.write(json.dumps({"id": b * 5 + i, "batch": b}) + "\n")
+
+    stream = (
+        spark.readStream.schema("id long, batch long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, epoch: store.write(df, mode="append")
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    assert store.current_version() == 2
+    assert store.read().count() == 15
+    # each retained snapshot is a consistent prefix of the ingest
+    sizes = sorted(store.read(version=v).count() for v in range(3))
+    assert sizes == [5, 10, 15]
+
+
 def test_empty_store_read_raises(spark, store):
     with pytest.raises(FileNotFoundError):
         store.read()
