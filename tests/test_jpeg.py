@@ -245,6 +245,18 @@ def test_color_420_subsampled():
     assert int(np.max(np.abs(got[:, 20:].astype(int) - img[:, 20:].astype(int)))) <= 6
 
 
+def test_color_420_odd_dimensions():
+    """4:2:0 with dims not a multiple of the 16px MCU — the classic
+    decoder crop bug: pad blocks must decode then crop away."""
+    img = np.zeros((18, 10, 3), dtype=np.uint8)
+    img[:9] = (180, 60, 60)
+    img[9:] = (60, 60, 180)
+    got = decode_jpeg(encode_jpeg(img, quant=1, sampling="420"))
+    assert got.shape == (18, 10, 3)
+    assert int(np.max(np.abs(got[:6].astype(int) - img[:6].astype(int)))) <= 6
+    assert int(np.max(np.abs(got[12:].astype(int) - img[12:].astype(int)))) <= 6
+
+
 def test_restart_markers():
     img = _smooth((24, 40), 3)
     plain = decode_jpeg(encode_jpeg(img, quant=1))

@@ -291,6 +291,37 @@ def test_redact_pii_examples(spark):
     assert got[3] == "no pii here, just 3.14 and v1.2.3 and 12-34"
 
 
+def test_redact_pii_edges(spark):
+    from bd_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a@b.co"),                       # whole string is an email
+        (2, "x 1.2.3.4 255.255.255.255 y"),  # multiple IPs
+        (3, "a@b.co b@c.io"),                # adjacent emails
+        (4, "ip5.6.7.8.9 not an ip edge"),   # 5 octets: \\b still fires
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r.id: r.t for r in df.select(
+        "id", T.redact_pii(F.col("text")).alias("t")).collect()}
+    assert got[1] == "<EMAIL>"
+    assert got[2] == "x <IP> <IP> y"
+    assert got[3] == "<EMAIL> <EMAIL>"
+    # documented behavior: the 4-octet prefix of a 5-octet run matches
+    assert "<IP>" in got[4]
+
+
+def test_dedup_lines_exact_boundary(spark):
+    """Docs whose token count is an exact multiple of the line width
+    produce no phantom empty line."""
+    from bd_spark.operators import text as T
+
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    out = T.dedup_lines(df, "doc_id", "text", line_tokens=2).collect()[0]
+    assert out.n_lines == 2 and out.n_lines_kept == 2
+    assert out.text == "a b c d"
+
+
 def test_dedup_lines_first_occurrence_wins(spark):
     from bd_spark.operators import text as T
 
