@@ -394,6 +394,82 @@ def random_project(df: DataFrame, dim_in: int, dim_out: int,
     )
 
 
+def _assign_cids(corpus: DataFrame, cents: list[list[float]],
+                 id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, cid): zero-shuffle map-side cosine argmax against
+    literal centroids (round-9, ties -> lowest cid)."""
+    cents_mat = _lit_mat(cents)
+    cnorms = _lit_vec(sum(x * x for x in cv) ** 0.5 for cv in cents)
+    cids_lit = F.expr(
+        "array(" + ",".join(f"{c}L" for c in range(len(cents))) + ")"
+    )
+    scored = F.transform(
+        cents_mat,
+        lambda cv, i: F.struct(
+            (-F.round(
+                dot(F.col("_dv"), cv)
+                / (F.col("_nv") * F.element_at(cnorms, i + 1)),
+                9,
+            )).alias("negcos"),
+            F.element_at(cids_lit, i + 1).alias("cid"),
+        ),
+    )
+    cid = F.element_at(
+        F.transform(F.array_sort(scored), lambda s: s.getField("cid")), 1
+    )
+    return (
+        corpus.withColumn("_dv", _dvec(F.col(vec_col)))
+        .withColumn("_nv", l2norm(F.col("_dv")))
+        .select(F.col(id_col), F.col(vec_col), cid.alias("cid"))
+    )
+
+
+def semantic_dedup(corpus: DataFrame, k: int = 16, threshold: float = 0.95,
+                   train_iters: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   ) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-level semantic dedup —
+    k-means-cluster the corpus, then flag any vector with a
+    LOWER-id cluster-mate above the cosine threshold as a duplicate
+    (first occurrence per semantic neighborhood wins).
+
+    Scale story: clustering bounds the pairwise stage to
+    within-cluster self-joins (~n²/k per cluster; production runs
+    pick k so clusters fit a task — the paper uses k in the tens of
+    thousands at web scale), assignment is the zero-shuffle literal-
+    centroid argmax shared with IVF, and the pair join shuffles on
+    the uniform cid key. Deterministic end-to-end (round-9 cosines,
+    lowest-id winners), so a SQL oracle reproduces training,
+    assignment AND verdicts exactly.
+
+    Returns (id, cid, is_dup) — total over the corpus."""
+    cents = kmeans_fit(corpus, k, train_iters, id_col, vec_col)
+    assigned = _assign_cids(corpus, cents, id_col, vec_col).persist()
+    a = assigned.select(
+        F.col("cid"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    dup_ids = (
+        a.join(b, "cid")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(F.round(cosine(F.col("_va"), F.col("_vb")), 9) >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_ids.withColumn("_dup", F.lit(True)), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col("cid"),
+            F.coalesce("_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 def ivf_index_write(corpus: DataFrame, path: str,
                     nlist: int = 16, train_iters: int = 2,
                     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -414,37 +490,16 @@ def ivf_index_write(corpus: DataFrame, path: str,
         if train_iters > 0
         else _seed_vectors(corpus, nlist, id_col, vec_col, "centroids")
     )
-    cents_pairs = list(enumerate(cents))
-    cents_mat = _lit_mat(cv for _, cv in cents_pairs)
-    cnorms = _lit_vec(sum(x * x for x in cv) ** 0.5 for _, cv in cents_pairs)
-    cids_lit = F.expr(
-        "array(" + ",".join(f"{c}L" for c, _ in cents_pairs) + ")"
-    )
-    scored = F.transform(
-        cents_mat,
-        lambda cv, i: F.struct(
-            (-F.round(
-                dot(F.col("_dv"), cv)
-                / (F.col("_nv") * F.element_at(cnorms, i + 1)),
-                9,
-            )).alias("negcos"),
-            F.element_at(cids_lit, i + 1).alias("cid"),
-        ),
-    )
-    cid = F.element_at(
-        F.transform(F.array_sort(scored), lambda s: s.getField("cid")), 1
-    )
     (
-        corpus.withColumn("_dv", _dvec(F.col(vec_col)))
-        .withColumn("_nv", l2norm(F.col("_dv")))
-        .select(F.col(id_col), F.col(vec_col), cid.alias("cid"))
+        _assign_cids(corpus, cents, id_col, vec_col)
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(path)
     )
     spark = corpus.sparkSession
     spark.createDataFrame(
-        [(c, cv) for c, cv in cents_pairs], "cid long, centroid array<double>"
+        [(c, cv) for c, cv in enumerate(cents)],
+        "cid long, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + ".centroids")
     return cents
 

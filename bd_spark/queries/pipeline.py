@@ -430,6 +430,55 @@ FROM (
 )
 
 
+def pipe_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table:
+    2-iteration k-means (16 clusters), then within-cluster cosine
+    >= 0.3 flags later-id vectors as semantic duplicates (0.3, not
+    the paper's ~0.95: the synthetic corpus is near-orthogonal). The
+    oracle unrolls the identical training + assignment + pair
+    verdicts in SQL."""
+    emb = table(spark, "embeddings", sf_dir)
+    return similarity.semantic_dedup(
+        emb, k=16, threshold=0.3, train_iters=2
+    ).select("vec_id", "cid", "is_dup")
+
+
+PIPE_SEMANTIC_DEDUP_SQL = (
+    """
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         v AS cv
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)
+)"""
+    + _IVF_ASSIGN.format(o=0, i=0, n=1)
+    + _IVF_ASSIGN.format(o=1, i=1, n=2)
+    + """
+, vcf AS (
+  SELECT v.vec_id, v.v, c.cid,
+         round(list_sum([v.v[i+1] * c.cv[i+1] for i in range(64)])
+               / (sqrt(list_sum([x*x for x in v.v]))
+                  * sqrt(list_sum([x*x for x in c.cv]))), 9) AS ccos
+  FROM v CROSS JOIN c2 c
+), af AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM vcf
+  ) WHERE rn = 1
+), dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_sum([a.v[i+1] * b.v[i+1] for i in range(64)])
+              / (sqrt(list_sum([x*x for x in a.v]))
+                 * sqrt(list_sum([x*x for x in b.v]))), 9) >= 0.3
+)
+SELECT af.vec_id, af.cid, (dups.vec_id IS NOT NULL) AS is_dup
+FROM af LEFT JOIN dups ON af.vec_id = dups.vec_id
+"""
+)
+
+
 def pipe_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (the training-pipeline 'class
     centroid' aggregation): posexplode to (label, dim, value) —
@@ -1451,6 +1500,7 @@ QUERIES = {
     "pipe_dedup_lines": pipe_dedup_lines,
     "pipe_text_classifier": pipe_text_classifier,
     "pipe_embed_project": pipe_embed_project,
+    "pipe_semantic_dedup": pipe_semantic_dedup,
 }
 
 ORACLES = {
@@ -1483,4 +1533,5 @@ ORACLES = {
     "pipe_dedup_lines": PIPE_DEDUP_LINES_SQL,
     "pipe_text_classifier": PIPE_TEXT_CLASSIFIER_SQL,
     "pipe_embed_project": PIPE_EMBED_PROJECT_SQL,
+    "pipe_semantic_dedup": PIPE_SEMANTIC_DEDUP_SQL,
 }

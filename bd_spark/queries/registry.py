@@ -136,6 +136,7 @@ EXTRA = [
     "pipe_dedup_lines",        # C4-style corpus-level line dedup
     "pipe_text_classifier",    # hashed-linear quality-classifier inference
     "pipe_embed_project",      # sign random projection 64->16 dims
+    "pipe_semantic_dedup",     # SemDeDup: k-means clusters + in-cluster cosine
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

@@ -70,6 +70,24 @@ def test_pq_training_reduces_quantization_error(emb, vecs):
     assert S.pq_codebooks(emb, m=4, ksub=8, train_iters=2) == b2
 
 
+def test_semantic_dedup_flags_planted_twins(spark, emb):
+    """SemDeDup: exact planted twins (same vector, higher id) must be
+    flagged as duplicates with the lower-id original kept; the
+    near-orthogonal originals stay at their baseline dup rate."""
+    n = emb.count()
+    twins = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + n).alias("vec_id"), "embedding"
+    )
+    corpus = emb.union(twins)
+    out = {r.vec_id: r.is_dup for r in
+           S.semantic_dedup(corpus, k=16, threshold=0.999).collect()}
+    assert len(out) == n + 20  # total over the corpus
+    # an identical twin always lands in the same cluster (identical
+    # cosine scores) and has a lower-id equal vector there
+    assert all(out[n + i] for i in range(20))
+    assert all(not out[i] for i in range(20))  # originals kept
+
+
 def test_trained_ivf_recall_band(emb):
     """Trained-IVF recall@10 vs brute force stays in the stand-in's
     band (8 queries is a noisy sample — the hard guarantee is the
