@@ -289,6 +289,95 @@ def dedup_lines(df, id_col: str, text_col: str, line_tokens: int = 10):
     )
 
 
+# BPE unit separator: joins the character units of a word during
+# training/encoding. U+001F never appears in whitespace-split tokens
+# of any sane corpus; a production tokenizer would use byte-level
+# units where no sentinel is needed.
+BPE_SEP = "\x1f"
+
+
+def bpe_train(docs, text_col: str, n_merges: int = 6) -> list[tuple[str, str]]:
+    """Deterministic distributed BPE training (Sennrich et al. 2016),
+    word-internal, fixed ``n_merges`` iterations — the tokenizer-
+    TRAINING step of a data pipeline, not just token counting.
+
+    Representation trick that keeps every engine identical: a word is
+    its units joined by BPE_SEP, and applying merge (a, b) is the
+    plain left-to-right non-overlapping string replace of
+    ``a SEP b -> ab`` — exactly BPE's greedy adjacent-merge order, and
+    byte-for-byte reproducible in SQL (the pipe_bpe oracle unrolls
+    the same iterations with DuckDB ``replace``).
+
+    Scale shape per iteration: pair counts come from the DISTINCT-
+    WORD vocabulary (one corpus shuffle builds it, once), weighted by
+    word frequency — explode to (pair, cnt), map-side-combinable sum,
+    then ONE row collected (argmax by count desc / pair asc for
+    deterministic ties). Merge application is a row-local replace on
+    the vocabulary. n_merges iterations = n_merges tiny collects.
+    """
+    from pyspark.sql import functions as FF
+
+    words = (
+        docs.select(FF.explode(tokens(FF.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(FF.count("*").alias("cnt"))
+        .select(
+            # drop the trailing empty the zero-width split leaves
+            # under Java's limit=-1 semantics
+            FF.concat_ws(
+                BPE_SEP,
+                FF.filter(FF.split(FF.col("w"), "(?!^)"), lambda c: c != ""),
+            ).alias("units"),
+            "cnt",
+        )
+        .persist()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        units_col = FF.col("units")
+        for a, b in merges:
+            units_col = FF.replace(
+                units_col, FF.lit(a + BPE_SEP + b), FF.lit(a + b)
+            )
+        parts = FF.split(units_col, BPE_SEP)
+        n = FF.size(parts)
+        pairs = FF.zip_with(
+            FF.slice(parts, 1, FF.greatest(n - 1, FF.lit(0))),
+            FF.slice(parts, 2, FF.greatest(n - 1, FF.lit(0))),
+            lambda x, y: FF.concat(x, FF.lit(BPE_SEP), y),
+        )
+        top = (
+            words.select(FF.explode(pairs).alias("p"), "cnt")
+            .groupBy("p")
+            .agg(FF.sum("cnt").alias("c"))
+            .orderBy(FF.desc("c"), FF.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["p"].split(BPE_SEP, 1)
+        merges.append((a, b))
+    return merges
+
+
+def bpe_apply(text: Column, merges: list[tuple[str, str]]) -> Column:
+    """array<string> of BPE pieces per document: each token's units
+    run through the merge list in training order. Row-local codegen
+    (one literal replace per merge — fine for demo-sized merge lists;
+    a production encoder with 30k+ merges runs the classic ranked-
+    merge algorithm in an Arrow-batched pandas UDF instead)."""
+    def encode_word(w: Column) -> Column:
+        units = F.concat_ws(
+            BPE_SEP, F.filter(F.split(w, "(?!^)"), lambda c: c != "")
+        )
+        for a, b in merges:
+            units = F.replace(units, F.lit(a + BPE_SEP + b), F.lit(a + b))
+        return F.split(units, BPE_SEP)
+
+    return F.flatten(F.transform(tokens(text), encode_word))
+
+
 def hashed_linear_score(text: Column, salt: str = "qw") -> Column:
     """Linear text-classifier INFERENCE (the fastText-style quality
     filter every modern pretraining pipeline runs): score = sigmoid

@@ -1448,6 +1448,80 @@ FROM v, range(16) t(j)
 """
 
 
+def pipe_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING + encoding over the corpus: 4 merge
+    iterations learned distributed (operators.text.bpe_train — pair
+    counts over the word-frequency vocabulary, deterministic argmax),
+    then every document encoded with the learned merges. The oracle
+    unrolls the identical iterations in SQL via the string-replace
+    merge representation, so the learned merge TABLE and the per-doc
+    piece counts are both hash-gated."""
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    merges = T.bpe_train(docs, "text", n_merges=4)
+    pieces = T.bpe_apply(F.col("text"), merges)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
+_BPE_ITER = """
+, p{k} AS (
+  SELECT p, sum(cnt) AS c FROM (
+    SELECT unnest([ws[i+1] || chr(31) || ws[i+2]
+                   for i in range(greatest(len(ws) - 1, 0))]) AS p, cnt
+    FROM (SELECT str_split(units, chr(31)) AS ws, cnt FROM u{k})
+  ) GROUP BY p
+), m{k} AS (
+  SELECT p, replace(p, chr(31), '') AS r FROM p{k} ORDER BY c DESC, p LIMIT 1
+), u{n} AS (
+  SELECT replace(units, (SELECT p FROM m{k}), (SELECT r FROM m{k})) AS units,
+         cnt
+  FROM u{k}
+)"""
+
+PIPE_BPE_SQL = (
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+), vocab AS (
+  SELECT w, count(*) AS cnt FROM toks GROUP BY w
+), u0 AS (
+  SELECT array_to_string([substr(w, i+1, 1) for i in range(length(w))],
+                         chr(31)) AS units,
+         cnt
+  FROM vocab
+)"""
+    + _BPE_ITER.format(k=0, n=1)
+    + _BPE_ITER.format(k=1, n=2)
+    + _BPE_ITER.format(k=2, n=3)
+    + _BPE_ITER.format(k=3, n=4)
+    + f"""
+, applied AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(
+      array_to_string([substr(w, i+1, 1) for i in range(length(w))], chr(31)),
+      (SELECT p FROM m0), (SELECT r FROM m0)),
+      (SELECT p FROM m1), (SELECT r FROM m1)),
+      (SELECT p FROM m2), (SELECT r FROM m2)),
+      (SELECT p FROM m3), (SELECT r FROM m3)) AS units
+  FROM toks
+), counts AS (
+  SELECT doc_id,
+         CAST(sum(len(str_split(units, chr(31)))) AS BIGINT) AS n_pieces,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM applied GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(c.n_pieces, 0) AS n_pieces,
+       coalesce(c.n_tokens, 0) AS n_tokens
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN counts c ON d.doc_id = c.doc_id
+"""
+)
+
+
 def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based stratified sampling: downsample 'en'
     to 30%, 'zh' to 60%, everything else 50% — reproducible across
@@ -1501,6 +1575,7 @@ QUERIES = {
     "pipe_text_classifier": pipe_text_classifier,
     "pipe_embed_project": pipe_embed_project,
     "pipe_semantic_dedup": pipe_semantic_dedup,
+    "pipe_bpe": pipe_bpe,
 }
 
 ORACLES = {
@@ -1534,4 +1609,5 @@ ORACLES = {
     "pipe_text_classifier": PIPE_TEXT_CLASSIFIER_SQL,
     "pipe_embed_project": PIPE_EMBED_PROJECT_SQL,
     "pipe_semantic_dedup": PIPE_SEMANTIC_DEDUP_SQL,
+    "pipe_bpe": PIPE_BPE_SQL,
 }

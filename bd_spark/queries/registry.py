@@ -137,6 +137,7 @@ EXTRA = [
     "pipe_text_classifier",    # hashed-linear quality-classifier inference
     "pipe_embed_project",      # sign random projection 64->16 dims
     "pipe_semantic_dedup",     # SemDeDup: k-means clusters + in-cluster cosine
+    "pipe_bpe",                # BPE tokenizer training + corpus encoding
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

@@ -291,6 +291,60 @@ def test_redact_pii_examples(spark):
     assert got[3] == "no pii here, just 3.14 and v1.2.3 and 12-34"
 
 
+def test_bpe_matches_python_reference(spark):
+    """bpe_train / bpe_apply against a classic in-memory BPE
+    implementation (word-frequency dict, most-frequent adjacent pair,
+    ties lexicographic) — merge list AND encodings must match."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from bd_spark.operators import text as T
+
+    corpus = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                               ["doc_id", "text"])
+    got_merges = T.bpe_train(df, "text", n_merges=6)
+
+    # python reference
+    vocab = Counter(w for t in corpus for w in t.lower().split())
+    words = {w: list(w) for w in vocab}
+    ref_merges = []
+    for _ in range(6):
+        pairs: Counter = Counter()
+        for w, units in words.items():
+            for a, b in zip(units, units[1:]):
+                pairs[(a, b)] += vocab[w]
+        if not pairs:
+            break
+        # max count; ties -> lexicographically smallest joined pair
+        best = min(pairs, key=lambda p: (-pairs[p], p[0] + "\x1f" + p[1]))
+        ref_merges.append(best)
+        a, b = best
+        for w, units in words.items():
+            out, i = [], 0
+            while i < len(units):
+                if i + 1 < len(units) and units[i] == a and units[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(units[i])
+                    i += 1
+            words[w] = out
+    assert got_merges == ref_merges
+
+    enc = {r.doc_id: list(r.p) for r in df.select(
+        "doc_id", T.bpe_apply(F.col("text"), got_merges).alias("p")
+    ).collect()}
+    for i, t in enumerate(corpus):
+        want = [p for w in t.lower().split() for p in words[w]]
+        assert enc[i] == want, (i, enc[i], want)
+
+
 def test_redact_pii_edges(spark):
     from bd_spark.operators import text as T
     from pyspark.sql import functions as F
