@@ -652,6 +652,49 @@ def decontaminate(train, eval_df, id_col: str, text_col: str,
     )
 
 
+def assign_splits(df, id_col: str,
+                  fractions: dict[str, float] | None = None,
+                  denom: int = 1_000_000, salt: str = "split"):
+    """Deterministic train/val/test assignment: split = the band of
+    ``h31(salt:id) % denom`` the row's hash falls in (cumulative
+    fraction boundaries, dict order). A pure function of the id —
+    reproducible across engines/runs/partitionings, stable under
+    corpus growth (existing rows never switch splits), and salt-
+    isolated from sample_by_hash so sampling and splitting stay
+    independent. Row-local, zero shuffle. Adds a ``split`` column."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    key = h31(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % denom
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = key < int(acc * denom)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def shuffle_deterministic(df, id_col: str, seed: str = "epoch0"):
+    """Seeded global reshuffle for training order: order rows by
+    ``h60(seed:id)`` (ties by id). A pure function of (seed, id) —
+    every engine/run/partitioning produces the identical permutation,
+    and a new seed string is a fresh epoch. The total order is
+    realized by Spark's DISTRIBUTED range sort (orderBy) — NOT a
+    global row_number window, which would pull the whole corpus
+    through one task. At 100 TB this is exactly the cost of writing
+    the training-order dataset, which is the point. Adds the
+    ``shuffle_key`` column (the permutation is `sort by (shuffle_key,
+    id)`; a writer keeps it with sortWithinPartitions after
+    repartitionByRange)."""
+    key = h60(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("shuffle_key", key)
+        .orderBy("shuffle_key", F.col(id_col))
+    )
+
+
 def sample_by_hash(df, id_col: str, fraction: float,
                    stratum_cols: list[str] | None = None,
                    fractions: dict | None = None,

@@ -1537,6 +1537,46 @@ def pipe_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (90/5/5): the
+    split is a pure function of the doc id, so it is reproducible
+    across engines/runs and stable under corpus growth
+    (operators.text.assign_splits)."""
+    docs = table(spark, "documents", sf_dir).select("doc_id")
+    return T.assign_splits(docs, "doc_id").select("doc_id", "split")
+
+
+PIPE_SPLIT_ASSIGN_SQL = f"""
+SELECT doc_id,
+  CASE
+    WHEN ({_h31("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000) < 900000
+      THEN 'train'
+    WHEN ({_h31("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000) < 950000
+      THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM documents
+"""
+
+
+def pipe_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic corpus reshuffle (training order): the
+    permutation key h60('epoch0:' || id) — realized as a distributed
+    range sort, never a global window
+    (operators.text.shuffle_deterministic)."""
+    docs = table(spark, "documents", sf_dir).select("doc_id")
+    return T.shuffle_deterministic(docs, "doc_id", seed="epoch0").select(
+        "doc_id", "shuffle_key"
+    )
+
+
+PIPE_SHUFFLE_SQL = f"""
+SELECT doc_id,
+       {_h60("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+FROM documents
+"""
+
+
 PIPE_SAMPLE_STRATIFIED_SQL = f"""
 SELECT doc_id, lang FROM documents
 WHERE ({_h31("CAST(doc_id AS VARCHAR)")} % 1000000)
@@ -1576,6 +1616,8 @@ QUERIES = {
     "pipe_embed_project": pipe_embed_project,
     "pipe_semantic_dedup": pipe_semantic_dedup,
     "pipe_bpe": pipe_bpe,
+    "pipe_split_assign": pipe_split_assign,
+    "pipe_shuffle": pipe_shuffle,
 }
 
 ORACLES = {
@@ -1610,4 +1652,6 @@ ORACLES = {
     "pipe_embed_project": PIPE_EMBED_PROJECT_SQL,
     "pipe_semantic_dedup": PIPE_SEMANTIC_DEDUP_SQL,
     "pipe_bpe": PIPE_BPE_SQL,
+    "pipe_split_assign": PIPE_SPLIT_ASSIGN_SQL,
+    "pipe_shuffle": PIPE_SHUFFLE_SQL,
 }

@@ -138,6 +138,8 @@ EXTRA = [
     "pipe_embed_project",      # sign random projection 64->16 dims
     "pipe_semantic_dedup",     # SemDeDup: k-means clusters + in-cluster cosine
     "pipe_bpe",                # BPE tokenizer training + corpus encoding
+    "pipe_split_assign",       # deterministic train/val/test hash split
+    "pipe_shuffle",            # seeded deterministic training-order shuffle
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

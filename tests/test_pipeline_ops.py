@@ -291,6 +291,31 @@ def test_redact_pii_examples(spark):
     assert got[3] == "no pii here, just 3.14 and v1.2.3 and 12-34"
 
 
+def test_assign_splits_and_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from bd_spark.operators import text as T
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    sp = T.assign_splits(df, "id")
+    counts = {r.split: r.c for r in
+              sp.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.9) < 0.05
+    # stable under growth: the first 1000 ids keep their splits
+    small = {r.id: r.split for r in
+             T.assign_splits(df.where("id < 1000"), "id").collect()}
+    big = {r.id: r.split for r in sp.where("id < 1000").collect()}
+    assert small == big
+
+    # shuffle: same seed -> identical permutation; new seed -> different
+    o1 = [r.id for r in T.shuffle_deterministic(df, "id", "e0").collect()]
+    o2 = [r.id for r in T.shuffle_deterministic(df, "id", "e0").collect()]
+    o3 = [r.id for r in T.shuffle_deterministic(df, "id", "e1").collect()]
+    assert o1 == o2 and sorted(o1) == list(range(2000))
+    assert o1 != o3 and o1 != list(range(2000))
+
+
 def test_bpe_matches_python_reference(spark):
     """bpe_train / bpe_apply against a classic in-memory BPE
     implementation (word-frequency dict, most-frequent adjacent pair,
