@@ -44,6 +44,9 @@ HEAVY = [
     "q_stream_attribution",
     "pipe_token_budget",        # two-phase bucketed prefix sum (r5)
     "pipe_ann_ivf_trained",     # k-means training iterations (r5)
+    "pipe_semantic_dedup",      # SemDeDup clusters + in-cluster pairs (r5)
+    "pipe_bpe",                 # BPE training + corpus encoding (r5)
+    "pipe_dedup_lines",         # corpus-level line dedup (r5)
 ]
 
 
