@@ -154,4 +154,5 @@ BUILTIN_ARITY = {
     "map": 1,
     "any": 1,
     "all": 1,
+    "select": 1,
 }

@@ -71,6 +71,35 @@ class CV:
 ColFn = Callable[[Column], CV]
 
 
+
+def _drop_flag(drop: Column) -> Column:
+    """Boolean drop-flag COLUMN for `?`/select() row removal, with a
+    value-preserving nondeterministic disjunct (mid() < 0 is always
+    false). Why: PushPredicateThroughNonJoin pushes a Filter through
+    a Project whenever the PROJECT FIELDS are deterministic — the
+    filter condition's own determinism is irrelevant — substituting
+    the flag alias with its full defining expression at every hop.
+    Over a compiled jq tree that substitution multiplies to MB-scale
+    Filter conditions that exceed janino's 64 KB single-method limit
+    and fall back interpreted (measured: select() over 500 rows spent
+    ~70 s in failed compiles + interpreted eval; 21 KB analyzed plan
+    became a 2.1 MB optimized one). Making the FLAG FIELD
+    nondeterministic pins the filter right where it was planned, so
+    it evaluates one already-computed boolean. These flags reference
+    computed variant columns, never scan columns, so no real
+    pushdown is lost."""
+    return F.coalesce(drop, F.lit(False)) | (
+        F.monotonically_increasing_id() < F.lit(0)
+    )
+
+
+def _keep_rows(df: DataFrame, flag: str) -> DataFrame:
+    """Filter out rows whose `flag` column (built by _drop_flag) is
+    set; the flag's nondeterministic field pins this filter in
+    place."""
+    return df.where(~F.col(flag))
+
+
 def _merge_err(a: Column | None, b: Column | None) -> Column | None:
     if a is None:
         return b
@@ -166,6 +195,11 @@ def compile_col(node: ast.Node) -> ColFn | None:
         op = node.op
         return lambda v: _col_binary(op, lf(v), rf(v))
     if isinstance(node, ast.Builtin):
+        if node.name == "select":
+            argfn = compile_col(node.args[0])
+            if argfn is None:
+                return None
+            return lambda v: _select_cv(v, argfn(v))
         argfns = [compile_col(a) for a in node.args]
         if any(f is None for f in argfns):
             return None
@@ -296,7 +330,27 @@ def _col_not(v: Column) -> CV:
     return CV(V.vbool(~V.truthy(v)))
 
 
+def _select_cv(v_in: Column, arg: CV) -> CV:
+    """`select(f)`: emit the INPUT when f is truthy, drop the row
+    when f is valid-but-falsy, propagate f's errors (jq semantics;
+    beyond-reference — the reference dialect has no select)."""
+    t = V.truthy(arg.v)
+    drop = (~t) if arg.err is None else (arg.err.isNull() & ~t)
+    return CV(v_in, arg.err, _merge_drop(arg.drop, drop))
+
+
 def _col_binary(op: str, l: CV, r: CV) -> CV:
+    if op == "//":
+        # jq alternative: rhs when lhs errored OR is falsy; lhs
+        # errors are SUPPRESSED (beyond-reference jq usability)
+        lhs_bad = (
+            ~V.truthy(l.v)
+            if l.err is None
+            else (l.err.isNotNull() | ~V.truthy(l.v))
+        )
+        v = F.when(lhs_bad, r.v).otherwise(l.v)
+        err = None if r.err is None else F.when(lhs_bad, r.err)
+        return CV(v, err, _merge_drop(l.drop, r.drop))
     err = _merge_err(l.err, r.err)
     drop = _merge_drop(l.drop, r.drop)
     a, b = l.v, r.v
@@ -702,10 +756,10 @@ def lift(colfn: ColFn) -> StreamFn:
             else F.coalesce(F.col("err"), cv.err),
         }
         if cv.drop is not None:
-            cols["__dropf"] = F.col("err").isNull() & F.coalesce(cv.drop, F.lit(False))
+            cols["__dropf"] = F.col("err").isNull() & _drop_flag(cv.drop)
         out = df.withColumns(cols)
         if cv.drop is not None:
-            out = out.where(~F.col("__dropf")).drop("__dropf")
+            out = _keep_rows(out, "__dropf").drop("__dropf")
         return out
 
     return run
@@ -783,14 +837,22 @@ class _Plan:
             for layer in self.layers
             for name, col in layer.items()
         ]
-        if flat and len(flat) <= self.LATERAL_FOLD_MAX:
+        # lateral fold ONLY when no drop filters: lateral column
+        # aliases are substituted INLINE at analysis (no multi-use
+        # cost veto, unlike CollapseProject), so a `select()`/`?`
+        # flag referencing a staged operand ~9x via truthy() blows
+        # the collapsed expression to MBs (observed 2.1 MB Filter ->
+        # repeated janino failures + interpreted fallback, ~70 s for
+        # 500 rows). Per-layer withColumns keeps real column
+        # boundaries that the optimizer's cost veto respects.
+        if flat and len(flat) <= self.LATERAL_FOLD_MAX and not self.filters:
             df = df.select("*", *[c.alias(n) for n, c in flat])
         else:
             for layer in self.layers:
                 if layer:
                     df = df.withColumns(layer)
         for flag in self.filters:
-            df = df.where(~F.col(flag))
+            df = _keep_rows(df, flag)
         dead = [c for t in self.temps for c in (f"{t}_v", f"{t}_e")]
         dead += self.filters
         if dead:
@@ -823,7 +885,7 @@ def _pemit(
     cols = {f"{base}_v": v, f"{base}_e": e}
     if dropg is not None:
         flag = f"__dropf_{base}"
-        cols[flag] = F.coalesce(dropg, F.lit(False))
+        cols[flag] = _drop_flag(dropg)
         plan.filters.append(flag)
     plan.emit(depth, cols)
     if not final:
@@ -920,6 +982,13 @@ def _plan_direct_raw(
                 return None
             cv = _col_hof(node.name, node.args[0])(inp.v)
             return _pemit(plan, cv, inp.err, name, in_depth)
+        if node.name == "select":
+            arg = _plan_direct(plan, node.args[0], None, inp, in_depth, cse)
+            if arg is None:
+                return None
+            acv, ad, _ = arg
+            cv = _select_cv(inp.v, acv)
+            return _pemit(plan, cv, inp.err, name, max(ad, in_depth))
         if node.name in ("has", "in"):
             arg = _plan_direct(plan, node.args[0], None, inp, in_depth, cse)
             if arg is None:
@@ -1038,6 +1107,16 @@ def compile_stream(node: ast.Node) -> StreamFn:
     if isinstance(node, ast.Builtin):
         if node.name in ("map", "any", "all"):
             return lift(_col_hof(node.name, node.args[0]))
+        if node.name == "select":
+            sarg = node.args[0]
+
+            def run_select(df: DataFrame) -> DataFrame:
+                an = _fresh("s")
+                df, acv = _stage_cv(df, sarg, an)
+                cv = _select_cv(F.col("v"), acv)
+                return _finish(df, cv, drop_cols=[f"{an}_v", f"{an}_e"])
+
+            return run_select
         if node.name in ("has", "in"):
             arg = node.args[0]
 
@@ -1073,10 +1152,10 @@ def _finish(df: DataFrame, cv: CV, drop_cols: list[str]) -> DataFrame:
         "err": F.col("err") if cv.err is None else F.coalesce(F.col("err"), cv.err),
     }
     if cv.drop is not None:
-        cols["__dropf"] = F.col("err").isNull() & F.coalesce(cv.drop, F.lit(False))
+        cols["__dropf"] = F.col("err").isNull() & _drop_flag(cv.drop)
     out = df.withColumns(cols)
     if cv.drop is not None:
-        out = out.where(~F.col("__dropf")).drop("__dropf")
+        out = _keep_rows(out, "__dropf").drop("__dropf")
     return out.drop(*drop_cols)
 
 

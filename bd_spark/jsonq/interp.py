@@ -211,6 +211,11 @@ def _unary(op: str, expr: ast.Node, v: object) -> list[Entry]:
 
 
 def _binary(op: str, left: ast.Node, right: ast.Node, v: object) -> list[Entry]:
+    if op == "//":
+        # jq alternative (beyond-reference): lhs outputs that are
+        # valid and truthy; else rhs (lhs errors suppressed)
+        lhs = [e for e in _eval(left, v) if e[1] is None and _truthy(e[0])]
+        return lhs if lhs else _eval(right, v)
     lhs = _eval(left, v)
     rhs = _eval(right, v)
     out: list[Entry] = []
@@ -312,6 +317,14 @@ def _deep_merge(a: dict, b: dict) -> dict:
 # ------------------------------------------------------------ builtins
 
 def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  # noqa: PLR0911, PLR0912
+    if name == "select":
+        out: list[Entry] = []
+        for fv, fe in _eval(args[0], v):
+            if fe is not None:
+                out.append((None, fe))
+            elif _truthy(fv):
+                out.append((v, None))
+        return out
     if name == "length":
         if v is None:
             return [(0, None)]

@@ -2,8 +2,9 @@
 
 Grammar per the reference's nom PEG (query_nom.rs:73-104):
 
-    Expr   <- Or ('|'? Or)*          pipe lowest; optional '|' makes
+    Expr   <- Alt ('|'? Alt)*        pipe lowest; optional '|' makes
                                      juxtaposition chains (`.a.b`)
+    Alt    <- Or ('//' Or)*          jq alternative (beyond-reference)
     Or     <- And ('||' And)*
     And    <- Compar ('&&' Compar)*
     Compar <- BitOr (('=='|'!='|'<='|'>='|'<'|'>') BitOr)*
@@ -42,7 +43,7 @@ _TOKEN_RE = re.compile(
   | (?P<dotdot>\.\.(?!\.))
   | (?P<number>\d+(?:\.\d+(?!\.))?(?:[eE][+-]?\d+)?)
   | (?P<string>"(?:[^"\\]|\\.)*")
-  | (?P<op><<|>>|<=|>=|==|!=|&&|\|\||[-+*/%<>=!&^|?,:(){}\[\].])
+  | (?P<op><<|>>|<=|>=|==|!=|&&|\|\||//|[-+*/%<>=!&^|?,:(){}\[\].])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -110,20 +111,30 @@ class Parser:
     )
 
     def parse_expr(self) -> ast.Node:
-        node = self.parse_or()
+        node = self.parse_alt()
         while True:
             if self.at("|"):
                 self.take()
-                node = ast.Pipe(node, self.parse_or())
+                node = ast.Pipe(node, self.parse_alt())
             elif (
                 self.peek()[1] in self._PIPE_STARTERS
                 or self.at_kind("ident")
                 or self.at_kind("dotdot")
             ) and not self.at_kind("eof"):
                 # juxtaposition pipe: `.a.b`, `.[] foo` (query_nom.rs:125)
-                node = ast.Pipe(node, self.parse_or())
+                node = ast.Pipe(node, self.parse_alt())
             else:
                 return node
+
+    def parse_alt(self) -> ast.Node:
+        """jq `a // b` (alternative): beyond-reference usability —
+        the reference dialect has no `//`; precedence per jq (below
+        pipe, above `or`)."""
+        node = self.parse_or()
+        while self.at("//"):
+            self.take()
+            node = ast.Binary("//", node, self.parse_or())
+        return node
 
     def parse_or(self) -> ast.Node:
         node = self.parse_and()

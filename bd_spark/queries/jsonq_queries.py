@@ -458,6 +458,34 @@ FROM e
 """
 
 
+def jq_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`select(f)` row filtering + `a // b` alternative — the two
+    beyond-reference jq idioms (the reference dialect has neither);
+    select drops rows engine-side (the `?`-style drop machinery), and
+    `//` falls back past both errors (missing key) and falsy values."""
+    docs = table(spark, "documents", sf_dir)
+    jq = JsonQ(spark)
+    stream = jq.stream_from_table(docs.select("doc_id", "lang", "n_chars"))
+    out = jq.run(
+        'select(.n_chars > 200) | {id: .doc_id, l: (.missing // .lang),'
+        ' big: ((.n_chars > 400) // "small")}',
+        stream,
+        ordered=False,
+    )
+    return out.select(
+        F.try_variant_get("v", "$.id", "long").alias("id"),
+        F.try_variant_get("v", "$.l", "string").alias("l"),
+        F.try_variant_get("v", "$.big", "string").alias("big"),
+    )
+
+
+JQ_SELECT_SQL = """
+SELECT doc_id AS id, lang AS l,
+       CASE WHEN n_chars > 400 THEN 'true' ELSE 'small' END AS big
+FROM documents WHERE n_chars > 200
+"""
+
+
 QUERIES = {
     "jq_props_k": jq_props_k,
     "jq_token_count": jq_token_count,
@@ -472,6 +500,7 @@ QUERIES = {
     "jq_overloads": jq_overloads,
     "jq_canonical": jq_canonical,
     "jq_canonical_floats": jq_canonical_floats,
+    "jq_select": jq_select,
 }
 
 ORACLES = {
@@ -488,4 +517,5 @@ ORACLES = {
     "jq_overloads": JQ_OVERLOADS_SQL,
     "jq_canonical": JQ_CANONICAL_SQL,
     "jq_canonical_floats": JQ_CANONICAL_FLOATS_SQL,
+    "jq_select": JQ_SELECT_SQL,
 }

@@ -140,6 +140,7 @@ EXTRA = [
     "pipe_bpe",                # BPE tokenizer training + corpus encoding
     "pipe_split_assign",       # deterministic train/val/test hash split
     "pipe_shuffle",            # seeded deterministic training-order shuffle
+    "jq_select",               # select(f) + a // b (beyond-reference jq)
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

@@ -152,6 +152,22 @@ CORPUS = [
     ('{"a": .[], "b": .[]}', "[1,2]",
      [{"a": 1, "b": 1}, {"a": 1, "b": 2}, {"a": 2, "b": 1}, {"a": 2, "b": 2}]),
     ('{"z": 1, "a": 2}', "null", [{"a": 2, "z": 1}]),
+    # select / alternative — BEYOND-reference jq usability (the
+    # reference dialect has neither; semantics follow jq: select
+    # emits its input when f is truthy, `a // b` falls back to b
+    # when a errors or is falsy, suppressing a's errors)
+    (".[] | select(.a > 1)", '[{"a":1},{"a":2},{"a":3}]',
+     [{"a": 2}, {"a": 3}]),
+    ("select(.a)", '{"a": true}', [{"a": True}]),
+    ("select(.a)", '{"a": false}', []),
+    ("select(.a) | .b", '{"a": 1, "b": 9}', [9]),
+    (".[] | select(. % 2 == 0)", "[1,2,3,4]", [2, 4]),
+    (".x // 42", '{"x": null}', [42]),
+    (".x // 42", '{"x": 7}', [7]),
+    ('.missing // "d"', "{}", ["d"]),
+    ('(.a > 1) // "no"', '{"a": 0}', ["no"]),
+    (".a // .b // 3", '{"b": 2}', [2]),
+    ("map(. // 9)", "[1, null, 2, false]", [[1, 9, 2, 9]]),
 ]
 
 
