@@ -155,4 +155,29 @@ BUILTIN_ARITY = {
     "any": 1,
     "all": 1,
     "select": 1,
+    # beyond-reference jq usability builtins
+    "empty": 0,
+    "add": 0,
+    "floor": 0,
+    "ceil": 0,
+    "sqrt": 0,
+    "fabs": 0,
+    "abs": 0,
+    "tostring": 0,
+    "tonumber": 0,
+    "ascii_downcase": 0,
+    "ascii_upcase": 0,
+    "reverse": 0,
+    "sort": 0,
+    "unique": 0,
+    "min": 0,
+    "max": 0,
+    "ltrimstr": 1,
+    "rtrimstr": 1,
+    "startswith": 1,
+    "endswith": 1,
+    "contains": 1,
+    "test": 1,
+    "join": 1,
+    "split": 1,
 }

@@ -45,6 +45,13 @@ from bd_spark.jsonq import vexpr as V
 
 CORE_COLS = ("seq", "ord", "v", "err")
 
+# arity-1 builtins whose argument is a VALUE expression (not a lambda
+# body like map/any/all, not row-dropping like select)
+ARG1_VALUE_BUILTINS = (
+    "has", "in", "ltrimstr", "rtrimstr", "startswith", "endswith",
+    "contains", "test", "join", "split",
+)
+
 _ids = itertools.count()
 
 
@@ -598,6 +605,173 @@ def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
         out = _guarded(ok, V.vbool(inobj | inarr), F.concat(F.lit(name + " on "), t), False)
         return CV(out.v, _merge_err(k.err, out.err), k.drop)
 
+    # ---- beyond-reference jq usability builtins (jq manual semantics;
+    # the reference dialect stops at the eight ops above) ----
+    if name == "empty":
+        return CV(V.vnull(), None, F.lit(True))
+
+    if name == "add":
+        t = V.vtype(v)
+        arr = V.as_array(v)
+        n = F.size(arr)
+        folded = F.aggregate(
+            F.slice(arr, 2, F.greatest(n - 1, F.lit(0))),
+            F.element_at(arr, 1),
+            lambda acc, x: _binary_value("+", acc, x),
+        )
+        out = F.when(n == 0, V.vnull()).otherwise(folded)
+        return _guarded(t == "array", out, F.concat(F.lit("add on "), t), False)
+
+    if name in ("floor", "ceil", "sqrt", "fabs", "abs"):
+        t = V.vtype(v)
+        d = V.as_double(v)
+        if name == "floor":
+            out = V.vlong(F.floor(d).cast("long"))
+        elif name == "ceil":
+            out = V.vlong(F.ceil(d).cast("long"))
+        elif name == "sqrt":
+            out = V.vdouble(F.sqrt(d))
+        else:  # fabs / abs preserve the numeric tower
+            out = F.when(t == "int", V.vlong(F.abs(V.as_long(v)))).otherwise(
+                V.vdouble(F.abs(d))
+            )
+        return _guarded(
+            V.is_number(t), out, F.concat(F.lit(name + " on "), t), False
+        )
+
+    if name == "tostring":
+        t = V.vtype(v)
+        out = F.when(t == "string", v).otherwise(
+            V.vstring(F.to_json(v))
+        )
+        return CV(out)
+
+    if name == "tonumber":
+        t = V.vtype(v)
+        parsed = F.try_parse_json(V.as_string(v))
+        tp = V.vtype(parsed)
+        ok = V.is_number(t) | ((t == "string") & V.is_number(tp))
+        out = F.when(V.is_number(t), v).otherwise(parsed)
+        return _guarded(ok, out, F.concat(F.lit("tonumber on "), t), False)
+
+    if name in ("ascii_downcase", "ascii_upcase"):
+        t = V.vtype(v)
+        s = V.as_string(v)
+        out = V.vstring(F.lower(s) if name == "ascii_downcase" else F.upper(s))
+        return _guarded(t == "string", out, F.concat(F.lit(name + " on "), t), False)
+
+    if name == "reverse":
+        t = V.vtype(v)
+        out = F.when(
+            t == "string", V.vstring(F.reverse(V.as_string(v)))
+        ).otherwise(V.varray(F.reverse(V.as_array(v))))
+        return _guarded(
+            t.isin("string", "array"), out,
+            F.concat(F.lit("reverse on "), t), False,
+        )
+
+    if name in ("sort", "unique", "min", "max"):
+        t = V.vtype(v)
+        arr = V.as_array(v)
+
+        def cmp(x: Column, y: Column) -> Column:
+            tx, ty = V.vtype(x), V.vtype(y)
+            return (
+                F.when(V.compare_lt(x, y, tx, ty), F.lit(-1))
+                .when(V.compare_lt(y, x, ty, tx), F.lit(1))
+                .otherwise(F.lit(0))
+            )
+
+        sorted_arr = F.array_sort(arr, cmp)
+        if name == "unique":
+            picked = F.filter(
+                sorted_arr,
+                lambda x, i: (i == 0)
+                | ~V.deep_eq(
+                    x,
+                    F.element_at(sorted_arr, i),
+                    V.vtype(x),
+                    V.vtype(F.element_at(sorted_arr, i)),
+                ),
+            )
+            out = V.varray(picked)
+        elif name == "sort":
+            out = V.varray(sorted_arr)
+        elif name == "min":
+            out = F.when(F.size(arr) == 0, V.vnull()).otherwise(
+                F.element_at(sorted_arr, 1)
+            )
+        else:
+            out = F.when(F.size(arr) == 0, V.vnull()).otherwise(
+                F.element_at(sorted_arr, -1)
+            )
+        return _guarded(t == "array", out, F.concat(F.lit(name + " on "), t), False)
+
+    if name in ("ltrimstr", "rtrimstr"):
+        k = args[0]
+        t, tk = V.vtype(v), V.vtype(k.v)
+        s, p = V.as_string(v), V.as_string(k.v)
+        applies = (t == "string") & (tk == "string")
+        if name == "ltrimstr":
+            trimmed = F.when(
+                s.startswith(p), F.substring(s, F.length(p) + 1, F.length(s))
+            ).otherwise(s)
+        else:
+            trimmed = F.when(
+                s.endswith(p), F.substring(s, F.lit(1), F.length(s) - F.length(p))
+            ).otherwise(s)
+        # jq: input passes through UNCHANGED unless both are strings
+        out = F.when(applies, V.vstring(trimmed)).otherwise(v)
+        return CV(out, k.err, k.drop)
+
+    if name in ("startswith", "endswith", "contains", "test"):
+        k = args[0]
+        t, tk = V.vtype(v), V.vtype(k.v)
+        s, p = V.as_string(v), V.as_string(k.v)
+        if name == "startswith":
+            b = s.startswith(p)
+        elif name == "endswith":
+            b = s.endswith(p)
+        elif name == "contains":
+            b = s.contains(p)
+        else:
+            b = F.regexp_like(s, p)
+        ok = (t == "string") & (tk == "string")
+        out = _guarded(
+            ok, V.vbool(b),
+            F.concat(F.lit(name + " on "), t, F.lit("/"), tk), False,
+        )
+        return CV(out.v, _merge_err(k.err, out.err), k.drop)
+
+    if name == "join":
+        k = args[0]
+        t, tk = V.vtype(v), V.vtype(k.v)
+        sep = V.as_string(k.v)
+        # elements: strings as-is, null -> "", scalars via JSON text
+        parts = F.transform(
+            V.as_array(v),
+            lambda x: F.when(V.vtype(x) == "string", V.as_string(x))
+            .when(V.vtype(x) == "null", F.lit(""))
+            .otherwise(F.to_json(x)),
+        )
+        ok = (t == "array") & (tk == "string")
+        joined = F.aggregate(
+            parts,
+            F.lit(None).cast("string"),
+            lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                F.concat(acc, sep, x)
+            ),
+        )
+        out = _guarded(
+            ok, V.vstring(F.coalesce(joined, F.lit(""))),
+            F.concat(F.lit("join on "), t, F.lit("/"), tk), False,
+        )
+        return CV(out.v, _merge_err(k.err, out.err), k.drop)
+
+    if name == "split":
+        k = args[0]
+        return _col_binary("/", CV(v), k)
+
     raise ValueError(f"unknown builtin {name}")
 
 
@@ -989,7 +1163,7 @@ def _plan_direct_raw(
             acv, ad, _ = arg
             cv = _select_cv(inp.v, acv)
             return _pemit(plan, cv, inp.err, name, max(ad, in_depth))
-        if node.name in ("has", "in"):
+        if node.name in ARG1_VALUE_BUILTINS:
             arg = _plan_direct(plan, node.args[0], None, inp, in_depth, cse)
             if arg is None:
                 return None
@@ -1117,7 +1291,7 @@ def compile_stream(node: ast.Node) -> StreamFn:
                 return _finish(df, cv, drop_cols=[f"{an}_v", f"{an}_e"])
 
             return run_select
-        if node.name in ("has", "in"):
+        if node.name in ARG1_VALUE_BUILTINS:
             arg = node.args[0]
 
             def run_hasin(df: DataFrame) -> DataFrame:

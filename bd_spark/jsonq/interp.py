@@ -52,6 +52,24 @@ def _err(msg: str) -> Entry:
     return (None, msg)
 
 
+def _order_key(v: object):
+    """jq total-order sort key (null < bool < number < string < array
+    < object); containers fall back to canonical-JSON text order, the
+    engine's documented deviation (vexpr.compare_lt)."""
+    import json as _j
+
+    if v is None:
+        return (0, 0)
+    if isinstance(v, bool):
+        return (1, v)
+    if _is_num(v):
+        return (2, v)
+    if isinstance(v, str):
+        return (3, v)
+    tag = 4 if isinstance(v, list) else 5
+    return (tag, _j.dumps(v, separators=(",", ":"), sort_keys=True))
+
+
 def _is_num(v: object) -> bool:
     return isinstance(v, (int, float)) and not isinstance(v, bool)
 
@@ -325,6 +343,132 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
             elif _truthy(fv):
                 out.append((v, None))
         return out
+    if name == "empty":
+        return []
+    if name == "add":
+        if not isinstance(v, list):
+            return [_err(f"add on {_tname(v)}")]
+        if not v:
+            return [(None, None)]
+        acc = v[0]
+        for x in v[1:]:
+            acc, e = _apply_binop("+", acc, x)
+            if e is not None:
+                return [(None, e)]
+        return [(acc, None)]
+    if name in ("floor", "ceil", "sqrt", "fabs", "abs"):
+        import math
+
+        if not _is_num(v):
+            return [_err(f"{name} on {_tname(v)}")]
+        if name == "floor":
+            return [(math.floor(v), None)]
+        if name == "ceil":
+            return [(math.ceil(v), None)]
+        if name == "sqrt":
+            return [(math.sqrt(v), None)]
+        return [(abs(v), None)]
+    if name == "tostring":
+        import json as _j
+
+        return [(v if isinstance(v, str)
+                 else _j.dumps(v, separators=(",", ":"), sort_keys=True), None)]
+    if name == "tonumber":
+        if _is_num(v):
+            return [(v, None)]
+        if isinstance(v, str):
+            try:
+                import json as _j
+
+                n = _j.loads(v)
+                if _is_num(n):
+                    return [(n, None)]
+            except Exception:  # noqa: BLE001
+                pass
+        return [_err(f"tonumber on {_tname(v)}")]
+    if name in ("ascii_downcase", "ascii_upcase"):
+        if not isinstance(v, str):
+            return [_err(f"{name} on {_tname(v)}")]
+        return [(v.lower() if name == "ascii_downcase" else v.upper(), None)]
+    if name == "reverse":
+        if isinstance(v, str):
+            return [(v[::-1], None)]
+        if isinstance(v, list):
+            return [(v[::-1], None)]
+        return [_err(f"reverse on {_tname(v)}")]
+    if name in ("sort", "unique", "min", "max"):
+        if not isinstance(v, list):
+            return [_err(f"{name} on {_tname(v)}")]
+        sv = sorted(v, key=_order_key)
+        if name == "sort":
+            return [(sv, None)]
+        if name == "unique":
+            out = []
+            for x in sv:
+                if not out or x != out[-1]:
+                    out.append(x)
+            return [(out, None)]
+        if not sv:
+            return [(None, None)]
+        return [(sv[0] if name == "min" else sv[-1], None)]
+    if name in ("ltrimstr", "rtrimstr"):
+        outs = []
+        for a, ae in _eval(args[0], v):
+            if ae is not None:
+                outs.append((None, ae))
+            elif isinstance(v, str) and isinstance(a, str):
+                if name == "ltrimstr":
+                    outs.append((v[len(a):] if v.startswith(a) else v, None))
+                else:
+                    outs.append((v[: len(v) - len(a)] if a and v.endswith(a) else v, None))
+            else:
+                outs.append((v, None))
+        return outs
+    if name in ("startswith", "endswith", "contains", "test"):
+        outs = []
+        for a, ae in _eval(args[0], v):
+            if ae is not None:
+                outs.append((None, ae))
+            elif isinstance(v, str) and isinstance(a, str):
+                if name == "startswith":
+                    outs.append((v.startswith(a), None))
+                elif name == "endswith":
+                    outs.append((v.endswith(a), None))
+                elif name == "contains":
+                    outs.append((a in v, None))
+                else:
+                    import re as _re
+
+                    outs.append((_re.search(a, v) is not None, None))
+            else:
+                outs.append(_err(f"{name} on {_tname(v)}/{_tname(a)}"))
+        return outs
+    if name == "join":
+        outs = []
+        for a, ae in _eval(args[0], v):
+            if ae is not None:
+                outs.append((None, ae))
+            elif isinstance(v, list) and isinstance(a, str):
+                import json as _j
+
+                parts = [
+                    x if isinstance(x, str)
+                    else ("" if x is None
+                          else _j.dumps(x, separators=(",", ":")))
+                    for x in v
+                ]
+                outs.append((a.join(parts), None))
+            else:
+                outs.append(_err(f"join on {_tname(v)}/{_tname(a)}"))
+        return outs
+    if name == "split":
+        outs = []
+        for a, ae in _eval(args[0], v):
+            if ae is not None:
+                outs.append((None, ae))
+            else:
+                outs.append(_apply_binop("/", v, a))
+        return outs
     if name == "length":
         if v is None:
             return [(0, None)]

@@ -168,6 +168,45 @@ CORPUS = [
     ('(.a > 1) // "no"', '{"a": 0}', ["no"]),
     (".a // .b // 3", '{"b": 2}', [2]),
     ("map(. // 9)", "[1, null, 2, false]", [[1, 9, 2, 9]]),
+    # beyond-reference usability builtins (jq manual semantics)
+    ("empty", "[1,2]", []),
+    (".[] | empty", "[1,2]", []),
+    ("add", "[1, 2, 3.5]", [6.5]),
+    ("add", "[]", [None]),
+    ("add", '["a", "b"]', ["ab"]),
+    ("floor", "3.7", [3]),
+    ("ceil", "3.2", [4]),
+    ("sqrt", "16", [4.0]),
+    ("abs", "-3", [3]),
+    ("fabs", "-2.5", [2.5]),
+    ("tostring", '"x"', ["x"]),
+    ("tostring", '{"b": 1, "a": 2}', ['{"a":2,"b":1}']),
+    ("tonumber", '"42.5"', [42.5]),
+    ("tonumber", "7", [7]),
+    ("ascii_downcase", '"AbC"', ["abc"]),
+    ("ascii_upcase", '"AbC"', ["ABC"]),
+    ("reverse", "[1,2,3]", [[3, 2, 1]]),
+    ("reverse", '"abc"', ["cba"]),
+    ("sort", '[3, 1, null, "a", 2]', [[None, 1, 2, 3, "a"]]),
+    ("unique", "[2, 1, 2, 1]", [[1, 2]]),
+    ("min", "[3, 1, 2]", [1]),
+    ("max", "[3, 1, 2]", [3]),
+    ("min", "[]", [None]),
+    ('ltrimstr("ab")', '"abcd"', ["cd"]),
+    ('ltrimstr("zz")', '"abcd"', ["abcd"]),
+    ('rtrimstr("cd")', '"abcd"', ["ab"]),
+    ("ltrimstr(5)", '"abcd"', ["abcd"]),  # non-string arg: passthrough
+    ('startswith("ab")', '"abcd"', [True]),
+    ('endswith("cd")', '"abcd"', [True]),
+    ('contains("bc")', '"abcd"', [True]),
+    ('contains("zz")', '"abcd"', [False]),
+    ('test("b.d")', '"abcd"', [True]),
+    ('test("^x")', '"abcd"', [False]),
+    ('join(",")', '["a", null, 1]', ["a,,1"]),
+    ('join("-")', "[]", [""]),
+    ('split(" ")', '"a b c"', [["a", "b", "c"]]),
+    ('.[] | select(startswith("ab"))', '["abc","xyz","abq"]',
+     ["abc", "abq"]),
 ]
 
 
