@@ -145,6 +145,17 @@ class Builtin(Node):
     args: tuple[Node, ...] = field(default=())
 
 
+@dataclass(frozen=True)
+class If(Node):
+    """``if C then A elif C2 then B else D end`` (beyond-reference:
+    the reference dialect has no conditional). ``branches`` is the
+    (condition, then-body) list; ``orelse`` defaults to Identity
+    (jq: a missing else passes the input through)."""
+
+    branches: tuple[tuple[Node, Node], ...]
+    orelse: Node
+
+
 BUILTIN_ARITY = {
     "length": 0,
     "chars": 0,

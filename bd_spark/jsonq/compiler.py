@@ -201,6 +201,19 @@ def compile_col(node: ast.Node) -> ColFn | None:
             return None
         op = node.op
         return lambda v: _col_binary(op, lf(v), rf(v))
+    if isinstance(node, ast.If):
+        pairs = [(compile_col(c), compile_col(b)) for c, b in node.branches]
+        ef = compile_col(node.orelse)
+        if ef is None or any(x is None for p in pairs for x in p):
+            return None
+
+        def run_if(v: Column) -> CV:
+            cur = ef(v)
+            for cf, bf in reversed(pairs):
+                cur = _col_if(cf(v), bf(v), cur)
+            return cur
+
+        return run_if
     if isinstance(node, ast.Builtin):
         if node.name == "select":
             argfn = compile_col(node.args[0])
@@ -344,6 +357,30 @@ def _select_cv(v_in: Column, arg: CV) -> CV:
     t = V.truthy(arg.v)
     drop = (~t) if arg.err is None else (arg.err.isNull() & ~t)
     return CV(v_in, arg.err, _merge_drop(arg.drop, drop))
+
+
+def _col_if(c: CV, a: CV, b: CV) -> CV:
+    """One `if c then a else b` layer: condition errors propagate,
+    the un-selected branch's errors/drops are ignored (jq laziness —
+    CASE evaluates per row, so only codegen laziness is needed)."""
+    t = V.truthy(c.v)
+    v = F.when(t, a.v).otherwise(b.v)
+    e_branch = None
+    if a.err is not None or b.err is not None:
+        ae = a.err if a.err is not None else F.lit(None).cast("string")
+        be = b.err if b.err is not None else F.lit(None).cast("string")
+        e_branch = F.when(t, ae).otherwise(be)
+    if c.err is not None:
+        v = F.when(c.err.isNotNull(), V.vnull()).otherwise(v)
+        if e_branch is not None:
+            e_branch = F.when(c.err.isNull(), e_branch)
+    err = _merge_err(c.err, e_branch)
+    drop = None
+    if a.drop is not None or b.drop is not None:
+        ad = F.coalesce(a.drop, F.lit(False)) if a.drop is not None else F.lit(False)
+        bd = F.coalesce(b.drop, F.lit(False)) if b.drop is not None else F.lit(False)
+        drop = F.when(t, ad).otherwise(bd)
+    return CV(v, err, _merge_drop(c.drop, drop))
 
 
 def _col_binary(op: str, l: CV, r: CV) -> CV:
@@ -1149,6 +1186,24 @@ def _plan_direct_raw(
         rcv, rd, _ = right
         cv = _col_binary(node.op, lcv, rcv)
         return _pemit(plan, cv, inp.err, name, max(ld, rd))
+    if isinstance(node, ast.If):
+        staged = []
+        d = in_depth
+        for c, b in node.branches:
+            rc = _plan_direct(plan, c, None, inp, in_depth, cse)
+            rb = _plan_direct(plan, b, None, inp, in_depth, cse)
+            if rc is None or rb is None:
+                return None
+            staged.append((rc, rb))
+            d = max(d, rc[1], rb[1])
+        re_ = _plan_direct(plan, node.orelse, None, inp, in_depth, cse)
+        if re_ is None:
+            return None
+        d = max(d, re_[1])
+        cur = re_[0]
+        for (ccv, _cd, _cn), (bcv, _bd, _bn) in reversed(staged):
+            cur = _col_if(ccv, bcv, cur)
+        return _pemit(plan, cur, inp.err, name, d)
     if isinstance(node, ast.Builtin):
         if node.name in ("map", "any", "all"):
             body = compile_col(node.args[0])
@@ -1278,6 +1333,28 @@ def compile_stream(node: ast.Node) -> StreamFn:
 
         return run_binary
 
+    if isinstance(node, ast.If):
+        parts = [n for c, b in node.branches for n in (c, b)] + [node.orelse]
+        if any(is_multivalued(p) for p in parts):
+            raise NotImplementedError(
+                "if/then/else branches must be single-valued"
+            )
+        branches, orelse = node.branches, node.orelse
+
+        def run_ifstream(df: DataFrame) -> DataFrame:
+            items = []
+            for c, b in branches:
+                items.append((c, _fresh("ic")))
+                items.append((b, _fresh("ib")))
+            items.append((orelse, _fresh("ie")))
+            df, cvs = _stage_cv_many(df, items)
+            cur = cvs[-1]
+            for i in range(len(branches) - 1, -1, -1):
+                cur = _col_if(cvs[2 * i], cvs[2 * i + 1], cur)
+            dead = [f"{n}_v" for _, n in items] + [f"{n}_e" for _, n in items]
+            return _finish(df, cur, drop_cols=dead)
+
+        return run_ifstream
     if isinstance(node, ast.Builtin):
         if node.name in ("map", "any", "all"):
             return lift(_col_hof(node.name, node.args[0]))

@@ -140,6 +140,16 @@ def _eval(node: ast.Node, v: object) -> list[Entry]:  # noqa: PLR0911, PLR0912
     if isinstance(node, ast.Binary):
         return _binary(node.op, node.left, node.right, v)
 
+    if isinstance(node, ast.If):
+        for c, b in node.branches:
+            couts = _eval(c, v)
+            cv, ce = couts[0] if couts else (None, "empty condition")
+            if ce is not None:
+                return [(None, ce)]
+            if _truthy(cv):
+                return _eval(b, v)
+        return _eval(node.orelse, v)
+
     if isinstance(node, ast.Builtin):
         return _builtin(node.name, node.args, v)
 

@@ -70,6 +70,7 @@ class Parser:
     def __init__(self, src: str):
         self.toks = tokenize(src)
         self.i = 0
+        self._in_if = 0
 
     # -- token helpers -------------------------------------------------
     def peek(self, k: int = 0) -> tuple[str, str]:
@@ -239,6 +240,10 @@ class Parser:
         self.expect(".")
         kind, text = self.peek()
         if kind == "ident":
+            # inside an if-tail the keywords then/elif/else/end are
+            # NOT field names (`else . end`): use .["end"] there
+            if self._in_if and text in self._IF_KWS:
+                return ast.Identity()
             self.take()
             return ast.Index(text, self.opt_flag())
         if kind == "string":
@@ -391,6 +396,61 @@ class Parser:
         self.expect("}")
         return ast.DictCons(tuple(pairs))
 
+    def parse_if_tail(self) -> ast.Node:
+        """`if C then A (elif C then A)* (else B)? end` — jq
+        conditional (beyond-reference); keywords are contextual, so
+        `.if` / `{"if": 1}` field access is unaffected (those parse
+        through dot-forms/string keys, never parse_ident_form)."""
+        branches = []
+        self._in_if += 1
+        cond = self.parse_expr_until_kw()
+        self.expect_kw("then")
+        body = self.parse_expr_until_kw()
+        branches.append((cond, body))
+        while self.at_kw("elif"):
+            self.take()
+            c = self.parse_expr_until_kw()
+            self.expect_kw("then")
+            b = self.parse_expr_until_kw()
+            branches.append((c, b))
+        orelse: ast.Node = ast.Identity()
+        if self.at_kw("else"):
+            self.take()
+            orelse = self.parse_expr_until_kw()
+        self.expect_kw("end")
+        self._in_if -= 1
+        return ast.If(tuple(branches), orelse)
+
+    _IF_KWS = ("then", "elif", "else", "end")
+
+    def at_kw(self, kw: str) -> bool:
+        k, t = self.peek()
+        return k == "ident" and t == kw
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.at_kw(kw):
+            raise ParseError(f"expected {kw!r}, got {self.peek()[1]!r}")
+        self.take()
+
+    def parse_expr_until_kw(self) -> ast.Node:
+        """parse_expr variant that stops at an if-keyword instead of
+        treating it as a juxtaposition identifier."""
+        node = self.parse_alt()
+        while True:
+            if self.at("|"):
+                self.take()
+                node = ast.Pipe(node, self.parse_alt())
+            elif self.at_kind("ident") and self.peek()[1] in self._IF_KWS:
+                return node
+            elif (
+                self.peek()[1] in self._PIPE_STARTERS
+                or self.at_kind("ident")
+                or self.at_kind("dotdot")
+            ) and not self.at_kind("eof"):
+                node = ast.Pipe(node, self.parse_alt())
+            else:
+                return node
+
     def parse_dict_pair(self) -> ast.DictPair:
         kind, text = self.peek()
         if self.at("("):
@@ -417,6 +477,8 @@ class Parser:
         name = self.take()[1]
         if name in ("null", "true", "false"):
             return ast.Literal(name)
+        if name == "if":
+            return self.parse_if_tail()
         if name in ast.BUILTIN_ARITY:
             arity = ast.BUILTIN_ARITY[name]
             if arity == 0:

@@ -207,6 +207,20 @@ CORPUS = [
     ('split(" ")', '"a b c"', [["a", "b", "c"]]),
     ('.[] | select(startswith("ab"))', '["abc","xyz","abq"]',
      ["abc", "abq"]),
+    # if/then/elif/else/end — beyond-reference jq conditional
+    ('if .a > 1 then "big" elif .a > 0 then "small" else "neg" end',
+     '{"a": 2}', ["big"]),
+    ('if .a > 1 then "big" elif .a > 0 then "small" else "neg" end',
+     '{"a": 0.5}', ["small"]),
+    ('if .a > 1 then "big" elif .a > 0 then "small" else "neg" end',
+     '{"a": -1}', ["neg"]),
+    ("if .a then .b end", '{"a": false, "b": 1}',
+     [{"a": False, "b": 1}]),  # missing else passes input through
+    (".[] | if . > 2 then . * 10 else . end", "[1, 2, 3]", [1, 2, 30]),
+    ("if .x then if .y then 1 else 2 end else 3 end",
+     '{"x": 1, "y": false}', [2]),
+    ("{r: (if .a then 1 else 0 end)}", '{"a": null}', [{"r": 0}]),
+    (".end", '{"end": 5}', [5]),  # keyword fields outside if still work
 ]
 
 
