@@ -486,6 +486,46 @@ FROM documents WHERE n_chars > 200
 """
 
 
+def jq_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`if/then/elif/else/end` + the practical-builtin batch
+    (test, ascii_upcase, split, sort, indexing) — a C4-style document
+    triage expressed entirely in beyond-reference jq. The whole
+    expression compiles to one Catalyst projection (CASE chains), no
+    Python in the hot path."""
+    docs = table(spark, "documents", sf_dir)
+    jq = JsonQ(spark)
+    stream = jq.stream_from_table(
+        docs.select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    out = jq.run(
+        "{id: .doc_id,"
+        ' bucket: (if .n_chars > 400 then "long"'
+        ' elif .n_chars > 150 then "medium" else "short" end),'
+        ' tag: (if (.source | test("1$")) then (.lang | ascii_upcase)'
+        " else .lang end),"
+        ' w: (.text / " " | sort | .[0])}',
+        stream,
+        ordered=False,
+    )
+    return out.select(
+        F.try_variant_get("v", "$.id", "long").alias("id"),
+        F.try_variant_get("v", "$.bucket", "string").alias("bucket"),
+        F.try_variant_get("v", "$.tag", "string").alias("tag"),
+        F.try_variant_get("v", "$.w", "string").alias("w"),
+    )
+
+
+JQ_CONDITIONAL_SQL = """
+SELECT doc_id AS id,
+  CASE WHEN n_chars > 400 THEN 'long'
+       WHEN n_chars > 150 THEN 'medium' ELSE 'short' END AS bucket,
+  CASE WHEN regexp_matches(source, '1$') THEN upper(lang)
+       ELSE lang END AS tag,
+  list_sort(str_split(text, ' '))[1] AS w
+FROM documents
+"""
+
+
 QUERIES = {
     "jq_props_k": jq_props_k,
     "jq_token_count": jq_token_count,
@@ -501,6 +541,7 @@ QUERIES = {
     "jq_canonical": jq_canonical,
     "jq_canonical_floats": jq_canonical_floats,
     "jq_select": jq_select,
+    "jq_conditional": jq_conditional,
 }
 
 ORACLES = {
@@ -518,4 +559,5 @@ ORACLES = {
     "jq_canonical": JQ_CANONICAL_SQL,
     "jq_canonical_floats": JQ_CANONICAL_FLOATS_SQL,
     "jq_select": JQ_SELECT_SQL,
+    "jq_conditional": JQ_CONDITIONAL_SQL,
 }

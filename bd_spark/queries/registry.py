@@ -141,6 +141,7 @@ EXTRA = [
     "pipe_split_assign",       # deterministic train/val/test hash split
     "pipe_shuffle",            # seeded deterministic training-order shuffle
     "jq_select",               # select(f) + a // b (beyond-reference jq)
+    "jq_conditional",          # if/then/elif/else + practical builtins
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are
