@@ -723,3 +723,101 @@ def sample_by_hash(df, id_col: str, fraction: float,
     else:
         rate = F.lit(fraction)
     return df.where(key < rate * denom)
+
+
+LM_UNK = "<unk>"
+
+
+def lm_score(docs, id_col: str = "doc_id", text_col: str = "text",
+             min_count: int = 3, alpha: float = 0.5):
+    """CCNet-style LM quality signal: train an add-alpha-smoothed
+    word-bigram language model ON the corpus itself, then score each
+    document by its per-bigram cross-entropy under that model
+    (CCNet/Wenzek et al. 2020 filter low-perplexity-outlier text with
+    a KenLM model; this is the same signal with a corpus-trained
+    bigram model, fully distributed and engine-portable).
+
+    Model: tokens below ``min_count`` occurrences map to ``<unk>``;
+    P(w2|w1) = (c(w1,w2) + a) / (c(w1) + a*V) over the MAPPED token
+    stream, V = |vocab| + 1.  Returns
+    ``[id_col, n_bigrams, xent]`` with ``xent = round(-avg ln P, 6)``
+    (the round-6 mean convention keeps the value hash engine-portable;
+    docs with < 2 tokens have no bigrams and drop out).
+
+    Scale story (100 TB corpus): training is two map-side-combinable
+    explode->groupBy counts; scoring maps each token to its pruned
+    form via joins against the vocab on uniform word keys (AQE
+    skew-splittable; Catalyst broadcasts the vocab while it fits),
+    then joins the count tables, which are |vocab|- not corpus-sized.
+    No window, no collect, no per-language serialization; the token
+    stream is scanned twice (counts, scoring) rather than persisted.
+    """
+    base = docs.select(id_col, tokens(F.col(text_col)).alias("ws"))
+    uni = (
+        base.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = uni.filter(F.col("cnt") >= min_count)
+    tots = uni.agg(
+        F.sum("cnt").alias("tot"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") >= min_count, F.col("cnt"))), F.lit(0)
+        ).alias("vtot"),
+        F.count(F.when(F.col("cnt") >= min_count, True)).alias("vsize"),
+    )
+    n1 = F.size("ws") - 1
+    pairs = (
+        base.where(F.size("ws") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", F.lit(1), n1),
+                    F.slice("ws", F.lit(2), n1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("pr"),
+        )
+        .select(id_col, "pr.w1", "pr.w2")
+    )
+    # prune each side to the vocab independently: adjacency is over raw
+    # positions, so per-token mapping == mapping the stream then pairing
+    v1 = vocab.select(F.col("w").alias("_v1"))
+    v2 = vocab.select(F.col("w").alias("_v2"))
+    pm = (
+        pairs.join(v1, pairs.w1 == v1._v1, "left")
+        .join(v2, pairs.w2 == v2._v2, "left")
+        .select(
+            id_col,
+            F.when(F.col("_v1").isNull(), F.lit(LM_UNK))
+            .otherwise(F.col("w1")).alias("w1m"),
+            F.when(F.col("_v2").isNull(), F.lit(LM_UNK))
+            .otherwise(F.col("w2")).alias("w2m"),
+        )
+    )
+    bg = pm.groupBy("w1m", "w2m").agg(F.count("*").alias("cb"))
+    unim = vocab.select(
+        F.col("w").alias("w1m"), F.col("cnt").alias("cu")
+    ).unionByName(
+        tots.select(
+            F.lit(LM_UNK).alias("w1m"),
+            (F.col("tot") - F.col("vtot")).alias("cu"),
+        )
+    )
+    sc = (
+        pm.join(bg, ["w1m", "w2m"])
+        .join(unim, "w1m")
+        .crossJoin(F.broadcast(tots.select("vsize")))
+        .select(
+            id_col,
+            F.log(
+                (F.col("cb") + F.lit(alpha))
+                / (F.col("cu") + F.lit(alpha) * (F.col("vsize") + 1))
+            ).alias("lp"),
+        )
+    )
+    return sc.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(-F.avg("lp"), 6).alias("xent"),
+    )

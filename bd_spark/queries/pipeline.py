@@ -1577,6 +1577,46 @@ FROM documents
 """
 
 
+def pipe_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter signal: corpus-trained add-0.5
+    bigram LM, per-document cross-entropy (operators.text.lm_score).
+    Training = two map-side-combinable counts; scoring = vocab joins
+    on uniform word keys — no window, no collect."""
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    return T.lm_score(docs, "doc_id", "text", min_count=3, alpha=0.5)
+
+
+PIPE_LM_SCORE_SQL = f"""
+WITH t AS (SELECT doc_id, {{toks}} AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM t),
+uni AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+tots AS (SELECT sum(cnt) AS tot,
+                coalesce(sum(CASE WHEN cnt >= 3 THEN cnt END), 0) AS vtot,
+                count(*) FILTER (cnt >= 3) AS vsize
+         FROM uni),
+pairs AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+                 unnest(ws[2:len(ws)]) AS w2
+          FROM t WHERE len(ws) >= 2),
+pm AS (SELECT p.doc_id,
+              CASE WHEN v1.w IS NULL THEN '<unk>' ELSE p.w1 END AS w1m,
+              CASE WHEN v2.w IS NULL THEN '<unk>' ELSE p.w2 END AS w2m
+       FROM pairs p
+       LEFT JOIN (SELECT w FROM uni WHERE cnt >= 3) v1 ON p.w1 = v1.w
+       LEFT JOIN (SELECT w FROM uni WHERE cnt >= 3) v2 ON p.w2 = v2.w),
+bg AS (SELECT w1m, w2m, count(*) AS cb FROM pm GROUP BY w1m, w2m),
+unim AS (SELECT w AS w1m, cnt AS cu FROM uni WHERE cnt >= 3
+         UNION ALL SELECT '<unk>', tot - vtot FROM tots),
+sc AS (SELECT pm.doc_id,
+              ln((bg.cb + 0.5) / (unim.cu + 0.5 * (tots.vsize + 1))) AS lp
+       FROM pm
+       JOIN bg USING (w1m, w2m)
+       JOIN unim USING (w1m)
+       CROSS JOIN tots)
+SELECT doc_id, count(*) AS n_bigrams, round(-avg(lp), 6) AS xent
+FROM sc GROUP BY doc_id
+""".format(toks=_TOKS)
+
+
 PIPE_SAMPLE_STRATIFIED_SQL = f"""
 SELECT doc_id, lang FROM documents
 WHERE ({_h31("CAST(doc_id AS VARCHAR)")} % 1000000)
@@ -1618,6 +1658,7 @@ QUERIES = {
     "pipe_bpe": pipe_bpe,
     "pipe_split_assign": pipe_split_assign,
     "pipe_shuffle": pipe_shuffle,
+    "pipe_lm_score": pipe_lm_score,
 }
 
 ORACLES = {
@@ -1654,4 +1695,5 @@ ORACLES = {
     "pipe_bpe": PIPE_BPE_SQL,
     "pipe_split_assign": PIPE_SPLIT_ASSIGN_SQL,
     "pipe_shuffle": PIPE_SHUFFLE_SQL,
+    "pipe_lm_score": PIPE_LM_SCORE_SQL,
 }

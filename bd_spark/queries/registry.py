@@ -142,6 +142,7 @@ EXTRA = [
     "pipe_shuffle",            # seeded deterministic training-order shuffle
     "jq_select",               # select(f) + a // b (beyond-reference jq)
     "jq_conditional",          # if/then/elif/else + practical builtins
+    "pipe_lm_score",           # CCNet-style bigram-LM cross-entropy filter
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

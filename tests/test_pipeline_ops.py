@@ -771,3 +771,30 @@ def test_token_budget_semantics(spark):
     )
     kept = {r.doc_id for r in out.collect()}
     assert kept == {1, 2, 3, 5}
+
+
+def test_lm_score_bigram_model_hand_check(spark):
+    """lm_score on a corpus tiny enough to compute by hand:
+    tokens a:3 b:3 c:2, min_count=3 -> vocab {a, b}, c -> <unk>,
+    V = 3, all conditioning contexts have count 3."""
+    import math
+
+    from bd_spark.operators.text import lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in lm_score(docs, min_count=3, alpha=0.5).collect()
+    }
+    # doc 3 has a single token -> no bigrams -> no row
+    assert set(out) == {1, 2}
+    p_hi = (3 + 0.5) / (3 + 0.5 * 3)   # c(ctx)=3, cb=3: (a,b)
+    p_lo = (1 + 0.5) / (3 + 0.5 * 3)   # cb=1: (b,a) and (b,<unk>)
+    exp1 = -(2 * math.log(p_hi) + math.log(p_lo)) / 3
+    exp2 = -(math.log(p_hi) + math.log(p_lo)) / 2
+    assert out[1].n_bigrams == 3 and out[2].n_bigrams == 2
+    assert abs(out[1].xent - round(exp1, 6)) < 1e-9
+    assert abs(out[2].xent - round(exp2, 6)) < 1e-9
