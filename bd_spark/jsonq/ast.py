@@ -183,6 +183,17 @@ BUILTIN_ARITY = {
     "unique": 0,
     "min": 0,
     "max": 0,
+    "type": 0,
+    "not": 0,
+    "first": 0,
+    "last": 0,
+    "tojson": 0,
+    "fromjson": 0,
+    "sort_by": 1,
+    "min_by": 1,
+    "max_by": 1,
+    "unique_by": 1,
+    "group_by": 1,
     "ltrimstr": 1,
     "rtrimstr": 1,
     "startswith": 1,

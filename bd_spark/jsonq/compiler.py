@@ -52,6 +52,12 @@ ARG1_VALUE_BUILTINS = (
     "contains", "test", "join", "split",
 )
 
+# arity-1 builtins whose argument is a lambda BODY applied per element
+HOF_BUILTINS = (
+    "map", "any", "all",
+    "sort_by", "min_by", "max_by", "unique_by", "group_by",
+)
+
 _ids = itertools.count()
 
 
@@ -220,6 +226,11 @@ def compile_col(node: ast.Node) -> ColFn | None:
             if argfn is None:
                 return None
             return lambda v: _select_cv(v, argfn(v))
+        if node.name in HOF_BUILTINS:
+            try:
+                return _col_hof(node.name, node.args[0])
+            except NotImplementedError:
+                return None
         argfns = [compile_col(a) for a in node.args]
         if any(f is None for f in argfns):
             return None
@@ -573,6 +584,36 @@ def _obj_deep_merge(a: Column, b: Column) -> Column:
     return F.parse_json(_DEEP_MERGE_UDF(F.to_json(a), F.to_json(b)))
 
 
+def _run_flags(sorted_arr: Column, kf) -> Column:
+    """``array<struct<s, new:boolean>>`` over a key-sorted array,
+    marking each position that starts a new equal-key run.
+
+    Built from zip_with over two SHIFTED SLICES so ``sorted_arr`` is
+    referenced a constant number of times as a top-level operand
+    (evaluated once each).  NEVER ``element_at(sorted_arr, i)`` inside
+    an element lambda: a lambda-captured expression re-evaluates per
+    element — an O(n²) re-sort per row (measured: 60 s vs 1.6 s on
+    50 docs; the same trap word_shingles documents)."""
+    n = F.size(sorted_arr)
+    n1 = F.greatest(n - 1, F.lit(0))
+    rest = F.zip_with(
+        F.slice(sorted_arr, 1, n1),
+        F.slice(sorted_arr, 2, n1),
+        lambda p, c: F.struct(
+            c.alias("s"),
+            V.compare_lt(kf(p), kf(c), V.vtype(kf(p)), V.vtype(kf(c))).alias(
+                "new"
+            ),
+        ),
+    )
+    head = F.array(
+        F.struct(
+            F.element_at(sorted_arr, 1).alias("s"), F.lit(True).alias("new")
+        )
+    )
+    return F.when(n == 0, F.slice(rest, 1, 0)).otherwise(F.concat(head, rest))
+
+
 def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
     """Builtin applied to input v with pre-evaluated args
     (ops.rs:1418-1713)."""
@@ -721,15 +762,11 @@ def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
 
         sorted_arr = F.array_sort(arr, cmp)
         if name == "unique":
-            picked = F.filter(
-                sorted_arr,
-                lambda x, i: (i == 0)
-                | ~V.deep_eq(
-                    x,
-                    F.element_at(sorted_arr, i),
-                    V.vtype(x),
-                    V.vtype(F.element_at(sorted_arr, i)),
+            picked = F.transform(
+                F.filter(
+                    _run_flags(sorted_arr, lambda s: s), lambda s: s["new"]
                 ),
+                lambda s: s["s"],
             )
             out = V.varray(picked)
         elif name == "sort":
@@ -809,6 +846,41 @@ def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
         k = args[0]
         return _col_binary("/", CV(v), k)
 
+    if name == "type":
+        t = F.coalesce(V.vtype(v), F.lit("null"))
+        jqname = (
+            F.when(t == "bool", F.lit("boolean"))
+            .when(t.isin("int", "float"), F.lit("number"))
+            .otherwise(t)
+        )
+        return CV(V.vstring(jqname))
+
+    if name == "not":
+        return CV(V.vbool(~V.truthy(v)))
+
+    if name in ("first", "last"):
+        t = V.vtype(v)
+        arr = V.as_array(v)
+        out = F.when(F.size(arr) == 0, V.vnull()).otherwise(
+            F.element_at(arr, 1 if name == "first" else -1)
+        )
+        return _guarded(
+            t == "array", out, F.concat(F.lit(name + " on "), t), False
+        )
+
+    if name == "tojson":
+        # engine-canonical rendering ({:e} float tower preserved) —
+        # the same bytes the canonical sink / interp canonicalize emit
+        return CV(V.vstring(V.vjson(v)))
+
+    if name == "fromjson":
+        t = V.vtype(v)
+        parsed = F.try_parse_json(V.as_string(v))
+        ok = (t == "string") & (parsed.isNotNull() | (V.as_string(v) == "null"))
+        return _guarded(
+            ok, parsed, F.concat(F.lit("fromjson on "), t), False
+        )
+
     raise ValueError(f"unknown builtin {name}")
 
 
@@ -847,6 +919,89 @@ def _col_hof(name: str, f: ast.Node) -> ColFn:
             )
             ok = t.isin("array", "object")
             return _guarded(ok, out, F.concat(F.lit("map on "), t), False)
+
+        return fn
+
+    if name in ("sort_by", "min_by", "max_by", "unique_by", "group_by"):
+
+        def fn(v: Column) -> CV:
+            t = V.vtype(v)
+            arr = V.as_array(v)
+
+            def keyed_elem(x: Column, i: Column) -> Column:
+                cv = argfn(x)
+                k = cv.v
+                e = (
+                    cv.err
+                    if cv.err is not None
+                    else F.lit(None).cast("string")
+                )
+                if cv.err is not None:
+                    k = F.when(cv.err.isNotNull(), V.vnull()).otherwise(k)
+                return F.struct(
+                    k.alias("k"), e.alias("e"), x.alias("x"), i.alias("i")
+                )
+
+            keyed = F.transform(arr, keyed_elem)
+            body_err = F.exists(keyed, lambda s: s["e"].isNotNull())
+
+            def cmp(a: Column, b: Column) -> Column:
+                ka, kb = a["k"], b["k"]
+                ta, tb = V.vtype(ka), V.vtype(kb)
+                return (
+                    F.when(V.compare_lt(ka, kb, ta, tb), F.lit(-1))
+                    .when(V.compare_lt(kb, ka, tb, ta), F.lit(1))
+                    # stable: original position breaks key ties
+                    .otherwise((a["i"] - b["i"]).cast("int"))
+                )
+
+            skeyed = F.array_sort(keyed, cmp)
+
+            if name == "sort_by":
+                out = V.varray(F.transform(skeyed, lambda s: s["x"]))
+            elif name == "min_by":
+                out = F.when(F.size(arr) == 0, V.vnull()).otherwise(
+                    F.element_at(skeyed, 1)["x"]
+                )
+            elif name == "max_by":
+                out = F.when(F.size(arr) == 0, V.vnull()).otherwise(
+                    F.element_at(skeyed, -1)["x"]
+                )
+            else:  # unique_by / group_by need run boundaries
+                flags = _run_flags(skeyed, lambda s: s["k"])
+                if name == "unique_by":
+                    out = V.varray(
+                        F.transform(
+                            F.filter(flags, lambda s: s["new"]),
+                            lambda s: s["s"]["x"],
+                        )
+                    )
+                else:  # group_by: adjacent equal-key runs -> sub-arrays
+                    pieces = F.transform(
+                        flags,
+                        lambda s, i: F.concat(
+                            F.when(i == 0, F.lit("["))
+                            .when(s["new"], F.lit("],["))
+                            .otherwise(F.lit(",")),
+                            V.vjson(s["s"]["x"]),
+                        ),
+                    )
+                    out = F.parse_json(
+                        F.when(F.size(arr) == 0, F.lit("[]")).otherwise(
+                            F.concat(
+                                F.lit("["),
+                                F.concat_ws("", pieces),
+                                F.lit("]]"),
+                            )
+                        )
+                    )
+            ok = (t == "array") & ~body_err
+            return _guarded(
+                ok, out,
+                F.when(t != "array", F.concat(F.lit(name + " on "), t))
+                .otherwise(F.lit(name + " body error")),
+                False,
+            )
 
         return fn
 
@@ -1205,7 +1360,7 @@ def _plan_direct_raw(
             cur = _col_if(ccv, bcv, cur)
         return _pemit(plan, cur, inp.err, name, d)
     if isinstance(node, ast.Builtin):
-        if node.name in ("map", "any", "all"):
+        if node.name in HOF_BUILTINS:
             body = compile_col(node.args[0])
             if body is None:
                 return None
@@ -1356,7 +1511,7 @@ def compile_stream(node: ast.Node) -> StreamFn:
 
         return run_ifstream
     if isinstance(node, ast.Builtin):
-        if node.name in ("map", "any", "all"):
+        if node.name in HOF_BUILTINS:
             return lift(_col_hof(node.name, node.args[0]))
         if node.name == "select":
             sarg = node.args[0]

@@ -479,6 +479,71 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
             else:
                 outs.append(_apply_binop("/", v, a))
         return outs
+    if name == "type":
+        if v is None:
+            t = "null"
+        elif isinstance(v, bool):
+            t = "boolean"
+        elif _is_num(v):
+            t = "number"
+        elif isinstance(v, str):
+            t = "string"
+        elif isinstance(v, list):
+            t = "array"
+        else:
+            t = "object"
+        return [(t, None)]
+    if name == "not":
+        return [(not _truthy(v), None)]
+    if name in ("first", "last"):
+        if not isinstance(v, list):
+            return [_err(f"{name} on {_tname(v)}")]
+        if not v:
+            return [(None, None)]
+        return [(v[0] if name == "first" else v[-1], None)]
+    if name == "tojson":
+        from bd_spark.jsonq.canonical import canonicalize
+
+        return [(canonicalize(v), None)]
+    if name == "fromjson":
+        if not isinstance(v, str):
+            return [_err(f"fromjson on {_tname(v)}")]
+        try:
+            import json as _j
+
+            return [(_j.loads(v), None)]
+        except Exception:  # noqa: BLE001
+            return [_err("fromjson on string")]
+    if name in ("sort_by", "min_by", "max_by", "unique_by", "group_by"):
+        if not isinstance(v, list):
+            return [_err(f"{name} on {_tname(v)}")]
+        keys = []
+        for x in v:
+            outs = _eval(args[0], x)
+            kv, ke = outs[0] if outs else (None, "empty body")
+            if ke is not None:
+                return [_err(f"{name} body error")]
+            keys.append(kv)
+        order = sorted(range(len(v)), key=lambda i: (_order_key(keys[i]), i))
+        if name == "sort_by":
+            return [([v[i] for i in order], None)]
+        if name == "min_by":
+            return [(v[order[0]] if order else None, None)]
+        if name == "max_by":
+            return [(v[order[-1]] if order else None, None)]
+        out: list = []
+        prev_k = None
+        for pos, i in enumerate(order):
+            new_run = pos == 0 or _order_key(keys[i]) != prev_k
+            prev_k = _order_key(keys[i])
+            if name == "unique_by":
+                if new_run:
+                    out.append(v[i])
+            elif new_run:
+                out.append([v[i]])
+            else:
+                out[-1].append(v[i])
+        return [(out, None)]
     if name == "length":
         if v is None:
             return [(0, None)]

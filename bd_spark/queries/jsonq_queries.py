@@ -526,6 +526,48 @@ FROM documents
 """
 
 
+def jq_sort_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sort_by`/`unique_by`/`group_by`/`first` (builtin batch 2,
+    beyond-reference): per-document token-length profile — number of
+    distinct token lengths (unique_by + group_by must agree with
+    COUNT DISTINCT), the shortest token's byte length (stable
+    sort_by + first), and the largest same-length group (group_by |
+    map(length) | max)."""
+    docs = table(spark, "documents", sf_dir)
+    jq = JsonQ(spark)
+    stream = jq.stream_from_table(docs.select("doc_id", "text"))
+    out = jq.run(
+        '{id: .doc_id,'
+        ' nlens: (.text / " " | unique_by(length) | length),'
+        ' shortest: (.text / " " | sort_by(length) | first | length),'
+        ' biggroup: (.text / " " | group_by(length) | map(length) | max)}',
+        stream,
+        ordered=False,
+    )
+    return out.select(
+        F.try_variant_get("v", "$.id", "long").alias("id"),
+        F.try_variant_get("v", "$.nlens", "long").alias("nlens"),
+        F.try_variant_get("v", "$.shortest", "long").alias("shortest"),
+        F.try_variant_get("v", "$.biggroup", "long").alias("biggroup"),
+    )
+
+
+JQ_SORT_OPS_SQL = """
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+), l AS (
+  SELECT doc_id, strlen(unnest(ws)) AS n FROM t
+), g AS (
+  SELECT doc_id, n, count(*) AS c FROM l GROUP BY doc_id, n
+)
+SELECT doc_id AS id,
+       count(*) AS nlens,
+       min(n) AS shortest,
+       max(c) AS biggroup
+FROM g GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "jq_props_k": jq_props_k,
     "jq_token_count": jq_token_count,
@@ -542,6 +584,7 @@ QUERIES = {
     "jq_canonical_floats": jq_canonical_floats,
     "jq_select": jq_select,
     "jq_conditional": jq_conditional,
+    "jq_sort_ops": jq_sort_ops,
 }
 
 ORACLES = {
@@ -560,4 +603,5 @@ ORACLES = {
     "jq_canonical_floats": JQ_CANONICAL_FLOATS_SQL,
     "jq_select": JQ_SELECT_SQL,
     "jq_conditional": JQ_CONDITIONAL_SQL,
+    "jq_sort_ops": JQ_SORT_OPS_SQL,
 }

@@ -143,6 +143,7 @@ EXTRA = [
     "jq_select",               # select(f) + a // b (beyond-reference jq)
     "jq_conditional",          # if/then/elif/else + practical builtins
     "pipe_lm_score",           # CCNet-style bigram-LM cross-entropy filter
+    "jq_sort_ops",             # sort_by/unique_by/group_by/first (batch 2)
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

@@ -221,6 +221,34 @@ CORPUS = [
      '{"x": 1, "y": false}', [2]),
     ("{r: (if .a then 1 else 0 end)}", '{"a": null}', [{"r": 0}]),
     (".end", '{"end": 5}', [5]),  # keyword fields outside if still work
+    # builtin batch 2: type/not/first/last/tojson/fromjson + *_by HOFs
+    ("type", '{"a": 1}', ["object"]),
+    (".[] | type", '[null, true, 1, 1.5, "s", [], {}]',
+     ["null", "boolean", "number", "number", "string", "array", "object"]),
+    (".a | not", '{"a": false}', [True]),
+    ("1 | not", "null", [False]),
+    ("first", "[3, 1, 2]", [3]),
+    ("last", "[3, 1, 2]", [2]),
+    ("first", "[]", [None]),
+    ("tojson", '{"b": 1, "a": [true, "x"]}', ['{"a":[true,"x"],"b":1}']),
+    ("fromjson", '"[1, 2]"', [[1, 2]]),
+    ('.s | fromjson | .k', '{"s": "{\\"k\\": 5}"}', [5]),
+    ("tojson | fromjson", '[1, "a", null]', [[1, "a", None]]),
+    ("sort_by(.k)", '[{"k": 2}, {"k": 1}, {"k": 3}]',
+     [[{"k": 1}, {"k": 2}, {"k": 3}]]),
+    ("sort_by(.k)", "[]", [[]]),
+    ("min_by(.k)", '[{"k": 2}, {"k": 1}]', [{"k": 1}]),
+    ("max_by(.k)", '[{"k": 2}, {"k": 1}]', [{"k": 2}]),
+    ("min_by(.k)", "[]", [None]),
+    ("unique_by(.k)", '[{"k": 1, "v": "a"}, {"k": 2}, {"k": 1, "v": "b"}]',
+     [[{"k": 1, "v": "a"}, {"k": 2}]]),
+    ("group_by(.k)", '[{"k": 1, "v": 1}, {"k": 2, "v": 2}, {"k": 1, "v": 3}]',
+     [[[{"k": 1, "v": 1}, {"k": 1, "v": 3}], [{"k": 2, "v": 2}]]]),
+    ("group_by(.)", "[2, 1, 2]", [[[1], [2, 2]]]),
+    ("group_by(.)", "[]", [[]]),
+    # stability: equal keys keep original order in sort_by
+    ("sort_by(.k)", '[{"k": 1, "v": "x"}, {"k": 1, "v": "y"}]',
+     [[{"k": 1, "v": "x"}, {"k": 1, "v": "y"}]]),
 ]
 
 

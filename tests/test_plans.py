@@ -184,3 +184,17 @@ def test_embed_neardup_candidates_shuffle_ids_only(spark, sf_dir, queries):
     for frag in plan.split("Exchange hashpartitioning")[1:]:
         keyspec = frag.split(")")[0]
         assert "vec" not in keyspec
+
+
+def test_lm_score_no_window_no_cartesian_blowup(spark, sf_dir):
+    """The bigram-LM scorer must stay a counts-and-joins plan: no
+    window over the corpus, and the only nominally "cartesian" edge
+    is the broadcast of the 1-row totals aggregate (a
+    BroadcastNestedLoopJoin over one row, not a pair blow-up)."""
+    from bd_spark.queries.pipeline import pipe_lm_score
+
+    plan = _plan(pipe_lm_score(spark, sf_dir))
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+    # corpus-side aggregations keep map-side partials
+    assert "HashAggregate" in plan
