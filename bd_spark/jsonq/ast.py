@@ -156,6 +156,17 @@ class If(Node):
     orelse: Node
 
 
+@dataclass(frozen=True)
+class Try(Node):
+    """``try f`` (beyond-reference, jq): errors raised inside ``f``
+    become empty output instead of propagating — the general form of
+    the ``?`` postfix.  ``catch`` is deliberately unsupported: it
+    would expose engine-internal error strings as data, which cannot
+    be made portable across the Spark and interpreter engines."""
+
+    expr: Node
+
+
 BUILTIN_ARITY = {
     "length": 0,
     "chars": 0,
@@ -183,6 +194,8 @@ BUILTIN_ARITY = {
     "unique": 0,
     "min": 0,
     "max": 0,
+    "to_entries": 0,
+    "from_entries": 0,
     "type": 0,
     "not": 0,
     "first": 0,

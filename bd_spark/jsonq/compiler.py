@@ -162,6 +162,8 @@ def is_multivalued(node: ast.Node) -> bool:
         return is_multivalued(node.left) or is_multivalued(node.right)
     if isinstance(node, ast.Unary):
         return is_multivalued(node.expr)
+    if isinstance(node, ast.Try):
+        return is_multivalued(node.expr)
     if isinstance(node, ast.Binary):
         return is_multivalued(node.left) or is_multivalued(node.right)
     if isinstance(node, ast.DictCons):
@@ -207,6 +209,11 @@ def compile_col(node: ast.Node) -> ColFn | None:
             return None
         op = node.op
         return lambda v: _col_binary(op, lf(v), rf(v))
+    if isinstance(node, ast.Try):
+        ef = compile_col(node.expr)
+        if ef is None:
+            return None
+        return lambda v: _try_cv(ef(v))
     if isinstance(node, ast.If):
         pairs = [(compile_col(c), compile_col(b)) for c, b in node.branches]
         ef = compile_col(node.orelse)
@@ -368,6 +375,14 @@ def _select_cv(v_in: Column, arg: CV) -> CV:
     t = V.truthy(arg.v)
     drop = (~t) if arg.err is None else (arg.err.isNull() & ~t)
     return CV(v_in, arg.err, _merge_drop(arg.drop, drop))
+
+
+def _try_cv(cv: CV) -> CV:
+    """``try f``: errors raised inside f become row drops (empty)."""
+    if cv.err is None:
+        return cv
+    v = F.when(cv.err.isNotNull(), V.vnull()).otherwise(cv.v)
+    return CV(v, None, _merge_drop(cv.drop, cv.err.isNotNull()))
 
 
 def _col_if(c: CV, a: CV, b: CV) -> CV:
@@ -881,6 +896,66 @@ def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
             ok, parsed, F.concat(F.lit("fromjson on "), t), False
         )
 
+    if name == "to_entries":
+        t = V.vtype(v)
+        arr_json = F.concat(
+            F.lit("["),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.map_entries(V.as_map(v)),
+                    lambda e: F.concat(
+                        F.lit('{"key":'),
+                        V.json_quote(e["key"]),
+                        F.lit(',"value":'),
+                        V.vjson(e["value"]),
+                        F.lit("}"),
+                    ),
+                ),
+            ),
+            F.lit("]"),
+        )
+        return _guarded(
+            t == "object", F.parse_json(arr_json),
+            F.concat(F.lit("to_entries on "), t), False,
+        )
+
+    if name == "from_entries":
+        t = V.vtype(v)
+        arr = V.as_array(v)
+
+        def ent(x: Column) -> Column:
+            kv = F.coalesce(
+                F.try_variant_get(x, "$.key", "variant"),
+                F.try_variant_get(x, "$.k", "variant"),
+                F.try_variant_get(x, "$.name", "variant"),
+            )
+            kt = V.vtype(kv)
+            ks = (
+                F.when(kt == "string", V.as_string(kv))
+                .when(kt.isNull() | (kt == "null"), F.lit(None).cast("string"))
+                .otherwise(F.to_json(kv))  # jq: scalar keys via tostring
+            )
+            vj = F.coalesce(
+                V.vjson(
+                    F.coalesce(
+                        F.try_variant_get(x, "$.value", "variant"),
+                        F.try_variant_get(x, "$.v", "variant"),
+                    )
+                ),
+                F.lit("null"),
+            )
+            return F.struct(ks.alias("k"), vj.alias("j"))
+
+        entries = F.transform(arr, ent)
+        bad = F.exists(arr, lambda x: V.vtype(x) != "object") | F.exists(
+            entries, lambda e: e["k"].isNull()
+        )
+        return _guarded(
+            (t == "array") & ~bad, V.vobject(entries),
+            F.concat(F.lit("from_entries on "), t), False,
+        )
+
     raise ValueError(f"unknown builtin {name}")
 
 
@@ -1341,6 +1416,12 @@ def _plan_direct_raw(
         rcv, rd, _ = right
         cv = _col_binary(node.op, lcv, rcv)
         return _pemit(plan, cv, inp.err, name, max(ld, rd))
+    if isinstance(node, ast.Try):
+        r = _plan_direct(plan, node.expr, None, inp, in_depth, cse)
+        if r is None:
+            return None
+        rcv, rd, _ = r
+        return _pemit(plan, _try_cv(rcv), inp.err, name, rd)
     if isinstance(node, ast.If):
         staged = []
         d = in_depth
@@ -1488,6 +1569,19 @@ def compile_stream(node: ast.Node) -> StreamFn:
 
         return run_binary
 
+    if isinstance(node, ast.Try):
+        if is_multivalued(node.expr):
+            raise NotImplementedError(
+                "try on a multi-valued expression; use the `?` form (.[]?)"
+            )
+        texpr = node.expr
+
+        def run_try(df: DataFrame) -> DataFrame:
+            an = _fresh("t")
+            df, tcv = _stage_cv(df, texpr, an)
+            return _finish(df, _try_cv(tcv), drop_cols=[f"{an}_v", f"{an}_e"])
+
+        return run_try
     if isinstance(node, ast.If):
         parts = [n for c, b in node.branches for n in (c, b)] + [node.orelse]
         if any(is_multivalued(p) for p in parts):

@@ -140,6 +140,9 @@ def _eval(node: ast.Node, v: object) -> list[Entry]:  # noqa: PLR0911, PLR0912
     if isinstance(node, ast.Binary):
         return _binary(node.op, node.left, node.right, v)
 
+    if isinstance(node, ast.Try):
+        return [e for e in _eval(node.expr, v) if e[1] is None]
+
     if isinstance(node, ast.If):
         for c, b in node.branches:
             couts = _eval(c, v)
@@ -479,6 +482,33 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
             else:
                 outs.append(_apply_binop("/", v, a))
         return outs
+    if name == "to_entries":
+        if not isinstance(v, dict):
+            return [_err(f"to_entries on {_tname(v)}")]
+        # canonical (sorted) key order, matching the variant engine
+        return [([{"key": k, "value": v[k]} for k in sorted(v)], None)]
+    if name == "from_entries":
+        if not isinstance(v, list):
+            return [_err(f"from_entries on {_tname(v)}")]
+        import json as _j
+
+        out: dict = {}
+        for x in v:
+            if not isinstance(x, dict):
+                return [_err("from_entries on array")]
+            k = next(
+                (x[n] for n in ("key", "k", "name") if x.get(n) is not None),
+                None,
+            )
+            if k is None:
+                return [_err("from_entries on array")]
+            ks = k if isinstance(k, str) else _j.dumps(
+                k, separators=(",", ":")
+            )
+            out[ks] = next(
+                (x[n] for n in ("value", "v") if x.get(n) is not None), None
+            )
+        return [(out, None)]
     if name == "type":
         if v is None:
             t = "null"

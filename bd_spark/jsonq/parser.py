@@ -479,6 +479,13 @@ class Parser:
             return ast.Literal(name)
         if name == "if":
             return self.parse_if_tail()
+        if name == "try":
+            operand = self.parse_unary()
+            if self.at_kw("catch"):
+                raise ParseError(
+                    "catch is not supported; `try f` maps errors to empty"
+                )
+            return ast.Try(operand)
         if name in ast.BUILTIN_ARITY:
             arity = ast.BUILTIN_ARITY[name]
             if arity == 0:

@@ -249,6 +249,27 @@ CORPUS = [
     # stability: equal keys keep original order in sort_by
     ("sort_by(.k)", '[{"k": 1, "v": "x"}, {"k": 1, "v": "y"}]',
      [[{"k": 1, "v": "x"}, {"k": 1, "v": "y"}]]),
+    # try f — errors inside f become empty, values pass through
+    ("try .a", '{"a": 5}', [5]),
+    ("try .a", "[1, 2]", []),          # index error on array -> empty
+    (".[] | try (1 / .)", "[2, 0, 4]",
+     [0.5, None, 0.25]),               # /0 -> null, not an error
+    (".[] | try fromjson", '["[1]", "nope", "2"]', [[1], 2]),
+    ("[.[] | try (.k)]", '[{"k": 1}, 7, {"k": 2}]', [[1, 2]]),
+    ("try length", '"abc"', [3]),
+    # to_entries / from_entries
+    ("to_entries", '{"b": 2, "a": 1}',
+     [[{"key": "a", "value": 1}, {"key": "b", "value": 2}]]),
+    ("to_entries", "{}", [[]]),
+    ("from_entries",
+     '[{"key": "a", "value": 1}, {"k": "b", "v": 2}, {"name": "c"}]',
+     [{"a": 1, "b": 2, "c": None}]),
+    ("from_entries", '[{"key": "x", "value": 1}, {"key": "x", "value": 2}]',
+     [{"x": 2}]),                       # duplicate keys: last wins
+    ("from_entries", '[{"key": 7, "value": "x"}]', [{"7": "x"}]),
+    ("to_entries | from_entries", '{"a": 1, "b": [2, 3]}',
+     [{"a": 1, "b": [2, 3]}]),
+    ("to_entries | map(.value)", '{"a": 1, "b": 2}', [[1, 2]]),
 ]
 
 
