@@ -599,6 +599,48 @@ def _obj_deep_merge(a: Column, b: Column) -> Column:
     return F.parse_json(_DEEP_MERGE_UDF(F.to_json(a), F.to_json(b)))
 
 
+_FLATTEN_UDF = None
+
+
+def _flatten_value(v: Column) -> Column:
+    """jq ``flatten``: recursively splice nested arrays (objects are
+    left intact).  Depth-unbounded recursion is inexpressible in
+    Catalyst -> Arrow-batched pandas UDF over canonical JSON text,
+    the same pattern as _obj_deep_merge.  Returns NULL (caller maps
+    to a type error) for non-array input."""
+    global _FLATTEN_UDF
+    if _FLATTEN_UDF is None:
+
+        def flat(xs):
+            import json
+
+            import pandas as pd
+
+            def go(x, out):
+                for e in x:
+                    if isinstance(e, list):
+                        go(e, out)
+                    else:
+                        out.append(e)
+                return out
+
+            res = []
+            for x in xs:
+                if x is None:
+                    res.append(None)
+                    continue
+                val = json.loads(x)
+                res.append(
+                    json.dumps(go(val, []), ensure_ascii=False)
+                    if isinstance(val, list)
+                    else None
+                )
+            return pd.Series(res, dtype="object")
+
+        _FLATTEN_UDF = F.pandas_udf(flat, "string", F.PandasUDFType.SCALAR)
+    return _FLATTEN_UDF(F.to_json(v))
+
+
 def _run_flags(sorted_arr: Column, kf) -> Column:
     """``array<struct<s, new:boolean>>`` over a key-sorted array,
     marking each position that starts a new equal-key run.
@@ -894,6 +936,13 @@ def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
         ok = (t == "string") & (parsed.isNotNull() | (V.as_string(v) == "null"))
         return _guarded(
             ok, parsed, F.concat(F.lit("fromjson on "), t), False
+        )
+
+    if name == "flatten":
+        t = V.vtype(v)
+        return _guarded(
+            t == "array", F.parse_json(_flatten_value(v)),
+            F.concat(F.lit("flatten on "), t), False,
         )
 
     if name == "to_entries":

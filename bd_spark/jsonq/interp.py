@@ -482,6 +482,19 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
             else:
                 outs.append(_apply_binop("/", v, a))
         return outs
+    if name == "flatten":
+        if not isinstance(v, list):
+            return [_err(f"flatten on {_tname(v)}")]
+
+        def _go(x: list, out: list) -> list:
+            for e in x:
+                if isinstance(e, list):
+                    _go(e, out)
+                else:
+                    out.append(e)
+            return out
+
+        return [(_go(v, []), None)]
     if name == "to_entries":
         if not isinstance(v, dict):
             return [_err(f"to_entries on {_tname(v)}")]

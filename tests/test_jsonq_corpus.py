@@ -270,6 +270,11 @@ CORPUS = [
     ("to_entries | from_entries", '{"a": 1, "b": [2, 3]}',
      [{"a": 1, "b": [2, 3]}]),
     ("to_entries | map(.value)", '{"a": 1, "b": 2}', [[1, 2]]),
+    # flatten — recursive array splice, objects untouched
+    ("flatten", "[1, [2, [3, [4]]], 5]", [[1, 2, 3, 4, 5]]),
+    ("flatten", "[]", [[]]),
+    ("flatten", '[{"a": [1]}, [2]]', [[{"a": [1]}, 2]]),
+    ("flatten | length", "[[1, 2], [3]]", [3]),
 ]
 
 
