@@ -194,6 +194,7 @@ BUILTIN_ARITY = {
     "unique": 0,
     "min": 0,
     "max": 0,
+    "range": 1,
     "flatten": 0,
     "to_entries": 0,
     "from_entries": 0,

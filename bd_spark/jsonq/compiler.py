@@ -170,6 +170,8 @@ def is_multivalued(node: ast.Node) -> bool:
         return any(
             is_multivalued(p.key) or is_multivalued(p.value) for p in node.pairs
         )
+    if isinstance(node, ast.Builtin) and node.name == "range":
+        return True  # generator: 0..n-1 outputs per input
     # ListCons collects its burst -> exactly one output
     # Builtin args are zipped per-input scalars in practice
     return False
@@ -238,6 +240,8 @@ def compile_col(node: ast.Node) -> ColFn | None:
                 return _col_hof(node.name, node.args[0])
             except NotImplementedError:
                 return None
+        if node.name == "range":
+            return None  # generator needs stream fan-out
         argfns = [compile_col(a) for a in node.args]
         if any(f is None for f in argfns):
             return None
@@ -1510,6 +1514,8 @@ def _plan_direct_raw(
             acv, ad, _ = arg
             cv = _col_builtin(node.name, inp.v, [acv])
             return _pemit(plan, cv, inp.err, name, max(ad, in_depth))
+        if node.name == "range":
+            return None  # generator needs stream fan-out
         cv = _col_builtin(node.name, inp.v, [])
         return _pemit(plan, cv, inp.err, name, in_depth)
     return None
@@ -1676,6 +1682,75 @@ def compile_stream(node: ast.Node) -> StreamFn:
                 return _finish(df, cv, drop_cols=[f"{an}_v", f"{an}_e"])
 
             return run_hasin
+        if node.name == "range":
+            rarg = node.args[0]
+
+            def run_range(df: DataFrame) -> DataFrame:
+                """range(n): emit longs 0,1,... while < n (empty for
+                n <= 0, jq semantics incl. fractional bounds); one
+                posexplode fan-out, same ord bookkeeping as `.[]`."""
+                an = _fresh("r")
+                df, acv = _stage_cv(df, rarg, an)
+                t = V.vtype(acv.v)
+                nb = V.as_double(acv.v)
+                cnt = F.ceil(nb).cast("long")
+                aerr = (
+                    acv.err
+                    if acv.err is not None
+                    else F.lit(None).cast("string")
+                )
+                # no fan-out for rows already errored upstream
+                seqarr = F.when(
+                    F.col("err").isNull()
+                    & aerr.isNull()
+                    & V.is_number(t)
+                    & (cnt > 0),
+                    F.sequence(F.lit(0), cnt - 1),
+                )
+                base = (
+                    df.withColumn("__rt", t)
+                    .withColumn("__rerr", aerr)
+                    .withColumn("__rnum", V.is_number(t))
+                    .withColumn("__relems", seqarr)
+                )
+                carries = [
+                    c for c in _carries(df)
+                    if c not in (f"{an}_v", f"{an}_e")
+                ]
+                ex = base.select(
+                    "seq", "ord", "v", "err", *carries,
+                    "__rt", "__rerr", "__rnum",
+                    F.posexplode_outer("__relems").alias("__pos", "__rv"),
+                )
+                bad = F.col("__rerr").isNotNull() | ~F.col("__rnum")
+                keep = (
+                    F.col("err").isNotNull()
+                    | F.col("__pos").isNotNull()
+                    | bad
+                )
+                ex = ex.where(keep)
+                newv = F.when(
+                    F.col("err").isNull() & F.col("__pos").isNotNull(),
+                    V.vlong(F.col("__rv")),
+                ).otherwise(V.vnull())
+                newerr = (
+                    F.when(F.col("err").isNotNull(), F.col("err"))
+                    .when(F.col("__rerr").isNotNull(), F.col("__rerr"))
+                    .when(
+                        ~F.col("__rnum"),
+                        F.concat(F.lit("range on "), F.col("__rt")),
+                    )
+                )
+                neword = F.concat(
+                    "ord",
+                    F.array(F.coalesce(F.col("__pos").cast("long"), F.lit(0))),
+                )
+                return ex.select(
+                    "seq", neword.alias("ord"), newv.alias("v"),
+                    newerr.alias("err"), *carries,
+                )
+
+            return run_range
         return lift(lambda v: _col_builtin(node.name, v, []))
 
     if isinstance(node, ast.IterValues):

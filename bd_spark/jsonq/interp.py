@@ -482,6 +482,19 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
             else:
                 outs.append(_apply_binop("/", v, a))
         return outs
+    if name == "range":
+        outs = []
+        for a, ae in _eval(args[0], v):
+            if ae is not None:
+                outs.append((None, ae))
+            elif _is_num(a):
+                i = 0
+                while i < a:
+                    outs.append((i, None))
+                    i += 1
+            else:
+                outs.append(_err(f"range on {_tname(a)}"))
+        return outs
     if name == "flatten":
         if not isinstance(v, list):
             return [_err(f"flatten on {_tname(v)}")]

@@ -275,6 +275,14 @@ CORPUS = [
     ("flatten", "[]", [[]]),
     ("flatten", '[{"a": [1]}, [2]]', [[{"a": [1]}, 2]]),
     ("flatten | length", "[[1, 2], [3]]", [3]),
+    # range(n) — generator: 0,1,... while < n
+    ("[range(5)]", "null", [[0, 1, 2, 3, 4]]),
+    ("[range(0)]", "null", [[]]),
+    ("[range(-2)]", "null", [[]]),
+    ("range(.n)", '{"n": 3}', [0, 1, 2]),
+    ("[range(2.5)]", "null", [[0, 1, 2]]),
+    (".[] | [range(.)]", "[1, 2]", [[0], [0, 1]]),
+    ("[range(3)] | add", "null", [3]),
 ]
 
 
