@@ -821,3 +821,46 @@ def lm_score(docs, id_col: str = "doc_id", text_col: str = "text",
         F.count("*").alias("n_bigrams"),
         F.round(-F.avg("lp"), 6).alias("xent"),
     )
+
+
+def bm25(docs, query_terms: list[str], id_col: str = "doc_id",
+         text_col: str = "text", k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 relevance of every document to a literal term query
+    (Robertson/Sparck Jones; the standard retrieval scorer for
+    query-driven corpus curation).  Returns ``[id_col, n_hit, bm25]``
+    for documents containing >= 1 query term, bm25 rounded to 6
+    digits (the engine-portable mean convention).
+
+    Scale story: one explode feeds three map-side-combinable
+    aggregations (per-doc tf over the |Q| query terms only, per-doc
+    length, per-term df); corpus stats (N, avgdl) stay in-plan as a
+    broadcast 1-row aggregate; the scoring join is |Q|-term-bounded
+    per doc.  No window, no collect, no all-pairs anything.
+    """
+    toks = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+    hit = toks.where(F.col("term").isin(list(query_terms)))
+    tf = hit.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dlen = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dlen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = (
+        hit.select(id_col, "term").distinct()
+        .groupBy("term").agg(F.count("*").alias("df"))
+    )
+    contrib = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(dlen, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hit"),
+            F.round(F.sum(contrib), 6).alias("bm25"),
+        )
+    )

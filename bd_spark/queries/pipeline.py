@@ -1617,6 +1617,34 @@ FROM sc GROUP BY doc_id
 """.format(toks=_TOKS)
 
 
+def pipe_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance to the query (hash, join, scan) — the
+    query-driven curation scorer (operators.text.bm25): one explode,
+    three map-side-combinable aggs, broadcast corpus stats."""
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    return T.bm25(docs, ["hash", "join", "scan"])
+
+
+PIPE_TEXT_BM25_SQL = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dlen AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+          FROM dlen),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+       WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t
+        WHERE term IN ('hash', 'join', 'scan') GROUP BY term)
+SELECT tf.doc_id AS doc_id,
+  count(*) AS n_hit,
+  round(sum(
+    ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+    * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+  ), 6) AS bm25
+FROM tf JOIN dlen USING (doc_id) JOIN dfq USING (term) CROSS JOIN stats
+GROUP BY tf.doc_id
+"""
+
+
 PIPE_SAMPLE_STRATIFIED_SQL = f"""
 SELECT doc_id, lang FROM documents
 WHERE ({_h31("CAST(doc_id AS VARCHAR)")} % 1000000)
@@ -1659,6 +1687,7 @@ QUERIES = {
     "pipe_split_assign": pipe_split_assign,
     "pipe_shuffle": pipe_shuffle,
     "pipe_lm_score": pipe_lm_score,
+    "pipe_text_bm25": pipe_text_bm25,
 }
 
 ORACLES = {
@@ -1696,4 +1725,5 @@ ORACLES = {
     "pipe_split_assign": PIPE_SPLIT_ASSIGN_SQL,
     "pipe_shuffle": PIPE_SHUFFLE_SQL,
     "pipe_lm_score": PIPE_LM_SCORE_SQL,
+    "pipe_text_bm25": PIPE_TEXT_BM25_SQL,
 }

@@ -144,6 +144,7 @@ EXTRA = [
     "jq_conditional",          # if/then/elif/else + practical builtins
     "pipe_lm_score",           # CCNet-style bigram-LM cross-entropy filter
     "jq_sort_ops",             # sort_by/unique_by/group_by/first (batch 2)
+    "pipe_text_bm25",          # Okapi BM25 query-relevance scoring
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

@@ -798,3 +798,27 @@ def test_lm_score_bigram_model_hand_check(spark):
     assert out[1].n_bigrams == 3 and out[2].n_bigrams == 2
     assert abs(out[1].xent - round(exp1, 6)) < 1e-9
     assert abs(out[2].xent - round(exp2, 6)) < 1e-9
+
+
+def test_bm25_hand_check(spark):
+    """BM25 on a 3-doc corpus small enough to compute by hand."""
+    import math
+
+    from bd_spark.operators.text import bm25
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "c c c")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in bm25(docs, ["a"]).collect()}
+    # df(a)=2, N=3, avgdl = (3+2+3)/3
+    assert set(out) == {1, 2}
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    avgdl = 8 / 3
+
+    def s(tf, dl):
+        return idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert out[1].n_hit == 1 and out[2].n_hit == 1
+    assert abs(out[1].bm25 - round(s(2, 3), 6)) < 1e-9
+    assert abs(out[2].bm25 - round(s(1, 2), 6)) < 1e-9
