@@ -167,6 +167,20 @@ class Try(Node):
     expr: Node
 
 
+@dataclass(frozen=True)
+class Assign(Node):
+    """``PATH = E`` / ``PATH |= f`` (beyond-reference, jq): returns
+    the whole input with the value at the static object-key path
+    replaced.  ``=`` evaluates E against the ROOT input; ``|=``
+    applies f to the OLD value at the path (missing -> null).  Missing
+    intermediate objects are created (jq setpath); scalar
+    intermediates are errors.  RHS must be single-valued."""
+
+    path: tuple[str, ...]
+    value: Node
+    update: bool  # True for |=
+
+
 BUILTIN_ARITY = {
     "length": 0,
     "chars": 0,
@@ -194,6 +208,7 @@ BUILTIN_ARITY = {
     "unique": 0,
     "min": 0,
     "max": 0,
+    "del": 1,
     "range": 1,
     "flatten": 0,
     "to_entries": 0,

@@ -211,6 +211,8 @@ def compile_col(node: ast.Node) -> ColFn | None:
             return None
         op = node.op
         return lambda v: _col_binary(op, lf(v), rf(v))
+    if isinstance(node, ast.Assign):
+        return _compile_assign(node)
     if isinstance(node, ast.Try):
         ef = compile_col(node.expr)
         if ef is None:
@@ -240,6 +242,8 @@ def compile_col(node: ast.Node) -> ColFn | None:
                 return _col_hof(node.name, node.args[0])
             except NotImplementedError:
                 return None
+        if node.name == "del":
+            return _compile_del(node)
         if node.name == "range":
             return None  # generator needs stream fan-out
         argfns = [compile_col(a) for a in node.args]
@@ -379,6 +383,127 @@ def _select_cv(v_in: Column, arg: CV) -> CV:
     t = V.truthy(arg.v)
     drop = (~t) if arg.err is None else (arg.err.isNull() & ~t)
     return CV(v_in, arg.err, _merge_drop(arg.drop, drop))
+
+
+def _path_get(v: Column, segs: tuple) -> Column:
+    """Variant at a static object-key path; NULL when missing."""
+    cur = v
+    for k in segs:
+        cur = F.element_at(V.as_map(cur), F.lit(k))
+    return cur
+
+
+def _path_ok(v: Column, segs: tuple) -> Column:
+    """True when every node along the path is an object, null, or
+    missing — the values jq setpath/del can traverse (a scalar
+    intermediate is a 'cannot index' error)."""
+    ok = F.lit(True)
+    cur = v
+    for k in segs:
+        t = V.vtype(cur)
+        ok = ok & (t.isNull() | t.isin("object", "null"))
+        cur = F.element_at(V.as_map(cur), F.lit(k))
+    return ok
+
+
+def _rebuilt_entries(m: Column, k: str, inner_json: Column) -> Column:
+    """JSON text of object-map ``m`` with key ``k`` bound to
+    ``inner_json`` (other entries re-serialized via vjson)."""
+    others = F.filter(F.map_entries(m), lambda e: e["key"] != F.lit(k))
+    structs = F.transform(
+        others,
+        lambda e: F.struct(
+            e["key"].alias("k"), V.vjson(e["value"]).alias("j")
+        ),
+    )
+    tail = F.array(F.struct(F.lit(k).alias("k"), inner_json.alias("j")))
+    return V.json_of_entries(F.concat(structs, tail))
+
+
+def _set_json(v: Column, segs: tuple, leaf_json: Column) -> Column:
+    """JSON text of v with v[segs] replaced by leaf_json; missing
+    intermediates become fresh objects (jq setpath)."""
+    if not segs:
+        return leaf_json
+    k = segs[0]
+    m = V.as_map(v)
+    inner = _set_json(F.element_at(m, F.lit(k)), segs[1:], leaf_json)
+    import json as _j
+
+    fresh = F.concat(
+        F.lit("{" + _j.dumps(k) + ":"), inner, F.lit("}")
+    )
+    return F.when(
+        V.vtype(v) == "object", _rebuilt_entries(m, k, inner)
+    ).otherwise(fresh)
+
+
+def _del_json(v: Column, segs: tuple) -> Column:
+    """JSON text of v with the field at segs removed; a missing key
+    anywhere on the path leaves v unchanged."""
+    k = segs[0]
+    m = V.as_map(v)
+    if len(segs) == 1:
+        others = F.filter(F.map_entries(m), lambda e: e["key"] != F.lit(k))
+        structs = F.transform(
+            others,
+            lambda e: F.struct(
+                e["key"].alias("k"), V.vjson(e["value"]).alias("j")
+            ),
+        )
+        rebuilt = V.json_of_entries(structs)
+    else:
+        inner = _del_json(F.element_at(m, F.lit(k)), segs[1:])
+        rebuilt = _rebuilt_entries(m, k, inner)
+    return F.when(
+        (V.vtype(v) == "object") & F.map_contains_key(m, F.lit(k)), rebuilt
+    ).otherwise(V.vjson(v))
+
+
+def _compile_assign(node: ast.Assign) -> ColFn | None:
+    rhsf = compile_col(node.value)
+    if rhsf is None:
+        return None
+    segs = node.path
+
+    def fn(v: Column) -> CV:
+        # a missing key reads as jq null, not SQL NULL (|= body sees it)
+        old = F.coalesce(_path_get(v, segs), V.vnull())
+        cv = rhsf(old) if node.update else rhsf(v)
+        leaf = V.vjson(cv.v)
+        if cv.err is not None:
+            leaf = F.when(cv.err.isNotNull(), F.lit("null")).otherwise(leaf)
+        res = _guarded(
+            _path_ok(v, segs),
+            F.parse_json(_set_json(v, segs, leaf)),
+            F.lit("cannot set path ." + ".".join(segs)),
+            False,
+        )
+        return CV(res.v, _merge_err(cv.err, res.err), cv.drop)
+
+    return fn
+
+
+def _compile_del(node: ast.Builtin) -> ColFn:
+    from bd_spark.jsonq.parser import static_path
+
+    segs = static_path(node.args[0])
+    if segs is None or not segs or any(
+        not isinstance(s, str) for s in segs
+    ):
+        raise NotImplementedError(
+            "del requires a static object-key path (del(.a.b))"
+        )
+
+    def fn(v: Column) -> CV:
+        return _guarded(
+            _path_ok(v, segs),
+            F.parse_json(_del_json(v, segs)),
+            F.lit("cannot delete path ." + ".".join(segs)),
+            False,
+        )
+
+    return fn
 
 
 def _try_cv(cv: CV) -> CV:
@@ -1469,6 +1594,11 @@ def _plan_direct_raw(
         rcv, rd, _ = right
         cv = _col_binary(node.op, lcv, rcv)
         return _pemit(plan, cv, inp.err, name, max(ld, rd))
+    if isinstance(node, ast.Assign):
+        af = _compile_assign(node)
+        if af is None:
+            return None
+        return _pemit(plan, af(inp.v), inp.err, name, in_depth)
     if isinstance(node, ast.Try):
         r = _plan_direct(plan, node.expr, None, inp, in_depth, cse)
         if r is None:
@@ -1624,6 +1754,13 @@ def compile_stream(node: ast.Node) -> StreamFn:
 
         return run_binary
 
+    if isinstance(node, ast.Assign):
+        af = _compile_assign(node)
+        if af is None:
+            raise NotImplementedError(
+                "assignment RHS must be a single-valued scalar expression"
+            )
+        return lift(af)
     if isinstance(node, ast.Try):
         if is_multivalued(node.expr):
             raise NotImplementedError(
@@ -1682,6 +1819,8 @@ def compile_stream(node: ast.Node) -> StreamFn:
                 return _finish(df, cv, drop_cols=[f"{an}_v", f"{an}_e"])
 
             return run_hasin
+        if node.name == "del":
+            return lift(_compile_del(node))
         if node.name == "range":
             rarg = node.args[0]
 

@@ -140,6 +140,40 @@ def _eval(node: ast.Node, v: object) -> list[Entry]:  # noqa: PLR0911, PLR0912
     if isinstance(node, ast.Binary):
         return _binary(node.op, node.left, node.right, v)
 
+    if isinstance(node, ast.Assign):
+        def _path_ok(x: object, segs: tuple) -> bool:
+            for k in segs:
+                if x is None:
+                    return True  # remaining levels are fresh objects
+                if not isinstance(x, dict):
+                    return False
+                x = x.get(k)
+            return True
+
+        def _set_in(x: object, segs: tuple, val: object) -> object:
+            if not segs:
+                return val
+            base = dict(x) if isinstance(x, dict) else {}
+            base[segs[0]] = _set_in(base.get(segs[0]), segs[1:], val)
+            return base
+
+        if not _path_ok(v, node.path):
+            return [_err("cannot set path ." + ".".join(node.path))]
+        if node.update:
+            old = v
+            for k in node.path:
+                old = old.get(k) if isinstance(old, dict) else None
+            rhs_in = old
+        else:
+            rhs_in = v
+        outs: list[Entry] = []
+        for rv, re_ in _eval(node.value, rhs_in):
+            if re_ is not None:
+                outs.append((None, re_))
+            else:
+                outs.append((_set_in(v, node.path, rv), None))
+        return outs
+
     if isinstance(node, ast.Try):
         return [e for e in _eval(node.expr, v) if e[1] is None]
 
@@ -482,6 +516,37 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
             else:
                 outs.append(_apply_binop("/", v, a))
         return outs
+    if name == "del":
+        from bd_spark.jsonq.parser import static_path
+
+        segs = static_path(args[0])
+        if segs is None or not segs or any(
+            not isinstance(s, str) for s in segs
+        ):
+            return [_err("del requires a static object-key path")]
+
+        def _ok(x: object, ss: tuple) -> bool:
+            for k in ss:
+                if x is None:
+                    return True
+                if not isinstance(x, dict):
+                    return False
+                x = x.get(k)
+            return True
+
+        def _del_in(x: object, ss: tuple) -> object:
+            if not isinstance(x, dict) or ss[0] not in x:
+                return x
+            out = dict(x)
+            if len(ss) == 1:
+                del out[ss[0]]
+            else:
+                out[ss[0]] = _del_in(out[ss[0]], ss[1:])
+            return out
+
+        if not _ok(v, segs):
+            return [_err("cannot delete path ." + ".".join(segs))]
+        return [(_del_in(v, segs), None)]
     if name == "range":
         outs = []
         for a, ae in _eval(args[0], v):

@@ -43,7 +43,7 @@ _TOKEN_RE = re.compile(
   | (?P<dotdot>\.\.(?!\.))
   | (?P<number>\d+(?:\.\d+(?!\.))?(?:[eE][+-]?\d+)?)
   | (?P<string>"(?:[^"\\]|\\.)*")
-  | (?P<op><<|>>|<=|>=|==|!=|&&|\|\||//|[-+*/%<>=!&^|?,:(){}\[\].])
+  | (?P<op><<|>>|<=|>=|==|!=|&&|\|\||\|=|//|[-+*/%<>=!&^|?,:(){}\[\].])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -64,6 +64,23 @@ def tokenize(src: str) -> list[tuple[str, str]]:
         toks.append((kind, m.group()))
     toks.append(("eof", ""))
     return toks
+
+
+def static_path(node: ast.Node) -> tuple | None:
+    """The (key, ...) path a pure navigation chain denotes, or None
+    if the node is not a static path (used by assignment and del)."""
+    if isinstance(node, ast.Identity):
+        return ()
+    if isinstance(node, ast.Index) and not node.opt:
+        return (node.key,)
+    if isinstance(node, ast.Identifier) and not node.opt:
+        return (node.name,)
+    if isinstance(node, ast.Pipe):
+        left = static_path(node.left)
+        right = static_path(node.right)
+        if left is not None and right is not None:
+            return left + right
+    return None
 
 
 class Parser:
@@ -112,20 +129,45 @@ class Parser:
     )
 
     def parse_expr(self) -> ast.Node:
+        node = self.parse_segment_with_assign()
+        while self.at("|"):
+            self.take()
+            node = ast.Pipe(node, self.parse_segment_with_assign())
+        return node
+
+    def parse_segment(self) -> ast.Node:
+        """One juxtaposition chain (`.a.b`, `.[] foo`) — stops at an
+        explicit `|`, an assignment op, or anything else
+        (query_nom.rs:106-129)."""
         node = self.parse_alt()
-        while True:
-            if self.at("|"):
-                self.take()
-                node = ast.Pipe(node, self.parse_alt())
-            elif (
-                self.peek()[1] in self._PIPE_STARTERS
-                or self.at_kind("ident")
-                or self.at_kind("dotdot")
-            ) and not self.at_kind("eof"):
-                # juxtaposition pipe: `.a.b`, `.[] foo` (query_nom.rs:125)
-                node = ast.Pipe(node, self.parse_alt())
-            else:
-                return node
+        while (
+            self.peek()[1] in self._PIPE_STARTERS
+            or self.at_kind("ident")
+            or self.at_kind("dotdot")
+        ) and not self.at_kind("eof"):
+            node = ast.Pipe(node, self.parse_alt())
+        return node
+
+    def parse_segment_with_assign(self) -> ast.Node:
+        """Segment, optionally followed by `= E` / `|= f` (binds
+        tighter than `|`, per jq): `.a.b = 1 | .c` is
+        `(.a.b = 1) | .c`, and the LHS is the WHOLE juxtaposition
+        chain (`.a.b = 1` sets b inside a, returning the whole doc)."""
+        node = self.parse_segment()
+        while self.at("=") or self.at("|="):
+            op = self.take()[1]
+            rhs = self.parse_segment()
+            path = static_path(node)
+            if path is None:
+                raise ParseError(
+                    f"left side of {op} must be a static path (.a.b)"
+                )
+            if any(not isinstance(s, str) for s in path):
+                raise ParseError(
+                    f"array-index assignment is not supported ({op})"
+                )
+            node = ast.Assign(tuple(path), rhs, op == "|=")
+        return node
 
     def parse_alt(self) -> ast.Node:
         """jq `a // b` (alternative): beyond-reference usability —

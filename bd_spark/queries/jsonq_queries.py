@@ -568,6 +568,34 @@ FROM g GROUP BY doc_id
 """
 
 
+def jq_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-path assignment surface (beyond-reference jq): `del` a
+    field, `|=` update another in place, `=` add a new one computed
+    from the root — the document-rewrite idioms of a curation
+    pipeline, all compiled to one Catalyst projection."""
+    docs = table(spark, "documents", sf_dir)
+    jq = JsonQ(spark)
+    stream = jq.stream_from_table(docs)
+    out = jq.run(
+        "del(.text) | .n_chars |= . * 2 | .tag = (.lang | ascii_upcase)"
+        " | {id: .doc_id, nn: .n_chars, tag: .tag, nkeys: (keys | length)}",
+        stream,
+        ordered=False,
+    )
+    return out.select(
+        F.try_variant_get("v", "$.id", "long").alias("id"),
+        F.try_variant_get("v", "$.nn", "long").alias("nn"),
+        F.try_variant_get("v", "$.tag", "string").alias("tag"),
+        F.try_variant_get("v", "$.nkeys", "long").alias("nkeys"),
+    )
+
+
+JQ_UPDATE_SQL = """
+SELECT doc_id AS id, n_chars * 2 AS nn, upper(lang) AS tag, 5 AS nkeys
+FROM documents
+"""
+
+
 QUERIES = {
     "jq_props_k": jq_props_k,
     "jq_token_count": jq_token_count,
@@ -585,6 +613,7 @@ QUERIES = {
     "jq_select": jq_select,
     "jq_conditional": jq_conditional,
     "jq_sort_ops": jq_sort_ops,
+    "jq_update": jq_update,
 }
 
 ORACLES = {
@@ -604,4 +633,5 @@ ORACLES = {
     "jq_select": JQ_SELECT_SQL,
     "jq_conditional": JQ_CONDITIONAL_SQL,
     "jq_sort_ops": JQ_SORT_OPS_SQL,
+    "jq_update": JQ_UPDATE_SQL,
 }

@@ -145,6 +145,7 @@ EXTRA = [
     "pipe_lm_score",           # CCNet-style bigram-LM cross-entropy filter
     "jq_sort_ops",             # sort_by/unique_by/group_by/first (batch 2)
     "pipe_text_bm25",          # Okapi BM25 query-relevance scoring
+    "jq_update",               # del / |= / = static-path document rewrites
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

@@ -283,6 +283,21 @@ CORPUS = [
     ("[range(2.5)]", "null", [[0, 1, 2]]),
     (".[] | [range(.)]", "[1, 2]", [[0], [0, 1]]),
     ("[range(3)] | add", "null", [3]),
+    # static-path assignment / update / del
+    (".a = 1", '{"a": 0, "b": 2}', [{"a": 1, "b": 2}]),
+    (".a = .b + 1", '{"a": 0, "b": 2}', [{"a": 3, "b": 2}]),
+    (".a.b = 5", '{"a": {"c": 1}, "x": 2}',
+     [{"a": {"b": 5, "c": 1}, "x": 2}]),
+    (".a.b = 5", '{"x": 2}', [{"a": {"b": 5}, "x": 2}]),  # fresh objects
+    (".a = .a", '{"a": 7}', [{"a": 7}]),
+    (".n |= . * 10", '{"n": 4}', [{"n": 40}]),
+    (".n |= (. // 0) + 1", "{}", [{"n": 1}]),             # missing -> null
+    (".a = 1 | .b = 2", "{}", [{"a": 1, "b": 2}]),
+    ("del(.a)", '{"a": 1, "b": 2}', [{"b": 2}]),
+    ("del(.a.b)", '{"a": {"b": 1, "c": 2}}', [{"a": {"c": 2}}]),
+    ("del(.x)", '{"a": 1}', [{"a": 1}]),                  # missing: no-op
+    ("del(.x.y)", '{"a": 1}', [{"a": 1}]),
+    (".[] | .k = 1", '[{"k": 0}, {}]', [{"k": 1}, {"k": 1}]),
 ]
 
 
