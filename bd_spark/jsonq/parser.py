@@ -43,7 +43,7 @@ _TOKEN_RE = re.compile(
   | (?P<dotdot>\.\.(?!\.))
   | (?P<number>\d+(?:\.\d+(?!\.))?(?:[eE][+-]?\d+)?)
   | (?P<string>"(?:[^"\\]|\\.)*")
-  | (?P<op><<|>>|<=|>=|==|!=|&&|\|\||\|=|//|[-+*/%<>=!&^|?,:(){}\[\].])
+  | (?P<op><<|>>|<=|>=|==|!=|&&|\|\||\|=|//=|//|\+=|-=|\*=|/=|%=|[-+*/%<>=!&^|?,:(){}\[\].])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -154,7 +154,7 @@ class Parser:
         `(.a.b = 1) | .c`, and the LHS is the WHOLE juxtaposition
         chain (`.a.b = 1` sets b inside a, returning the whole doc)."""
         node = self.parse_segment()
-        while self.at("=") or self.at("|="):
+        while any(self.at(o) for o in self._ASSIGN_OPS):
             op = self.take()[1]
             rhs = self.parse_segment()
             path = static_path(node)
@@ -166,8 +166,17 @@ class Parser:
                 raise ParseError(
                     f"array-index assignment is not supported ({op})"
                 )
-            node = ast.Assign(tuple(path), rhs, op == "|=")
+            if op in ("=", "|="):
+                node = ast.Assign(tuple(path), rhs, op == "|=")
+            else:
+                # jq arithmetic update: `.a += E` == `.a = .a + E`
+                # (for static paths; E evaluated against the root)
+                node = ast.Assign(
+                    tuple(path), ast.Binary(op[:-1], node, rhs), False
+                )
         return node
+
+    _ASSIGN_OPS = ("=", "|=", "+=", "-=", "*=", "/=", "%=", "//=")
 
     def parse_alt(self) -> ast.Node:
         """jq `a // b` (alternative): beyond-reference usability —

@@ -298,6 +298,12 @@ CORPUS = [
     ("del(.x)", '{"a": 1}', [{"a": 1}]),                  # missing: no-op
     ("del(.x.y)", '{"a": 1}', [{"a": 1}]),
     (".[] | .k = 1", '[{"k": 0}, {}]', [{"k": 1}, {"k": 1}]),
+    # arithmetic update sugar: .a op= E  ==  .a = .a op E
+    (".n += 5", '{"n": 2}', [{"n": 7}]),
+    (".n -= .m", '{"n": 9, "m": 4}', [{"n": 5, "m": 4}]),
+    (".n *= 3", '{"n": 2}', [{"n": 6}]),
+    (".n //= 8", '{"x": 1}', [{"n": 8, "x": 1}]),
+    ('.s += "!"', '{"s": "hi"}', [{"s": "hi!"}]),
 ]
 
 
