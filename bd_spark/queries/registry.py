@@ -32,6 +32,7 @@ def _modules():
         relational2,
         relational3,
         relational4,
+        relational5,
         streaming_queries,
         temporal,
     )
@@ -41,6 +42,7 @@ def _modules():
         relational2,
         relational3,
         relational4,
+        relational5,
         temporal,
         pipeline,
         jsonq_queries,
@@ -146,6 +148,14 @@ EXTRA = [
     "jq_sort_ops",             # sort_by/unique_by/group_by/first (batch 2)
     "pipe_text_bm25",          # Okapi BM25 query-relevance scoring
     "jq_update",               # del / |= / = static-path document rewrites
+    # fifth relational tranche — completes all 22 TPC-H patterns
+    "q2_min_cost_supplier",    # correlated min-with-ties (window over agg)
+    "q8_market_share",         # 8-table join, conditional ratio per year
+    "q9_product_profit",       # multi-join profit rollup (cost proxy)
+    "q11_important_parts",     # global-scalar threshold (broadcast total)
+    "q15_top_supplier",        # max-revenue view with ties
+    "q20_part_promotion",      # nested IN → HAVING agg → semi chain
+    "q21_waiting_supplier",    # EXISTS + NOT EXISTS on one shuffle key
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are
