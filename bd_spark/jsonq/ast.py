@@ -181,6 +181,48 @@ class Assign(Node):
     update: bool  # True for |=
 
 
+@dataclass(frozen=True)
+class Var(Node):
+    """``$name`` — a variable bound by ``as`` or ``reduce``
+    (beyond-reference, jq: the reference's context.rs variables are
+    disabled, lib.rs:17). Unbound use is a compile error."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class BindAs(Node):
+    """``E as $x | B`` (beyond-reference, jq): for each output of E,
+    evaluate B against the ORIGINAL input with $x bound to that
+    output. Multi-valued E fans out B per binding, in E's order."""
+
+    source: Node
+    name: str
+    body: Node
+
+
+@dataclass(frozen=True)
+class Reduce(Node):
+    """``reduce E as $x (I; U)`` (beyond-reference, jq): fold U over
+    E's output stream, starting from I (evaluated against the input);
+    inside U, ``.`` is the accumulator and $x the current element."""
+
+    source: Node
+    name: str
+    init: Node
+    update: Node
+
+
+@dataclass(frozen=True)
+class StrInterp(Node):
+    """``"a \\(E) b"`` string interpolation (beyond-reference, jq).
+    ``parts`` mixes literal str fragments and Nodes; node results
+    interpolate via ``tostring`` semantics (strings raw, everything
+    else JSON-rendered)."""
+
+    parts: tuple  # str | Node
+
+
 BUILTIN_ARITY = {
     "length": 0,
     "chars": 0,

@@ -172,7 +172,10 @@ def is_multivalued(node: ast.Node) -> bool:
         )
     if isinstance(node, ast.Builtin) and node.name == "range":
         return True  # generator: 0..n-1 outputs per input
+    if isinstance(node, ast.BindAs):
+        return is_multivalued(node.source) or is_multivalued(node.body)
     # ListCons collects its burst -> exactly one output
+    # Reduce folds its burst -> exactly one output
     # Builtin args are zipped per-input scalars in practice
     return False
 
@@ -213,6 +216,15 @@ def compile_col(node: ast.Node) -> ColFn | None:
         return lambda v: _col_binary(op, lf(v), rf(v))
     if isinstance(node, ast.Assign):
         return _compile_assign(node)
+    if isinstance(node, ast.Var):
+        name = node.name
+        return lambda v: CV(_env_lookup(name))
+    if isinstance(node, ast.BindAs):
+        return _col_bind(node)
+    if isinstance(node, ast.Reduce):
+        return _col_reduce(node)
+    if isinstance(node, ast.StrInterp):
+        return _col_interp(node)
     if isinstance(node, ast.Try):
         ef = compile_col(node.expr)
         if ef is None:
@@ -1353,6 +1365,747 @@ def _col_dict_static(parts: list[tuple[str, CV]]) -> CV:
 
 
 # ===================================================================
+# Variables / reduce / string interpolation (beyond-reference, jq)
+# ===================================================================
+# Binding environment consulted at PLAN-BUILD time: ColFns/StreamFns
+# execute synchronously while the DataFrame plan is being assembled,
+# so a push/pop stack gives correct lexical scoping (incl. shadowing)
+# with zero per-row cost — a bound variable is just a Column ref.
+_ENV: list[tuple[str, Column]] = []
+
+
+def _env_lookup(name: str) -> Column:
+    for n, c in reversed(_ENV):
+        if n == name:
+            return c
+    raise ValueError(f"${name} is not defined")
+
+
+def _empty_varr() -> Column:
+    """An empty ARRAY<VARIANT> literal."""
+    return F.filter(F.array(V.vnull()), lambda _: F.lit(False))
+
+
+def _col_bind(node: ast.BindAs) -> ColFn | None:
+    """`E as $x | B` with single-valued scalar E and B."""
+    if is_multivalued(node.source) or is_multivalued(node.body):
+        return None
+    ef = compile_col(node.source)
+    bf = compile_col(node.body)
+    if ef is None or bf is None:
+        return None
+    name = node.name
+
+    def fn(v: Column) -> CV:
+        ecv = ef(v)
+        _ENV.append((name, ecv.v))
+        try:
+            bcv = bf(v)
+        finally:
+            _ENV.pop()
+        if ecv.err is None:
+            return CV(bcv.v, bcv.err, _merge_drop(ecv.drop, bcv.drop))
+        out = F.when(ecv.err.isNotNull(), V.vnull()).otherwise(bcv.v)
+        drop = _merge_drop(
+            ecv.drop, None if bcv.drop is None else (ecv.err.isNull() & bcv.drop)
+        )
+        return CV(out, _merge_err(ecv.err, bcv.err), drop)
+
+    return fn
+
+
+def _col_interp(node: ast.StrInterp) -> ColFn | None:
+    """String interpolation: literal fragments + `tostring`-rendered
+    expression results concatenated into one string."""
+    fns: list = []
+    for p in node.parts:
+        if isinstance(p, str):
+            fns.append(p)
+        else:
+            if is_multivalued(p):
+                return None
+            f = compile_col(p)
+            if f is None:
+                return None
+            fns.append(f)
+
+    def fn(v: Column) -> CV:
+        pieces: list[Column] = []
+        err = None
+        drop = None
+        for f in fns:
+            if isinstance(f, str):
+                pieces.append(F.lit(f))
+                continue
+            cv = f(v)
+            err = _merge_err(err, cv.err)
+            drop = _merge_drop(drop, cv.drop)
+            t = V.vtype(cv.v)
+            pieces.append(
+                F.when(t == "string", V.as_string(cv.v)).otherwise(F.to_json(cv.v))
+            )
+        out = V.vstring(F.concat(*pieces))
+        if err is not None:
+            out = F.when(err.isNotNull(), V.vnull()).otherwise(out)
+        return CV(out, err, drop)
+
+    return fn
+
+
+def _elems_colfn(node: ast.Node) -> ColFn | None:
+    """Compile a generator expression to its output burst as ONE
+    ARRAY<VARIANT> column (for folds). Supported: `.path.[]`,
+    `.[a,b]`, `range(n)`, and scalar pipes into those."""
+    if isinstance(node, ast.IterValues):
+        opt = node.opt
+
+        def fn_iter(v: Column) -> CV:
+            t = V.vtype(v)
+            arr = F.when(t == "array", V.as_array(v)).when(
+                t == "object", F.map_values(V.as_map(v))
+            )
+            if opt:
+                return CV(F.coalesce(arr, _empty_varr()))
+            err = F.when(arr.isNull(), F.concat(F.lit("cannot iterate "), t))
+            return CV(F.coalesce(arr, _empty_varr()), err)
+
+        return fn_iter
+    if isinstance(node, ast.Iter):
+        if any(is_multivalued(i) for i in node.items):
+            return None
+        fns = [compile_col(i) for i in node.items]
+        if any(f is None for f in fns):
+            return None
+
+        def fn_items(v: Column) -> CV:
+            cvs = [f(v) for f in fns]
+            err = None
+            for cv in cvs:
+                err = _merge_err(err, cv.err)
+            # `?`-dropped branches contribute no element (empty burst)
+            entries = [
+                F.struct(
+                    cv.v.alias("x"),
+                    (
+                        F.coalesce(cv.drop, F.lit(False))
+                        if cv.drop is not None
+                        else F.lit(False)
+                    ).alias("d"),
+                )
+                for cv in cvs
+            ]
+            arr = F.transform(
+                F.filter(F.array(*entries), lambda s: ~s["d"]),
+                lambda s: s["x"],
+            )
+            return CV(arr, err)
+
+        return fn_items
+    if isinstance(node, ast.Pipe):
+        if is_multivalued(node.left):
+            return None
+        lpf = compile_packed(node.left)
+        inner = _elems_colfn(node.right)
+        if lpf is None or inner is None:
+            return None
+
+        def fn_pipe(v: Column) -> CV:
+            # let-bind the navigated value: `inner` references its
+            # input ~8× (type dispatch), which squares the tree if fed
+            # the raw left-side expression (measured 950 KB for
+            # `.text | split(" ")` before this binding)
+            def fin(t: Column) -> Column:
+                ecv = inner(t["v"])
+                e = F.coalesce(
+                    t["e"], ecv.err if ecv.err is not None else _null_str()
+                )
+                # a `?`-dropped source is an EMPTY stream (reduce then
+                # emits init, like the interp), never a row drop
+                d = (
+                    t["d"]
+                    if ecv.drop is None
+                    else (t["d"] | F.coalesce(ecv.drop, F.lit(False)))
+                )
+                arr = F.when(e.isNull() & ~d, ecv.v).otherwise(_empty_varr())
+                return F.struct(arr.alias("xs"), e.alias("e"))
+
+            out = _let_p(lpf(_pk(v)), fin)
+            return CV(out["xs"], F.when(out["e"].isNotNull(), out["e"]))
+
+        return fn_pipe
+    if isinstance(node, ast.Builtin) and node.name == "range":
+        if is_multivalued(node.args[0]):
+            return None
+        argf = compile_col(node.args[0])
+        if argf is None:
+            return None
+
+        def fn_range(v: Column) -> CV:
+            acv = argf(v)
+            t = V.vtype(acv.v)
+            cnt = F.ceil(V.as_double(acv.v)).cast("long")
+            ok = V.is_number(t)
+            dropped = (
+                F.coalesce(acv.drop, F.lit(False))
+                if acv.drop is not None
+                else F.lit(False)
+            )
+            arr = F.when(
+                ok & (cnt > 0) & ~dropped,
+                F.transform(F.sequence(F.lit(0), cnt - 1), V.vlong),
+            ).otherwise(_empty_varr())
+            err = _merge_err(
+                acv.err, F.when(~ok & ~dropped, F.concat(F.lit("range on "), t))
+            )
+            return CV(arr, err)
+
+        return fn_range
+    return None
+
+
+# -------------------------------------------------- packed (ANF) tier
+# Inside HOF lambdas there is no withColumn staging, so the default
+# pure-substitution compile duplicates each operand subtree at every
+# composition level (~8 references per type dispatch -> 8^depth
+# expression growth; a 3-op reduce update measured 14.8 MB of
+# expression text and 152 s of analysis). The packed tier is the
+# lambda-context analogue of staging: values travel as ONE
+# struct<v: VARIANT, e: STRING, d: BOOLEAN> column, and every
+# composite node binds its subresults as fresh lambda variables
+# (`transform(array(x), t -> ...)[0]` is expression-level `let`), so
+# the tree stays LINEAR in AST size.
+
+
+def _null_str() -> Column:
+    return F.lit(None).cast("string")
+
+
+def _pk(v: Column, e: Column | None = None, d: Column | None = None) -> Column:
+    return F.struct(
+        v.alias("v"),
+        (e if e is not None else _null_str()).alias("e"),
+        (d if d is not None else F.lit(False)).alias("d"),
+    )
+
+
+def _pk_cv(cv: CV) -> Column:
+    return _pk(
+        cv.v,
+        cv.err,
+        None if cv.drop is None else F.coalesce(cv.drop, F.lit(False)),
+    )
+
+
+def _unpk(p: Column) -> CV:
+    return CV(p["v"], F.when(p["e"].isNotNull(), p["e"]), p["d"])
+
+
+def _let_p(x: Column, fn: Callable[[Column], Column]) -> Column:
+    """Expression-level `let`: bind x once, fn sees a leaf lambda var."""
+    return F.transform(F.array(x), fn)[0]
+
+
+def _pk_chain(p: Column, colfn: ColFn) -> Column:
+    """Apply a ColFn to the packed input's value with error/drop
+    passthrough. p MUST be a leaf (lambda var / cheap ref); colfn's
+    output is referenced a constant number of times against that
+    leaf, so expansion is bounded per node."""
+    out = _pk_cv(colfn(p["v"]))
+    keep = p["e"].isNotNull() | p["d"]
+    return F.when(keep, p).otherwise(
+        F.struct(
+            out["v"].alias("v"),
+            out["e"].alias("e"),
+            (p["d"] | out["d"]).alias("d"),
+        )
+    )
+
+
+PFn = Callable[[Column], Column]
+
+
+def compile_packed(node: ast.Node) -> PFn | None:  # noqa: PLR0911, PLR0912
+    """Compile to packed form (λ packed → packed); None when the node
+    needs stream machinery (multi-valued) or an unported feature.
+    Invariant: the returned fn may assume its input is LEAF-cheap and
+    must hand leaf-cheap inputs to its children (via _let_p)."""
+    if isinstance(node, ast.Identity):
+        return lambda p: p
+    if isinstance(node, ast.Literal):
+        text = node.text
+        return lambda p: F.struct(
+            F.parse_json(F.lit(text)).alias("v"),
+            p["e"].alias("e"),
+            p["d"].alias("d"),
+        )
+    if isinstance(node, ast.Var):
+        name = node.name
+        return lambda p: F.struct(
+            _env_lookup(name).alias("v"), p["e"].alias("e"), p["d"].alias("d")
+        )
+    if isinstance(node, (ast.Index, ast.Identifier, ast.Slice)):
+        cf = compile_col(node)
+        return (lambda p: _pk_chain(p, cf)) if cf is not None else None
+    if isinstance(node, ast.Pipe):
+        lf, rf = compile_packed(node.left), compile_packed(node.right)
+        if lf is None or rf is None:
+            return None
+        return lambda p: _let_p(lf(p), rf)
+    if isinstance(node, ast.Unary):
+        ef = compile_packed(node.expr)
+        if ef is None:
+            return None
+        op = _col_neg if node.op == "-" else _col_not
+        return lambda p: _let_p(ef(p), lambda t: _pk_chain(t, op))
+    if isinstance(node, ast.Try):
+        ef = compile_packed(node.expr)
+        if ef is None:
+            return None
+
+        def run_try(p: Column) -> Column:
+            def fin(t: Column) -> Column:
+                return F.struct(
+                    F.when(t["e"].isNull(), t["v"]).otherwise(V.vnull()).alias("v"),
+                    _null_str().alias("e"),
+                    (t["d"] | t["e"].isNotNull()).alias("d"),
+                )
+
+            return _let_p(ef(p), fin)
+
+        return run_try
+    if isinstance(node, ast.Binary):
+        lf, rf = compile_packed(node.left), compile_packed(node.right)
+        if lf is None or rf is None:
+            return None
+        op = node.op
+
+        def run_bin(p: Column) -> Column:
+            def inner(x: Column, y: Column) -> Column:
+                return _pk_cv(_col_binary(op, _unpk(x), _unpk(y)))
+
+            return F.zip_with(F.array(lf(p)), F.array(rf(p)), inner)[0]
+
+        return run_bin
+    if isinstance(node, ast.If):
+        pairs = [
+            (compile_packed(c), compile_packed(b)) for c, b in node.branches
+        ]
+        ef = compile_packed(node.orelse)
+        if ef is None or any(x is None for pr in pairs for x in pr):
+            return None
+
+        def run_if(p: Column) -> Column:
+            def step(i: int) -> Column:
+                if i == len(pairs):
+                    return ef(p)
+                cf, bf = pairs[i]
+
+                def decide(c: Column) -> Column:
+                    return (
+                        F.when(c["e"].isNotNull() | c["d"], c)
+                        .when(V.truthy(c["v"]), bf(p))
+                        .otherwise(step(i + 1))
+                    )
+
+                return _let_p(cf(p), decide)
+
+            return step(0)
+
+        return run_if
+    if isinstance(node, ast.BindAs):
+        if is_multivalued(node.source) or is_multivalued(node.body):
+            return None
+        sf = compile_packed(node.source)
+        bf = compile_packed(node.body)
+        if sf is None or bf is None:
+            return None
+        name = node.name
+
+        def run_bind(p: Column) -> Column:
+            def inner(t: Column) -> Column:
+                _ENV.append((name, t["v"]))
+                try:
+                    out = bf(p)  # body input is the ORIGINAL value
+                finally:
+                    _ENV.pop()
+                return F.when(t["e"].isNotNull() | t["d"], t).otherwise(out)
+
+            return _let_p(sf(p), inner)
+
+        return run_bind
+    if isinstance(node, ast.Reduce):
+        cf = _col_reduce(node)
+        return (lambda p: _pk_chain(p, cf)) if cf is not None else None
+    if isinstance(node, ast.StrInterp):
+        cf = _col_interp(node)
+        return (lambda p: _pk_chain(p, cf)) if cf is not None else None
+    if isinstance(node, ast.Assign):
+        cf = _compile_assign(node)
+        return (lambda p: _pk_chain(p, cf)) if cf is not None else None
+    if isinstance(node, ast.ListCons):
+        items = (
+            []
+            if node.expr is None
+            else (
+                list(node.expr.items)
+                if isinstance(node.expr, ast.Iter)
+                else [node.expr]
+            )
+        )
+        if any(is_multivalued(i) for i in items):
+            return None
+        fns = [compile_packed(i) for i in items]
+        if any(f is None for f in fns):
+            return None
+
+        def run_list(p: Column) -> Column:
+            if not fns:
+                return F.struct(
+                    F.parse_json(F.lit("[]")).alias("v"),
+                    p["e"].alias("e"),
+                    p["d"].alias("d"),
+                )
+
+            def build(arr: Column) -> Column:
+                parts = F.transform(arr, lambda t: V.vjson(t["v"]))
+                av = F.parse_json(
+                    F.concat(F.lit("["), F.concat_ws(",", parts), F.lit("]"))
+                )
+                firste = F.filter(arr, lambda t: t["e"].isNotNull())
+                anyd = F.exists(arr, lambda t: t["d"])
+                e = F.when(F.size(firste) > 0, firste[0]["e"])
+                return F.struct(
+                    F.when(e.isNull(), av).otherwise(V.vnull()).alias("v"),
+                    e.alias("e"),
+                    anyd.alias("d"),
+                )
+
+            # one array holds every item's packed result exactly once
+            return _let_p(
+                F.struct(F.array(*[f(p) for f in fns]).alias("xs")),
+                lambda t: build(t["xs"]),
+            )
+
+        return run_list
+    if isinstance(node, ast.DictCons):
+        skeys = [static_dict_key(pr.key) for pr in node.pairs]
+        if any(k is None for k in skeys):
+            return None  # computed keys: rare inside lambdas
+        if any(is_multivalued(pr.value) for pr in node.pairs):
+            return None
+        fns = [compile_packed(pr.value) for pr in node.pairs]
+        if any(f is None for f in fns):
+            return None
+        # dup-key last-wins statically, like _col_dict_static
+        last: dict[str, int] = {}
+        for i, k in enumerate(skeys):
+            last[k] = i
+
+        def run_dict(p: Column) -> Column:
+            def build(arr: Column) -> Column:
+                pieces = [
+                    F.concat(
+                        F.lit(_json.dumps(k, ensure_ascii=False) + ":"),
+                        V.vjson(arr[i]["v"]),
+                    )
+                    for k, i in last.items()
+                ]
+                dv = F.parse_json(
+                    F.concat(
+                        F.lit("{"),
+                        F.concat_ws(",", F.array(*pieces)),
+                        F.lit("}"),
+                    )
+                )
+                firste = F.filter(arr, lambda t: t["e"].isNotNull())
+                anyd = F.exists(arr, lambda t: t["d"])
+                e = F.when(F.size(firste) > 0, firste[0]["e"])
+                return F.struct(
+                    F.when(e.isNull(), dv).otherwise(V.vnull()).alias("v"),
+                    e.alias("e"),
+                    anyd.alias("d"),
+                )
+
+            return _let_p(
+                F.struct(F.array(*[f(p) for f in fns]).alias("xs")),
+                lambda t: build(t["xs"]),
+            )
+
+        return run_dict
+    if isinstance(node, ast.Builtin):
+        name = node.name
+        if name == "select":
+            af = compile_packed(node.args[0])
+            if af is None:
+                return None
+
+            def run_select(p: Column) -> Column:
+                def inner(t: Column, u: Column) -> Column:
+                    return (
+                        F.when(u["e"].isNotNull() | u["d"], F.struct(
+                            t["v"].alias("v"), u["e"].alias("e"), u["d"].alias("d")
+                        ))
+                        .when(
+                            V.truthy(u["v"]),
+                            F.struct(t["v"].alias("v"), t["e"].alias("e"), t["d"].alias("d")),
+                        )
+                        .otherwise(
+                            F.struct(
+                                t["v"].alias("v"),
+                                t["e"].alias("e"),
+                                F.lit(True).alias("d"),
+                            )
+                        )
+                    )
+
+                return F.zip_with(F.array(p), F.array(af(p)), inner)[0]
+
+            return run_select
+        if name in HOF_BUILTINS:
+            try:
+                cf = _col_hof(name, node.args[0])
+            except NotImplementedError:
+                return None
+            return lambda p: _pk_chain(p, cf)
+        if name == "del":
+            cf = _compile_del(node)
+            return lambda p: _pk_chain(p, cf)
+        if name == "range":
+            return None  # generator
+        if not node.args:
+            return lambda p: _pk_chain(
+                p, lambda v: _col_builtin(name, v, [])
+            )
+        if any(is_multivalued(a) for a in node.args):
+            return None
+        afns = [compile_packed(a) for a in node.args]
+        if any(f is None for f in afns):
+            return None
+
+        def run_b1(p: Column) -> Column:
+            def inner(t: Column, u: Column) -> Column:
+                return _pk_chain2(t, u, name)
+
+            return F.zip_with(F.array(p), F.array(afns[0](p)), inner)[0]
+
+        return run_b1
+    return None
+
+
+def _pk_chain2(t: Column, u: Column, name: str) -> Column:
+    """Arity-1 builtin over packed (input t, argument u), leaf-cheap."""
+    out = _pk_cv(_col_builtin(name, t["v"], [_unpk(u)]))
+    keep = t["e"].isNotNull() | t["d"]
+    return F.when(keep, t).otherwise(
+        F.struct(
+            out["v"].alias("v"),
+            out["e"].alias("e"),
+            (t["d"] | out["d"]).alias("d"),
+        )
+    )
+
+
+def _col_reduce(node: ast.Reduce) -> ColFn | None:
+    """`reduce E as $x (I; U)` via F.aggregate over E's burst array.
+    The accumulator is struct<a: VARIANT, e: STRING>: the first error
+    (from U) freezes the fold, matching jq's abort-on-error; elements
+    dropped by `?` inside U leave the accumulator unchanged."""
+    elems = _elems_colfn(node.source)
+    if elems is None:
+        return None
+    if is_multivalued(node.init) or is_multivalued(node.update):
+        return None
+    inf = compile_col(node.init)
+    upf = compile_packed(node.update)  # ANF: linear expression size
+    uf = None if upf is not None else compile_col(node.update)
+    if inf is None or (upf is None and uf is None):
+        return None
+    name = node.name
+
+    def fn(v: Column) -> CV:
+        ecv = elems(v)
+        icv = inf(v)
+        zero = F.struct(
+            icv.v.alias("a"), F.lit(None).cast("string").alias("e")
+        )
+
+        def merge(acc: Column, x: Column) -> Column:
+            _ENV.append((name, x))
+            try:
+                if upf is not None:
+                    pin = F.struct(
+                        acc["a"].alias("v"),
+                        _null_str().alias("e"),
+                        F.lit(False).alias("d"),
+                    )
+                    pout = upf(pin)
+
+                    def fin(t: Column) -> Column:
+                        return (
+                            F.when(t["d"], acc)  # `?`-dropped: keep acc
+                            .when(
+                                t["e"].isNotNull(),
+                                F.struct(
+                                    V.vnull().alias("a"), t["e"].alias("e")
+                                ),
+                            )
+                            .otherwise(
+                                F.struct(
+                                    t["v"].alias("a"), _null_str().alias("e")
+                                )
+                            )
+                        )
+
+                    stepped = _let_p(pout, fin)
+                    return F.when(acc["e"].isNotNull(), acc).otherwise(stepped)
+                ucv = uf(acc["a"])
+            finally:
+                _ENV.pop()
+            uerr = (
+                ucv.err if ucv.err is not None else F.lit(None).cast("string")
+            )
+            skip = acc["e"].isNotNull()
+            if ucv.drop is not None:
+                skip = skip | F.coalesce(ucv.drop, F.lit(False))
+            stepped = F.struct(
+                F.when(uerr.isNotNull(), V.vnull()).otherwise(ucv.v).alias("a"),
+                uerr.alias("e"),
+            )
+            return F.when(skip, acc).otherwise(stepped)
+
+        res = F.aggregate(ecv.v, zero, merge)
+        err = _merge_err(ecv.err, _merge_err(icv.err, res["e"]))
+        out = res["a"]
+        if err is not None:
+            out = F.when(err.isNotNull(), V.vnull()).otherwise(out)
+        return CV(out, err, _merge_drop(ecv.drop, icv.drop))
+
+    return fn
+
+
+def _free_vars(node: ast.Node, bound: frozenset = frozenset()) -> set[str]:
+    """Variable names used under `node` that are not bound within it."""
+    if isinstance(node, ast.Var):
+        return set() if node.name in bound else {node.name}
+    if isinstance(node, ast.BindAs):
+        return _free_vars(node.source, bound) | _free_vars(
+            node.body, bound | {node.name}
+        )
+    if isinstance(node, ast.Reduce):
+        inner = bound | {node.name}
+        return (
+            _free_vars(node.source, bound)
+            | _free_vars(node.init, bound)
+            | _free_vars(node.update, inner)
+        )
+    out: set[str] = set()
+    for f in getattr(node, "__dataclass_fields__", {}):
+        v = getattr(node, f)
+        items = v if isinstance(v, tuple) else (v,)
+        for it in items:
+            if isinstance(it, ast.Node):
+                out |= _free_vars(it, bound)
+            elif isinstance(it, ast.DictPair):
+                out |= _free_vars(it.key, bound) | _free_vars(it.value, bound)
+            elif isinstance(it, tuple):
+                for sub in it:
+                    if isinstance(sub, ast.Node):
+                        out |= _free_vars(sub, bound)
+    return out
+
+
+def _reduce_udf_colfn(node: ast.Reduce) -> ColFn:
+    """Interp-backed fallback for `reduce` whose update expression
+    cannot live inside an F.aggregate lambda (Catalyst rejects any
+    lambda whose type-dispatch tree references a Python UDF — e.g.
+    `*` carries the object-deep-merge branch even for numeric
+    operands). Arrow-batched; the whole fold runs row-locally in the
+    reference interpreter, so semantics match by construction.
+    Caveat (same as the interp CLI path): integral doubles re-enter
+    the int tower through the JSON round-trip."""
+    def red(col):
+        import json as js
+
+        import pandas as pd
+
+        from bd_spark.jsonq import interp as _interp
+
+        outs_j: list[str | None] = []
+        outs_e: list[str | None] = []
+        for txt in col:
+            try:
+                ents = _interp.run(node, js.loads(txt))
+                val, err = ents[0] if ents else (None, "empty reduce")
+                outs_j.append(
+                    js.dumps(val, separators=(",", ":"), sort_keys=True)
+                )
+                outs_e.append(err)
+            except Exception as ex:  # noqa: BLE001 — in-band per row
+                outs_j.append("null")
+                outs_e.append(f"{type(ex).__name__}: {ex}")
+        return pd.DataFrame({"j": outs_j, "e": outs_e})
+
+    udf = F.pandas_udf(red, "j string, e string", F.PandasUDFType.SCALAR)
+
+    def fn(v: Column) -> CV:
+        r = udf(V.vjson(v))
+        return CV(F.parse_json(r["j"]), F.when(r["e"].isNotNull(), r["e"]))
+
+    return fn
+
+
+def _stream_reduce(node: ast.Reduce) -> StreamFn:
+    """Reduce stage: try the native F.aggregate compile (fully
+    codegen-able for scalar folds); when Catalyst rejects the lambda
+    (Python-UDF branch in the update's dispatch tree), fall back to
+    the interp-backed Arrow UDF — only valid when the reduce is
+    self-contained (no free outer $vars, which are Columns the UDF
+    cannot see)."""
+    cf = _col_reduce(node)
+    if cf is None:
+        raise NotImplementedError(
+            "reduce: source must be an iterator (.path.[], .[a,b], "
+            "range(n)) and init/update single-valued scalar expressions"
+        )
+
+    def run(df: DataFrame) -> DataFrame:
+        try:
+            return lift(cf)(df)
+        except Exception:  # noqa: BLE001 — AnalysisException at plan build
+            if _free_vars(node):
+                raise
+            return lift(_reduce_udf_colfn(node))(df)
+
+    return run
+
+
+def _stream_bind(node: ast.BindAs) -> StreamFn:
+    """`E as $x | B` with multi-valued E (or stream-needing B): run
+    E's stream (fan-out), stash each output in a fresh carried
+    column, restore the ORIGINAL input value, then run B per binding
+    with $x resolving to the carried column. Bindings ride the
+    existing carry mechanism, so every stream stage preserves them."""
+    sf = compile_stream(node.source)
+    name, body = node.name, node.body
+
+    def run(df: DataFrame) -> DataFrame:
+        keep = _fresh("bindin")
+        mid = sf(df.withColumn(keep, F.col("v")))
+        var_col = _fresh("var")
+        mid = mid.withColumns(
+            {var_col: F.col("v"), "v": F.col(keep)}
+        ).drop(keep)
+        _ENV.append((name, F.col(var_col)))
+        try:
+            out = compile_stream(body)(mid)
+        finally:
+            _ENV.pop()
+        return out.drop(var_col)
+
+    return run
+
+
+# ===================================================================
 # Staged stream compilation
 # ===================================================================
 StreamFn = Callable[[DataFrame], DataFrame]
@@ -1891,6 +2644,24 @@ def compile_stream(node: ast.Node) -> StreamFn:
 
             return run_range
         return lift(lambda v: _col_builtin(node.name, v, []))
+
+    if isinstance(node, ast.Var):
+        return lift(compile_col(node))
+    if isinstance(node, ast.StrInterp):
+        cf = _col_interp(node)
+        if cf is None:
+            raise NotImplementedError(
+                "interpolated \\(...) expressions must be single-valued scalars"
+            )
+        return lift(cf)
+    if isinstance(node, ast.Reduce):
+        return _stream_reduce(node)
+    if isinstance(node, ast.BindAs):
+        # always the staged form: the carried binding column is a LEAF
+        # for every $var reference in the body, where the pure-column
+        # form would substitute the source's whole expression tree at
+        # each reference (jq_fold cold plan build: 31 s -> ~2 s)
+        return _stream_bind(node)
 
     if isinstance(node, ast.IterValues):
         return _stream_itervalues(node.opt)

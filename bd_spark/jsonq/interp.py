@@ -190,7 +190,68 @@ def _eval(node: ast.Node, v: object) -> list[Entry]:  # noqa: PLR0911, PLR0912
     if isinstance(node, ast.Builtin):
         return _builtin(node.name, node.args, v)
 
+    if isinstance(node, ast.Var):
+        for n, bv in reversed(_VARS):
+            if n == node.name:
+                return [(bv, None)]
+        raise ValueError(f"${node.name} is not defined")
+
+    if isinstance(node, ast.BindAs):
+        outs: list[Entry] = []
+        for sv, serr in _eval(node.source, v):
+            if serr is not None:
+                outs.append((None, serr))
+                continue
+            _VARS.append((node.name, sv))
+            try:
+                # materialize eagerly so the binding can't escape scope
+                outs.extend(list(_eval(node.body, v)))
+            finally:
+                _VARS.pop()
+        return outs
+
+    if isinstance(node, ast.Reduce):
+        inits = _eval(node.init, v)
+        acc, aerr = inits[0] if inits else (None, "empty init")
+        if aerr is not None:
+            return [(None, aerr)]
+        for ev, eerr in _eval(node.source, v):
+            if eerr is not None:
+                return [(None, eerr)]
+            _VARS.append((node.name, ev))
+            try:
+                ups = list(_eval(node.update, acc))
+            finally:
+                _VARS.pop()
+            if not ups:
+                continue  # `?`-dropped update leaves the accumulator
+            acc, uerr = ups[0]
+            if uerr is not None:
+                return [(None, uerr)]
+        return [(acc, None)]
+
+    if isinstance(node, ast.StrInterp):
+        import json as _j
+
+        pieces: list[str] = []
+        for p in node.parts:
+            if isinstance(p, str):
+                pieces.append(p)
+                continue
+            pouts = _eval(p, v)
+            pv, perr = pouts[0] if pouts else (None, "empty interpolation")
+            if perr is not None:
+                return [(None, perr)]
+            pieces.append(
+                pv if isinstance(pv, str)
+                else _j.dumps(pv, separators=(",", ":"), sort_keys=True)
+            )
+        return [("".join(pieces), None)]
+
     raise TypeError(f"unknown node {node!r}")
+
+
+_VARS: list[tuple[str, object]] = []
 
 
 # ------------------------------------------------------------ navigation

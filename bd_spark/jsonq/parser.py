@@ -42,18 +42,54 @@ _TOKEN_RE = re.compile(
   | (?P<dotdoteq>\.\.=)
   | (?P<dotdot>\.\.(?!\.))
   | (?P<number>\d+(?:\.\d+(?!\.))?(?:[eE][+-]?\d+)?)
-  | (?P<string>"(?:[^"\\]|\\.)*")
-  | (?P<op><<|>>|<=|>=|==|!=|&&|\|\||\|=|//=|//|\+=|-=|\*=|/=|%=|[-+*/%<>=!&^|?,:(){}\[\].])
+  | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op><<|>>|<=|>=|==|!=|&&|\|\||\|=|//=|//|\+=|-=|\*=|/=|%=|[-+*/%<>=!&^|?,:;(){}\[\].])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
 )
 
 
+def _scan_string(src: str, i: int) -> int:
+    """Scan a string literal starting at src[i] == '"'; returns the
+    index PAST the closing quote. Handles jq interpolation segments
+    ``\\(...)`` — parens balance and nested string literals (which may
+    themselves contain quotes and interpolations) are skipped whole,
+    so `"a \\(.x // "d") b"` is ONE token."""
+    j = i + 1
+    n = len(src)
+    while j < n:
+        c = src[j]
+        if c == "\\":
+            if j + 1 < n and src[j + 1] == "(":
+                depth, j = 1, j + 2
+                while j < n and depth:
+                    if src[j] == '"':
+                        j = _scan_string(src, j)
+                        continue
+                    if src[j] == "(":
+                        depth += 1
+                    elif src[j] == ")":
+                        depth -= 1
+                    j += 1
+                continue
+            j += 2
+            continue
+        if c == '"':
+            return j + 1
+        j += 1
+    raise ParseError("unterminated string literal")
+
+
 def tokenize(src: str) -> list[tuple[str, str]]:
     toks: list[tuple[str, str]] = []
     i = 0
     while i < len(src):
+        if src[i] == '"':
+            end = _scan_string(src, i)
+            toks.append(("string", src[i:end]))
+            i = end
+            continue
         m = _TOKEN_RE.match(src, i)
         if not m:
             raise ParseError(f"unexpected character {src[i]!r} at {i}")
@@ -130,19 +166,34 @@ class Parser:
 
     def parse_expr(self) -> ast.Node:
         node = self.parse_segment_with_assign()
+        if self.at_kw("as"):
+            return self.parse_bind_tail(node)
         while self.at("|"):
             self.take()
-            node = ast.Pipe(node, self.parse_segment_with_assign())
+            seg = self.parse_segment_with_assign()
+            if self.at_kw("as"):
+                return ast.Pipe(node, self.parse_bind_tail(seg))
+            node = ast.Pipe(node, seg)
         return node
+
+    def parse_bind_tail(self, source: ast.Node) -> ast.Node:
+        """``E as $x | B`` — `as` already peeked; the body is the
+        whole rest of the expression (jq binds loosest)."""
+        self.take()  # as
+        if not self.at_kind("var"):
+            raise ParseError(f"expected $name after as, got {self.peek()[1]!r}")
+        name = self.take()[1][1:]
+        self.expect("|")
+        return ast.BindAs(source, name, self.parse_expr())
 
     def parse_segment(self) -> ast.Node:
         """One juxtaposition chain (`.a.b`, `.[] foo`) — stops at an
-        explicit `|`, an assignment op, or anything else
-        (query_nom.rs:106-129)."""
+        explicit `|`, an assignment op, the contextual keyword `as`,
+        or anything else (query_nom.rs:106-129)."""
         node = self.parse_alt()
         while (
             self.peek()[1] in self._PIPE_STARTERS
-            or self.at_kind("ident")
+            or (self.at_kind("ident") and self.peek()[1] != "as")
             or self.at_kind("dotdot")
         ) and not self.at_kind("eof"):
             node = ast.Pipe(node, self.parse_alt())
@@ -278,7 +329,18 @@ class Parser:
             return ast.Literal(_canon_number(text))
         if kind == "string":
             self.take()
-            return ast.Literal(_canon_string(text))
+            return _parse_string_token(text)
+        if kind == "var":
+            self.take()
+            node: ast.Node = ast.Var(text[1:])
+            # postfix navigation binds tightest: `$d.b`, `$d.[0]`,
+            # `$d."k"` — so `.a + $d.b` is `.a + ($d.b)`, not
+            # `(.a + $d) | .b`
+            while self.at(".") and self.peek(1)[0] in (
+                "ident", "string", "number"
+            ) or (self.at(".") and self.peek(1)[1] == "["):
+                node = ast.Pipe(node, self.parse_dot_form())
+            return node
         if self.at("["):
             return self.parse_list_cons()
         if self.at("{"):
@@ -294,6 +356,10 @@ class Parser:
             # inside an if-tail the keywords then/elif/else/end are
             # NOT field names (`else . end`): use .["end"] there
             if self._in_if and text in self._IF_KWS:
+                return ast.Identity()
+            # `. as $x | ...` — `as` followed by a $var is the binding
+            # keyword, not a field name (use .["as"] for the field)
+            if text == "as" and self.peek(1)[0] == "var":
                 return ast.Identity()
             self.take()
             return ast.Index(text, self.opt_flag())
@@ -422,19 +488,33 @@ class Parser:
         return ast.Iter(tuple(items))
 
     def parse_expr_until_comma(self) -> ast.Node:
-        node = self.parse_or()
+        done: ast.Node | None = None  # completed `|` prefix
+        seg = self.parse_or()
         while True:
+            if self.at_kw("as"):
+                # bind source is the segment since the last `|`; the
+                # body runs to the enclosing , ] or }
+                self.take()
+                if not self.at_kind("var"):
+                    raise ParseError(
+                        f"expected $name after as, got {self.peek()[1]!r}"
+                    )
+                name = self.take()[1][1:]
+                self.expect("|")
+                bound = ast.BindAs(seg, name, self.parse_expr_until_comma())
+                return bound if done is None else ast.Pipe(done, bound)
             if self.at("|"):
                 self.take()
-                node = ast.Pipe(node, self.parse_or())
+                done = seg if done is None else ast.Pipe(done, seg)
+                seg = self.parse_or()
             elif (
                 self.peek()[1] in self._PIPE_STARTERS
-                or self.at_kind("ident")
+                or (self.at_kind("ident") and self.peek()[1] != "as")
                 or self.at_kind("dotdot")
             ):
-                node = ast.Pipe(node, self.parse_or())
+                seg = ast.Pipe(seg, self.parse_or())
             else:
-                return node
+                return seg if done is None else ast.Pipe(done, seg)
 
     def parse_dict_cons(self) -> ast.Node:
         self.expect("{")
@@ -486,21 +566,38 @@ class Parser:
     def parse_expr_until_kw(self) -> ast.Node:
         """parse_expr variant that stops at an if-keyword instead of
         treating it as a juxtaposition identifier."""
-        node = self.parse_alt()
+        done: ast.Node | None = None  # completed `|` prefix
+        seg = self.parse_alt()
         while True:
+            if self.at_kw("as"):
+                # bind source is the segment since the last `|`
+                bound = self.parse_bind_tail_until_kw(seg)
+                return bound if done is None else ast.Pipe(done, bound)
             if self.at("|"):
                 self.take()
-                node = ast.Pipe(node, self.parse_alt())
+                done = seg if done is None else ast.Pipe(done, seg)
+                seg = self.parse_alt()
             elif self.at_kind("ident") and self.peek()[1] in self._IF_KWS:
-                return node
+                break
             elif (
                 self.peek()[1] in self._PIPE_STARTERS
                 or self.at_kind("ident")
                 or self.at_kind("dotdot")
             ) and not self.at_kind("eof"):
-                node = ast.Pipe(node, self.parse_alt())
+                seg = ast.Pipe(seg, self.parse_alt())
             else:
-                return node
+                break
+        return seg if done is None else ast.Pipe(done, seg)
+
+    def parse_bind_tail_until_kw(self, source: ast.Node) -> ast.Node:
+        """`as` binding inside an if-branch: the body stops at the
+        next if-keyword instead of consuming it."""
+        self.take()  # as
+        if not self.at_kind("var"):
+            raise ParseError(f"expected $name after as, got {self.peek()[1]!r}")
+        name = self.take()[1][1:]
+        self.expect("|")
+        return ast.BindAs(source, name, self.parse_expr_until_kw())
 
     def parse_dict_pair(self) -> ast.DictPair:
         kind, text = self.peek()
@@ -530,6 +627,20 @@ class Parser:
             return ast.Literal(name)
         if name == "if":
             return self.parse_if_tail()
+        if name == "reduce":
+            source = self.parse_segment()
+            self.expect_kw("as")
+            if not self.at_kind("var"):
+                raise ParseError(
+                    f"expected $name after reduce ... as, got {self.peek()[1]!r}"
+                )
+            var = self.take()[1][1:]
+            self.expect("(")
+            init = self.parse_expr()
+            self.expect(";")
+            update = self.parse_expr()
+            self.expect(")")
+            return ast.Reduce(source, var, init, update)
         if name == "try":
             operand = self.parse_unary()
             if self.at_kw("catch"):
@@ -552,6 +663,46 @@ class Parser:
             return ast.Builtin(name, tuple(args))
         # bare identifier ≡ `.name` with int fallback (ops.rs:320-368)
         return ast.Identifier(name, self.opt_flag())
+
+
+def _parse_string_token(tok: str) -> ast.Node:
+    """A string token → Literal, or StrInterp when it contains
+    ``\\(...)`` interpolation segments."""
+    if "\\(" not in tok:
+        return ast.Literal(_canon_string(tok))
+    parts: list = []
+    buf: list[str] = []
+    j, n = 1, len(tok) - 1  # skip surrounding quotes
+    while j < n:
+        c = tok[j]
+        if c == "\\" and j + 1 < n and tok[j + 1] == "(":
+            if buf:
+                parts.append(json.loads('"' + "".join(buf) + '"'))
+                buf = []
+            depth, k = 1, j + 2
+            while k < n and depth:
+                if tok[k] == '"':
+                    k = _scan_string(tok, k)
+                    continue
+                if tok[k] == "(":
+                    depth += 1
+                elif tok[k] == ")":
+                    depth -= 1
+                k += 1
+            if depth:
+                raise ParseError("unterminated \\( interpolation")
+            parts.append(parse(tok[j + 2 : k - 1]))
+            j = k
+            continue
+        if c == "\\":
+            buf.append(tok[j : j + 2])
+            j += 2
+            continue
+        buf.append(c)
+        j += 1
+    if buf:
+        parts.append(json.loads('"' + "".join(buf) + '"'))
+    return ast.StrInterp(tuple(parts))
 
 
 def _canon_number(text: str) -> str:

@@ -596,6 +596,45 @@ FROM documents
 """
 
 
+def jq_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variables, `reduce`, and string interpolation (beyond-reference
+    jq; the reference's context.rs variables are disabled, lib.rs:17):
+    bind the root with `as`, fold word lengths with a native
+    F.aggregate reduce (sum) and an if/else reduce (max), and build a
+    label by interpolation. The whole thing stays one row-local
+    Catalyst projection — the folds compile to F.aggregate lambdas,
+    no fan-out, no shuffle."""
+    docs = table(spark, "documents", sf_dir)
+    jq = JsonQ(spark)
+    stream = jq.stream_from_table(docs)
+    out = jq.run(
+        '. as $d | (.text | split(" ")) as $ws'
+        " | {id: $d.doc_id,"
+        "    sum_wlen: reduce $ws.[] as $w (0; . + ($w | length)),"
+        "    max_wlen: reduce $ws.[] as $w"
+        "      (0; ($w | length) as $l | if $l > . then $l else . end),"
+        '    label: "\\($d.lang):\\($d.n_chars)"}',
+        stream,
+        ordered=False,
+    )
+    return out.select(
+        F.try_variant_get("v", "$.id", "long").alias("id"),
+        F.try_variant_get("v", "$.sum_wlen", "long").alias("sum_wlen"),
+        F.try_variant_get("v", "$.max_wlen", "long").alias("max_wlen"),
+        F.try_variant_get("v", "$.label", "string").alias("label"),
+    )
+
+
+JQ_FOLD_SQL = """
+SELECT doc_id AS id,
+       length(replace(text, ' ', '')) AS sum_wlen,
+       (SELECT coalesce(max(length(x.w)), 0)
+        FROM unnest(string_split(text, ' ')) AS x(w)) AS max_wlen,
+       lang || ':' || CAST(n_chars AS VARCHAR) AS label
+FROM documents
+"""
+
+
 QUERIES = {
     "jq_props_k": jq_props_k,
     "jq_token_count": jq_token_count,
@@ -614,6 +653,7 @@ QUERIES = {
     "jq_conditional": jq_conditional,
     "jq_sort_ops": jq_sort_ops,
     "jq_update": jq_update,
+    "jq_fold": jq_fold,
 }
 
 ORACLES = {
@@ -634,4 +674,5 @@ ORACLES = {
     "jq_conditional": JQ_CONDITIONAL_SQL,
     "jq_sort_ops": JQ_SORT_OPS_SQL,
     "jq_update": JQ_UPDATE_SQL,
+    "jq_fold": JQ_FOLD_SQL,
 }

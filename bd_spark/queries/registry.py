@@ -156,6 +156,7 @@ EXTRA = [
     "q15_top_supplier",        # max-revenue view with ties
     "q20_part_promotion",      # nested IN → HAVING agg → semi chain
     "q21_waiting_supplier",    # EXISTS + NOT EXISTS on one shuffle key
+    "jq_fold",                 # variables / reduce / string interpolation
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

@@ -49,6 +49,13 @@ DIFF_QUERIES = [
     '{(.a?): 1}',
     # ADVICE r01: multi-valued multi-branch Iter interleaves round-robin
     ".[.a.[]?, .b.[]?]",
+    # round 5: variables / reduce / string interpolation
+    ". as $d | [$d] | length",
+    ".a? as $x | {got: $x}",
+    "[.[]? as $e | $e]",
+    "reduce .[]? as $x (0; . + 1)",
+    'reduce .[]? as $x (""; . + "x")',
+    '"len=\\(length)"',
 ]
 
 DIFF_DOCS = [

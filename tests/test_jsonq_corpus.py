@@ -304,6 +304,37 @@ CORPUS = [
     (".n *= 3", '{"n": 2}', [{"n": 6}]),
     (".n //= 8", '{"x": 1}', [{"n": 8, "x": 1}]),
     ('.s += "!"', '{"s": "hi"}', [{"s": "hi!"}]),
+    # variables: E as $x | B (jq; reference context.rs is disabled)
+    (".a as $x | .b + $x", '{"a": 1, "b": 2}', [3]),
+    (". as $d | .a + $d.b", '{"a": 1, "b": 9}', [10]),
+    (". as $d | $d.xs.[0] + $d.xs.[1]", '{"xs": [3, 4]}', [7]),
+    # multi-valued source fans the body out per binding
+    (".xs.[] as $e | {k: $e, t: .tag}", '{"xs": [1, 2], "tag": "t"}',
+     [{"k": 1, "t": "t"}, {"k": 2, "t": "t"}]),
+    (".xs.[] as $e | $e as $f | $f + 1", '{"xs": [1, 2]}', [2, 3]),  # shadow-safe rebind
+    ("[.xs.[] as $e | $e * 2]", '{"xs": [1, 2, 3]}', [[2, 4, 6]]),
+    (".as", '{"as": 7}', [7]),  # `as` stays a field name without a $var
+    ("if .a then .b as $t | $t + 1 else 0 end", '{"a": true, "b": 5}', [6]),
+    # reduce E as $x (I; U)
+    ("reduce .[] as $n (0; . + $n)", "[5, 6]", [11]),
+    ("reduce .xs.[] as $n (0; . + $n)", '{"xs": [1, 2, 3, 4]}', [10]),
+    ("reduce .[] as $n (0; . + $n)", "[]", [0]),  # empty: init passes through
+    ("reduce .[]? as $n (0; . + $n)", "3", [0]),  # `?`: non-iterable -> empty
+    ("reduce range(5) as $i (1; . * 2)", "null", [32]),
+    ('reduce .[] as $s (""; . + $s)', '["x", "y", "z"]', ["xyz"]),
+    ("reduce .[] as $x ([]; . + [$x * 2])", "[1, 2]", [[2, 4]]),
+    ('reduce .[] as $w ({}; . * {($w): 1})', '["a", "b", "a"]',
+     [{"a": 1, "b": 1}]),
+    ("reduce .[] as $x (0; if $x > . then $x else . end)", "[3, 9, 2]", [9]),
+    ("{sum: reduce .xs.[] as $n (0; . + $n), t: .tag}",
+     '{"xs": [1, 2], "tag": "t"}', [{"sum": 3, "t": "t"}]),
+    # string interpolation "\(E)" — tostring semantics per part
+    ('"v=\\(.a)!"', '{"a": 42}', ["v=42!"]),
+    ('"\\(.a) and \\(.b // "none")"', '{"a": "x"}', ["x and none"]),
+    ('"n=\\(1 / 2)"', "null", ["n=0.5"]),
+    ('"\\(.o)"', '{"o": {"b": 1, "a": [true, null]}}',
+     ['{"a":[true,null],"b":1}']),
+    ('.xs.[] | "i=\\(.)"', '{"xs": [1, 2]}', ["i=1", "i=2"]),
 ]
 
 
@@ -316,6 +347,22 @@ def jq(spark):
 def test_corpus(jq, query, doc, expected):
     got = jq.run_values(query, [doc])
     assert got == expected, f"{query} on {doc}: {got} != {expected}"
+
+
+def test_reduce_error_paths(jq):
+    # non-iterable source without `?` is an in-band error entry
+    out = jq.run_texts("reduce .[] as $n (0; . + $n)", ["3"])
+    assert len(out) == 1 and out[0][1] is not None
+    # an erroring update freezes the fold into one error entry
+    out = jq.run_texts("reduce .[] as $x (0; . + $x.n)", ['[{"n":1},{"z":2}]'])
+    assert len(out) == 1 and out[0][1] is not None
+
+
+def test_unbound_variable_is_compile_error(jq):
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="is not defined"):
+        jq.run_texts("$nope + 1", ["1"])
 
 
 def test_error_entries_pass_through(jq):
