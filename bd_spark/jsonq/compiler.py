@@ -1149,10 +1149,25 @@ def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
     raise ValueError(f"unknown builtin {name}")
 
 
+def _hof_body_colfn(f: ast.Node) -> ColFn | None:
+    """Lambda-body compile: packed (ANF) tier first — expression size
+    linear in body size — falling back to pure substitution for nodes
+    the packed tier doesn't cover."""
+    pf = compile_packed(f)
+    if pf is not None:
+
+        def fn(x: Column) -> CV:
+            out = pf(_pk(x))
+            return CV(out["v"], F.when(out["e"].isNotNull(), out["e"]), out["d"])
+
+        return fn
+    return compile_col(f)
+
+
 def _col_hof(name: str, f: ast.Node) -> ColFn:
     """map/any/all — higher-order builtins whose argument is a lambda
     body (ops.rs:1631-1713). The body must be pure-expression."""
-    argfn = compile_col(f)
+    argfn = _hof_body_colfn(f)
     if argfn is None:
         raise NotImplementedError(
             f"{name}(...) body must be a scalar expression (no .[], .., .[a,b])"
@@ -1168,16 +1183,35 @@ def _col_hof(name: str, f: ast.Node) -> ColFn:
                 r = V.vjson(cv.v)
                 if cv.err is not None:
                     r = F.when(cv.err.isNotNull(), F.lit("null")).otherwise(r)
-                return r
+                # `map(select(f))` drops elements whose body `?`/select
+                # suppressed (jq: empty body output contributes nothing)
+                d = (
+                    F.coalesce(cv.drop, F.lit(False))
+                    if cv.drop is not None
+                    else F.lit(False)
+                )
+                return F.struct(r.alias("j"), d.alias("d"))
 
+            kept_arr = F.filter(
+                F.transform(V.as_array(v), apply_elem), lambda s: ~s["d"]
+            )
             arr_json = F.concat(
                 F.lit("["),
-                F.concat_ws(",", F.transform(V.as_array(v), apply_elem)),
+                F.concat_ws(",", F.transform(kept_arr, lambda s: s["j"])),
                 F.lit("]"),
             )
+            kept_obj = F.filter(
+                F.transform(
+                    F.map_entries(V.as_map(v)),
+                    lambda e: F.struct(
+                        e["key"].alias("k"), apply_elem(e["value"]).alias("r")
+                    ),
+                ),
+                lambda s: ~s["r"]["d"],
+            )
             obj_entries = F.transform(
-                F.map_entries(V.as_map(v)),
-                lambda e: F.struct(e["key"].alias("k"), apply_elem(e["value"]).alias("j")),
+                kept_obj,
+                lambda s: F.struct(s["k"].alias("k"), s["r"]["j"].alias("j")),
             )
             out = F.when(t == "array", F.parse_json(arr_json)).otherwise(
                 F.parse_json(V.json_of_entries(obj_entries))

@@ -335,6 +335,11 @@ CORPUS = [
     ('"\\(.o)"', '{"o": {"b": 1, "a": [true, null]}}',
      ['{"a":[true,null],"b":1}']),
     ('.xs.[] | "i=\\(.)"', '{"xs": [1, 2]}', ["i=1", "i=2"]),
+    # map(select(f)) filters (r5: the drop flag was ignored in map)
+    ("map(select(. > 2))", "[1, 3, 5]", [[3, 5]]),
+    ("map(select(.ok) | .n)", '[{"ok": true, "n": 1}, {"ok": false, "n": 2}]',
+     [[1]]),
+    ("map(.x?)", '[{"x": 1}, {"y": 2}]', [[1]]),  # `?` drops inside map too
 ]
 
 
