@@ -198,3 +198,56 @@ def test_lm_score_no_window_no_cartesian_blowup(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # corpus-side aggregations keep map-side partials
     assert "HashAggregate" in plan
+
+
+def test_q21_all_joins_on_orderkey(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS become left-semi / left-anti joins
+    that must all shuffle on the SAME key (l_orderkey) so the
+    exchange is reusable and AQE can skew-split hot orders; the
+    supplier dimension broadcasts."""
+    from bd_spark.queries.relational5 import q21_waiting_supplier
+
+    plan = _plan(q21_waiting_supplier(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        keyspec = frag.split(")")[0]
+        # every hash exchange is on an orderkey (fact side) — never on
+        # suppkey (that join broadcasts) and never on a wide tuple
+        assert "orderkey" in keyspec or "s_name" in keyspec, keyspec
+
+
+def test_q2_window_over_aggregated_costs(spark, sf_dir):
+    """Q2's min-with-ties window must run on the aggregated
+    (part, supplier) cost relation — the window input comes out of a
+    HashAggregate, never directly off the lineitem scan."""
+    from bd_spark.queries.relational5 import q2_min_cost_supplier
+
+    plan = _plan(q2_min_cost_supplier(spark, sf_dir))
+    lines = plan.splitlines()
+    widx = next(i for i, l in enumerate(lines) if "+- Window" in l)
+    windent = lines[widx].index("+-")
+    # the window's SUBTREE (deeper-indented lines below it) aggregates
+    subtree = []
+    for l in lines[widx + 1 :]:
+        if "+-" in l and l.index("+-") <= windent:
+            break
+        subtree.append(l)
+    assert any("HashAggregate" in l for l in subtree)
+
+
+def test_q11_q15_scalar_broadcast(spark, sf_dir):
+    """The global-total / global-max scalar subqueries must join as
+    1-row broadcasts (BroadcastNestedLoopJoin over one aggregate
+    row), never as a shuffled join or a real cartesian blow-up."""
+    from bd_spark.queries.relational5 import (
+        q11_important_parts,
+        q15_top_supplier,
+    )
+
+    for q in (q11_important_parts, q15_top_supplier):
+        plan = _plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert (
+            "BroadcastNestedLoopJoin" in plan
+            or "BroadcastHashJoin Cross" in plan
+        )
