@@ -214,6 +214,19 @@ class Reduce(Node):
 
 
 @dataclass(frozen=True)
+class Foreach(Node):
+    """``foreach E as $x (I; U)`` (beyond-reference, jq 2-arg form):
+    like reduce, but EMITS the accumulator after every update — the
+    streaming scan/prefix-state operator. An error in E or U aborts
+    the stream after the states already emitted."""
+
+    source: Node
+    name: str
+    init: Node
+    update: Node
+
+
+@dataclass(frozen=True)
 class StrInterp(Node):
     """``"a \\(E) b"`` string interpolation (beyond-reference, jq).
     ``parts`` mixes literal str fragments and Nodes; node results

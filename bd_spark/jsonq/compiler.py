@@ -174,6 +174,8 @@ def is_multivalued(node: ast.Node) -> bool:
         return True  # generator: 0..n-1 outputs per input
     if isinstance(node, ast.BindAs):
         return is_multivalued(node.source) or is_multivalued(node.body)
+    if isinstance(node, ast.Foreach):
+        return True  # emits one state per source element
     # ListCons collects its burst -> exactly one output
     # Reduce folds its burst -> exactly one output
     # Builtin args are zipped per-input scalars in practice
@@ -2025,7 +2027,7 @@ def _free_vars(node: ast.Node, bound: frozenset = frozenset()) -> set[str]:
         return _free_vars(node.source, bound) | _free_vars(
             node.body, bound | {node.name}
         )
-    if isinstance(node, ast.Reduce):
+    if isinstance(node, (ast.Reduce, ast.Foreach)):
         inner = bound | {node.name}
         return (
             _free_vars(node.source, bound)
@@ -2111,6 +2113,178 @@ def _stream_reduce(node: ast.Reduce) -> StreamFn:
             return lift(_reduce_udf_colfn(node))(df)
 
     return run
+
+
+def _stream_foreach(node: ast.Foreach) -> StreamFn:
+    """`foreach E as $x (I; U)`: one F.aggregate builds the per-row
+    array of emitted states (appending each update's result), then a
+    posexplode fan-out with `.[]`-style ord bookkeeping emits them as
+    a burst. An error in E/I/U yields the states already emitted
+    followed by one error entry, matching the interp."""
+    elems = _elems_colfn(node.source)
+    inf = None if is_multivalued(node.init) else compile_col(node.init)
+    upf = None if is_multivalued(node.update) else compile_packed(node.update)
+    if upf is None and not is_multivalued(node.update):
+        # fall back to substitution for nodes the packed tier lacks
+        # (e.g. computed dict keys); the interp UDF remains the last
+        # resort via run_guarded
+        cf = compile_col(node.update)
+        if cf is not None:
+            upf = lambda p: _pk_cv(_chain(_unpk(p), cf))  # noqa: E731
+    native_ok = elems is not None and inf is not None and upf is not None
+    if not native_ok and _free_vars(node):
+        raise NotImplementedError(
+            "foreach: source must be an iterator (.path.[], .[a,b], "
+            "range(n)) and init/update single-valued scalar expressions"
+        )
+    name = node.name
+
+    def _entry(x: Column, er: Column) -> Column:
+        return F.struct(x.alias("x"), er.alias("er"))
+
+    def _no_entries() -> Column:
+        return F.filter(
+            F.array(_entry(V.vnull(), _null_str())), lambda _: F.lit(False)
+        )
+
+    def run(df: DataFrame) -> DataFrame:
+        ecv = elems(F.col("v"))
+        icv = inf(F.col("v"))
+        zero = F.struct(
+            icv.v.alias("a"),
+            _null_str().alias("e"),
+            F.filter(F.array(V.vnull()), lambda _: F.lit(False)).alias("outs"),
+        )
+
+        def merge(acc: Column, x: Column) -> Column:
+            _ENV.append((name, x))
+            try:
+                pin = F.struct(
+                    acc["a"].alias("v"),
+                    _null_str().alias("e"),
+                    F.lit(False).alias("d"),
+                )
+                pout = upf(pin)
+            finally:
+                _ENV.pop()
+
+            def fin(t: Column) -> Column:
+                return (
+                    F.when(t["d"], acc)  # `?`-dropped: no emit
+                    .when(
+                        t["e"].isNotNull(),
+                        F.struct(
+                            acc["a"].alias("a"),
+                            t["e"].alias("e"),
+                            acc["outs"].alias("outs"),
+                        ),
+                    )
+                    .otherwise(
+                        F.struct(
+                            t["v"].alias("a"),
+                            _null_str().alias("e"),
+                            F.array_append(acc["outs"], t["v"]).alias("outs"),
+                        )
+                    )
+                )
+
+            stepped = _let_p(pout, fin)
+            return F.when(acc["e"].isNotNull(), acc).otherwise(stepped)
+
+        res = F.aggregate(ecv.v, zero, merge)
+        entries = F.concat(
+            F.transform(res["outs"], lambda o: _entry(o, _null_str())),
+            F.when(
+                res["e"].isNotNull(), F.array(_entry(V.vnull(), res["e"]))
+            ).otherwise(_no_entries()),
+        )
+        pre = _merge_err(ecv.err, icv.err)
+        if pre is not None:
+            entries = F.when(
+                pre.isNotNull(), F.array(_entry(V.vnull(), pre))
+            ).otherwise(entries)
+        return _fanout(df, entries)
+
+    def _udf_entries() -> Column:
+        """Interp-backed fallback (same contract as the reduce one):
+        the whole foreach runs row-locally in the reference
+        interpreter when the update's dispatch tree carries a
+        Python-UDF branch that F.aggregate lambdas reject."""
+
+        def fe(col):
+            import json as js
+
+            import pandas as pd
+
+            from bd_spark.jsonq import interp as _interp
+
+            outs = []
+            for txt in col:
+                try:
+                    ents = _interp.run(node, js.loads(txt))
+                    outs.append(
+                        [
+                            (
+                                js.dumps(
+                                    x, separators=(",", ":"), sort_keys=True
+                                ),
+                                er,
+                            )
+                            for x, er in ents
+                        ]
+                    )
+                except Exception as ex:  # noqa: BLE001 — in-band per row
+                    outs.append([("null", f"{type(ex).__name__}: {ex}")])
+            return pd.Series(outs)
+
+        udf = F.pandas_udf(
+            fe, "array<struct<j: string, er: string>>", F.PandasUDFType.SCALAR
+        )
+        return F.transform(
+            udf(V.vjson(F.col("v"))),
+            lambda s: _entry(F.parse_json(s["j"]), s["er"]),
+        )
+
+    def _fanout(df: DataFrame, entries: Column) -> DataFrame:
+        base = df.withColumn(
+            "__fent",
+            F.when(F.col("err").isNull(), entries),
+        )
+        carries = _carries(df)
+        ex = base.select(
+            "seq", "ord", "v", "err", *carries,
+            F.posexplode_outer("__fent").alias("__pos", "__fe"),
+        )
+        # error rows pass through as one row; rows whose foreach burst
+        # is empty (no outputs, no error) disappear
+        ex = ex.where(F.col("err").isNotNull() | F.col("__pos").isNotNull())
+        newv = (
+            F.when(F.col("err").isNotNull(), F.col("v"))
+            .when(F.col("__fe")["er"].isNotNull(), V.vnull())
+            .otherwise(F.col("__fe")["x"])
+        )
+        newerr = F.when(F.col("err").isNotNull(), F.col("err")).otherwise(
+            F.col("__fe")["er"]
+        )
+        neword = F.concat(
+            "ord", F.array(F.coalesce(F.col("__pos").cast("long"), F.lit(0)))
+        )
+        return ex.select(
+            "seq", neword.alias("ord"), newv.alias("v"),
+            newerr.alias("err"), *carries,
+        )
+
+    def run_guarded(df: DataFrame) -> DataFrame:
+        if not native_ok:
+            return _fanout(df, _udf_entries())
+        try:
+            return run(df)
+        except Exception:  # noqa: BLE001 — AnalysisException at build
+            if _free_vars(node):
+                raise
+            return _fanout(df, _udf_entries())
+
+    return run_guarded
 
 
 def _stream_bind(node: ast.BindAs) -> StreamFn:
@@ -2690,6 +2864,8 @@ def compile_stream(node: ast.Node) -> StreamFn:
         return lift(cf)
     if isinstance(node, ast.Reduce):
         return _stream_reduce(node)
+    if isinstance(node, ast.Foreach):
+        return _stream_foreach(node)
     if isinstance(node, ast.BindAs):
         # always the staged form: the carried binding column is a LEAF
         # for every $var reference in the body, where the pure-column

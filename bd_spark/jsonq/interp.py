@@ -230,6 +230,30 @@ def _eval(node: ast.Node, v: object) -> list[Entry]:  # noqa: PLR0911, PLR0912
                 return [(None, uerr)]
         return [(acc, None)]
 
+    if isinstance(node, ast.Foreach):
+        inits = _eval(node.init, v)
+        acc, aerr = inits[0] if inits else (None, "empty init")
+        if aerr is not None:
+            return [(None, aerr)]
+        outs: list[Entry] = []
+        for ev, eerr in _eval(node.source, v):
+            if eerr is not None:
+                outs.append((None, eerr))  # abort after emitted states
+                break
+            _VARS.append((node.name, ev))
+            try:
+                ups = list(_eval(node.update, acc))
+            finally:
+                _VARS.pop()
+            if not ups:
+                continue  # `?`-dropped update: no emit, state unchanged
+            acc, uerr = ups[0]
+            if uerr is not None:
+                outs.append((None, uerr))
+                break
+            outs.append((acc, None))
+        return outs
+
     if isinstance(node, ast.StrInterp):
         import json as _j
 

@@ -627,12 +627,12 @@ class Parser:
             return ast.Literal(name)
         if name == "if":
             return self.parse_if_tail()
-        if name == "reduce":
+        if name in ("reduce", "foreach"):
             source = self.parse_segment()
             self.expect_kw("as")
             if not self.at_kind("var"):
                 raise ParseError(
-                    f"expected $name after reduce ... as, got {self.peek()[1]!r}"
+                    f"expected $name after {name} ... as, got {self.peek()[1]!r}"
                 )
             var = self.take()[1][1:]
             self.expect("(")
@@ -640,7 +640,8 @@ class Parser:
             self.expect(";")
             update = self.parse_expr()
             self.expect(")")
-            return ast.Reduce(source, var, init, update)
+            cls = ast.Reduce if name == "reduce" else ast.Foreach
+            return cls(source, var, init, update)
         if name == "try":
             operand = self.parse_unary()
             if self.at_kw("catch"):

@@ -335,6 +335,15 @@ CORPUS = [
     ('"\\(.o)"', '{"o": {"b": 1, "a": [true, null]}}',
      ['{"a":[true,null],"b":1}']),
     ('.xs.[] | "i=\\(.)"', '{"xs": [1, 2]}', ["i=1", "i=2"]),
+    # foreach E as $x (I; U) — emit every intermediate state
+    ("foreach .[] as $n (0; . + $n)", "[1, 2, 3]", [1, 3, 6]),
+    ("[foreach .[] as $n (0; . + $n)]", "[1, 2, 3]", [[1, 3, 6]]),
+    ("foreach .[]? as $n (0; . + $n)", "3", []),  # empty burst
+    ("foreach range(4) as $i (1; . * 2)", "null", [2, 4, 8, 16]),
+    ('foreach .[] as $w (""; . + $w)', '["a", "b"]', ["a", "ab"]),
+    ("foreach .[] as $n (0; . + $n) | . * 10", "[1, 2]", [10, 30]),
+    ("{peaks: [foreach .xs.[] as $n (0; if $n > . then $n else . end)]}",
+     '{"xs": [3, 1, 5]}', [{"peaks": [3, 3, 5]}]),
     # map(select(f)) filters (r5: the drop flag was ignored in map)
     ("map(select(. > 2))", "[1, 3, 5]", [[3, 5]]),
     ("map(select(.ok) | .n)", '[{"ok": true, "n": 1}, {"ok": false, "n": 2}]',
