@@ -1,0 +1,105 @@
+"""Analytics patterns beyond the TPC-H families: RANGE-frame rolling
+windows and cohort retention — the two everyday BI shapes the earlier
+tranches didn't exercise (q_window_top_orders ranks, q_events_daily
+buckets; neither uses a sliding frame or a self-derived cohort dim).
+
+Scale notes (100 TB):
+- The rolling window runs over the DAILY aggregate, not events: the
+  groupBy shrinks the input to one row per day (map-side combinable)
+  before any window sort, so the unpartitioned window sees ~365 rows
+  per year regardless of event volume.
+- Retention joins events against a per-user first-seen aggregate on
+  the uniform user_id key — one shuffle each side, no window at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bd_spark.catalog import table
+
+
+# ------------------------------------------ rolling revenue window
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average (RANGE frame over days) and running total
+    (ROWS frame) of daily revenue. The RANGE frame orders by epoch-day
+    so date gaps widen the frame correctly (a ROWS 6-preceding frame
+    would silently span gaps)."""
+    ev = table(spark, "events", sf_dir).select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("day").agg(F.round(F.sum("value"), 2).alias("revenue"))
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w_range = Window.orderBy(epoch_day).rangeBetween(-6, 0)
+    w_rows = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("avg7", F.round(F.avg("revenue").over(w_range), 6))
+        .withColumn("cum", F.round(F.sum("revenue").over(w_rows), 2))
+        .orderBy("day")
+    )
+
+
+Q_ROLLING_REVENUE_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS revenue
+  FROM events GROUP BY 1
+)
+SELECT day, revenue,
+       round(avg(revenue) OVER (
+         ORDER BY day
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ), 6) AS avg7,
+       round(sum(revenue) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 2) AS cum
+FROM daily
+ORDER BY day
+"""
+
+
+# ------------------------------------------ cohort retention
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-seen day,
+    counted on each later active day (offset 0..7). Two aggregations
+    and one equi-join on user_id — no window, no self-join on the
+    fact table."""
+    ev = table(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firstseen = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    act = ev.distinct()
+    off = F.datediff(F.col("day"), F.col("cohort"))
+    return (
+        act.join(firstseen, "user_id")
+        .where(off <= 7)
+        .groupBy("cohort", off.alias("offset_days"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort", "offset_days")
+    )
+
+
+Q_EVENTS_RETENTION_SQL = """
+WITH firstseen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1
+), act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT cohort, datediff('day', cohort, day) AS offset_days,
+       count(*) AS n_users
+FROM act JOIN firstseen USING (user_id)
+WHERE datediff('day', cohort, day) <= 7
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "q_rolling_revenue": q_rolling_revenue,
+    "q_events_retention": q_events_retention,
+}
+
+ORACLES = {
+    "q_rolling_revenue": Q_ROLLING_REVENUE_SQL,
+    "q_events_retention": Q_EVENTS_RETENTION_SQL,
+}

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from bd_spark.queries import (
+        analytics,
         jsonq_queries,
         pipeline,
         relational,
@@ -38,6 +39,7 @@ def _modules():
     )
 
     return [
+        analytics,
         relational,
         relational2,
         relational3,
@@ -157,6 +159,8 @@ EXTRA = [
     "q20_part_promotion",      # nested IN → HAVING agg → semi chain
     "q21_waiting_supplier",    # EXISTS + NOT EXISTS on one shuffle key
     "jq_fold",                 # variables / reduce / string interpolation
+    "q_rolling_revenue",       # RANGE-frame moving avg over the daily agg
+    "q_events_retention",      # cohort retention (two aggs + one join)
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are
