@@ -287,4 +287,8 @@ BUILTIN_ARITY = {
     "test": 1,
     "join": 1,
     "split": 1,
+    "getpath": 1,
+    "setpath": 2,
+    "paths": 0,
+    "leaf_paths": 0,
 }

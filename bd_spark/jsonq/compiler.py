@@ -49,8 +49,11 @@ CORE_COLS = ("seq", "ord", "v", "err")
 # body like map/any/all, not row-dropping like select)
 ARG1_VALUE_BUILTINS = (
     "has", "in", "ltrimstr", "rtrimstr", "startswith", "endswith",
-    "contains", "test", "join", "split",
+    "contains", "test", "join", "split", "getpath",
 )
+
+# generator builtins: multi-valued output, stream fan-out only
+GENERATOR_BUILTINS = ("range", "paths", "leaf_paths")
 
 # arity-1 builtins whose argument is a lambda BODY applied per element
 HOF_BUILTINS = (
@@ -170,8 +173,8 @@ def is_multivalued(node: ast.Node) -> bool:
         return any(
             is_multivalued(p.key) or is_multivalued(p.value) for p in node.pairs
         )
-    if isinstance(node, ast.Builtin) and node.name == "range":
-        return True  # generator: 0..n-1 outputs per input
+    if isinstance(node, ast.Builtin) and node.name in GENERATOR_BUILTINS:
+        return True  # generators: 0..n outputs per input
     if isinstance(node, ast.BindAs):
         return is_multivalued(node.source) or is_multivalued(node.body)
     if isinstance(node, ast.Foreach):
@@ -258,8 +261,8 @@ def compile_col(node: ast.Node) -> ColFn | None:
                 return None
         if node.name == "del":
             return _compile_del(node)
-        if node.name == "range":
-            return None  # generator needs stream fan-out
+        if node.name in GENERATOR_BUILTINS:
+            return None  # generators need stream fan-out
         argfns = [compile_col(a) for a in node.args]
         if any(f is None for f in argfns):
             return None
@@ -814,9 +817,168 @@ def _run_flags(sorted_arr: Column, kf) -> Column:
     return F.when(n == 0, F.slice(rest, 1, 0)).otherwise(F.concat(head, rest))
 
 
+def _col_getpath(v: Column, p: CV) -> CV:
+    """`getpath(p)` — dynamic navigation as a native fold over the
+    path array with a struct<a,e> accumulator. Missing levels yield
+    null; indexing a scalar or using the wrong key type errors
+    (messages match interp.get_path)."""
+    pt = V.vtype(p.v)
+    zero = F.struct(v.alias("a"), _null_str().alias("e"))
+
+    def step(acc: Column, k: Column) -> Column:
+        t = V.vtype(acc["a"])
+        kt = V.vtype(k)
+        obj_val = F.coalesce(V.as_map(acc["a"])[V.as_string(k)], V.vnull())
+        arr = V.as_array(acc["a"])
+        idx0 = V.as_long(k)
+        idx = F.when(idx0 < 0, idx0 + F.size(arr)).otherwise(idx0)
+        arr_val = F.when(
+            (idx >= 0) & (idx < F.size(arr)),
+            F.element_at(arr, (idx + 1).cast("int")),
+        ).otherwise(V.vnull())
+        newv = (
+            F.when(t == "null", V.vnull())
+            .when((t == "object") & (kt == "string"), obj_val)
+            .when((t == "array") & (kt == "int"), arr_val)
+            .otherwise(V.vnull())
+        )
+        err = (
+            F.when(
+                (t == "object") & (kt != "string"),
+                F.concat(F.lit("getpath: cannot index object with "), kt),
+            )
+            .when(
+                (t == "array") & (kt != "int"),
+                F.concat(F.lit("getpath: cannot index array with "), kt),
+            )
+            .when(
+                ~t.isin("null", "object", "array"),
+                F.concat(F.lit("getpath: cannot index "), t),
+            )
+        )
+        stepped = F.struct(
+            F.when(err.isNotNull(), V.vnull()).otherwise(newv).alias("a"),
+            err.alias("e"),
+        )
+        return F.when(acc["e"].isNotNull(), acc).otherwise(stepped)
+
+    res = F.aggregate(V.as_array(p.v), zero, step)
+    err = _merge_err(
+        p.err,
+        F.coalesce(
+            F.when(
+                pt != "array",
+                F.concat(F.lit("getpath arg must be array, got "), pt),
+            ),
+            res["e"],
+        ),
+    )
+    return CV(F.when(err.isNotNull(), V.vnull()).otherwise(res["a"]), err)
+
+
+_SETPATH_UDF = None
+
+
+def _col_setpath(v: Column, p: CV, nv: CV) -> CV:
+    """`setpath(p; val)` — per-row document surgery via the shared
+    interp.set_path (Arrow-batched, like patch / deep-merge): the
+    rebuild walks an arbitrary dynamic path, which Catalyst
+    expressions cannot express for unbounded depth."""
+    global _SETPATH_UDF
+    if _SETPATH_UDF is None:
+
+        def setp(docs, paths, vals):
+            import json as js
+
+            import pandas as pd
+
+            from bd_spark.jsonq.interp import _tname, set_path
+
+            outs_j: list[str] = []
+            outs_e: list[str | None] = []
+            for d, pth, val in zip(docs, paths, vals):
+                try:
+                    pv = js.loads(pth)
+                    if not isinstance(pv, list):
+                        raise ValueError(
+                            f"setpath arg must be array, got {_tname(pv)}"
+                        )
+                    res = set_path(js.loads(d), pv, js.loads(val))
+                    outs_j.append(
+                        js.dumps(res, separators=(",", ":"), sort_keys=True)
+                    )
+                    outs_e.append(None)
+                except ValueError as ex:
+                    outs_j.append("null")
+                    outs_e.append(str(ex))
+            return pd.DataFrame({"j": outs_j, "e": outs_e})
+
+        _SETPATH_UDF = F.pandas_udf(
+            setp, "j string, e string", F.PandasUDFType.SCALAR
+        )
+    r = _SETPATH_UDF(V.vjson(v), V.vjson(p.v), V.vjson(nv.v))
+    err = _merge_err(
+        _merge_err(p.err, nv.err), F.when(r["e"].isNotNull(), r["e"])
+    )
+    return CV(
+        F.when(err.isNotNull(), V.vnull()).otherwise(F.parse_json(r["j"])), err
+    )
+
+
+_PATHS_UDF = {}
+
+
+def _paths_udf(leaf_only: bool):
+    """Arrow UDF yielding every path (as JSON-array text) below the
+    root via the shared interp.all_paths — sorted-object-key document
+    order, matching `.[]` / `..`."""
+    if leaf_only not in _PATHS_UDF:
+
+        def pl(col):
+            import json as js
+
+            import pandas as pd
+
+            from bd_spark.jsonq.interp import all_paths
+
+            return pd.Series(
+                [
+                    [
+                        js.dumps(p, separators=(",", ":"))
+                        for p in all_paths(js.loads(txt), leaf_only)
+                    ]
+                    for txt in col
+                ]
+            )
+
+        _PATHS_UDF[leaf_only] = F.pandas_udf(
+            pl, "array<string>", F.PandasUDFType.SCALAR
+        )
+    return _PATHS_UDF[leaf_only]
+
+
+def _stream_paths(leaf_only: bool) -> StreamFn:
+    """`paths` / `leaf_paths` as a stream generator: the UDF's path
+    burst goes through the standard fan-out."""
+    udf = _paths_udf(leaf_only)
+
+    def run(df: DataFrame) -> DataFrame:
+        entries = F.transform(
+            udf(V.vjson(F.col("v"))),
+            lambda s: _entry(F.parse_json(s), _null_str()),
+        )
+        return _fanout(df, entries)
+
+    return run
+
+
 def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
     """Builtin applied to input v with pre-evaluated args
     (ops.rs:1418-1713)."""
+    if name == "getpath":
+        return _col_getpath(v, args[0])
+    if name == "setpath":
+        return _col_setpath(v, args[0], args[1])
     if name == "length":
         t = V.vtype(v)
         out = (
@@ -1569,6 +1731,15 @@ def _elems_colfn(node: ast.Node) -> ColFn | None:
             return CV(out["xs"], F.when(out["e"].isNotNull(), out["e"]))
 
         return fn_pipe
+    if isinstance(node, ast.Builtin) and node.name in ("paths", "leaf_paths"):
+        udf = _paths_udf(node.name == "leaf_paths")
+
+        def fn_paths(v: Column) -> CV:
+            # UDF as aggregate INPUT is fine — only lambdas may not
+            # contain Python UDFs
+            return CV(F.transform(udf(V.vjson(v)), F.parse_json))
+
+        return fn_paths
     if isinstance(node, ast.Builtin) and node.name == "range":
         if is_multivalued(node.args[0]):
             return None
@@ -1906,12 +2077,14 @@ def compile_packed(node: ast.Node) -> PFn | None:  # noqa: PLR0911, PLR0912
         if name == "del":
             cf = _compile_del(node)
             return lambda p: _pk_chain(p, cf)
-        if name == "range":
-            return None  # generator
+        if name in GENERATOR_BUILTINS:
+            return None  # generators
         if not node.args:
             return lambda p: _pk_chain(
                 p, lambda v: _col_builtin(name, v, [])
             )
+        if len(node.args) != 1:
+            return None  # arity-2 (setpath): substitution fallback
         if any(is_multivalued(a) for a in node.args):
             return None
         afns = [compile_packed(a) for a in node.args]
@@ -2115,6 +2288,48 @@ def _stream_reduce(node: ast.Reduce) -> StreamFn:
     return run
 
 
+def _entry(x: Column, er: Column) -> Column:
+    """A burst entry: value + optional in-band error."""
+    return F.struct(x.alias("x"), er.alias("er"))
+
+
+def _no_entries() -> Column:
+    return F.filter(
+        F.array(_entry(V.vnull(), _null_str())), lambda _: F.lit(False)
+    )
+
+
+def _fanout(df: DataFrame, entries: Column) -> DataFrame:
+    """Explode a per-row burst of (value, err) entries with `.[]`-style
+    ord bookkeeping. Upstream error rows pass through as one row; rows
+    whose burst is empty disappear."""
+    base = df.withColumn(
+        "__fent",
+        F.when(F.col("err").isNull(), entries),
+    )
+    carries = _carries(df)
+    ex = base.select(
+        "seq", "ord", "v", "err", *carries,
+        F.posexplode_outer("__fent").alias("__pos", "__fe"),
+    )
+    ex = ex.where(F.col("err").isNotNull() | F.col("__pos").isNotNull())
+    newv = (
+        F.when(F.col("err").isNotNull(), F.col("v"))
+        .when(F.col("__fe")["er"].isNotNull(), V.vnull())
+        .otherwise(F.col("__fe")["x"])
+    )
+    newerr = F.when(F.col("err").isNotNull(), F.col("err")).otherwise(
+        F.col("__fe")["er"]
+    )
+    neword = F.concat(
+        "ord", F.array(F.coalesce(F.col("__pos").cast("long"), F.lit(0)))
+    )
+    return ex.select(
+        "seq", neword.alias("ord"), newv.alias("v"),
+        newerr.alias("err"), *carries,
+    )
+
+
 def _stream_foreach(node: ast.Foreach) -> StreamFn:
     """`foreach E as $x (I; U)`: one F.aggregate builds the per-row
     array of emitted states (appending each update's result), then a
@@ -2138,14 +2353,6 @@ def _stream_foreach(node: ast.Foreach) -> StreamFn:
             "range(n)) and init/update single-valued scalar expressions"
         )
     name = node.name
-
-    def _entry(x: Column, er: Column) -> Column:
-        return F.struct(x.alias("x"), er.alias("er"))
-
-    def _no_entries() -> Column:
-        return F.filter(
-            F.array(_entry(V.vnull(), _null_str())), lambda _: F.lit(False)
-        )
 
     def run(df: DataFrame) -> DataFrame:
         ecv = elems(F.col("v"))
@@ -2243,35 +2450,6 @@ def _stream_foreach(node: ast.Foreach) -> StreamFn:
         return F.transform(
             udf(V.vjson(F.col("v"))),
             lambda s: _entry(F.parse_json(s["j"]), s["er"]),
-        )
-
-    def _fanout(df: DataFrame, entries: Column) -> DataFrame:
-        base = df.withColumn(
-            "__fent",
-            F.when(F.col("err").isNull(), entries),
-        )
-        carries = _carries(df)
-        ex = base.select(
-            "seq", "ord", "v", "err", *carries,
-            F.posexplode_outer("__fent").alias("__pos", "__fe"),
-        )
-        # error rows pass through as one row; rows whose foreach burst
-        # is empty (no outputs, no error) disappear
-        ex = ex.where(F.col("err").isNotNull() | F.col("__pos").isNotNull())
-        newv = (
-            F.when(F.col("err").isNotNull(), F.col("v"))
-            .when(F.col("__fe")["er"].isNotNull(), V.vnull())
-            .otherwise(F.col("__fe")["x"])
-        )
-        newerr = F.when(F.col("err").isNotNull(), F.col("err")).otherwise(
-            F.col("__fe")["er"]
-        )
-        neword = F.concat(
-            "ord", F.array(F.coalesce(F.col("__pos").cast("long"), F.lit(0)))
-        )
-        return ex.select(
-            "seq", neword.alias("ord"), newv.alias("v"),
-            newerr.alias("err"), *carries,
         )
 
     def run_guarded(df: DataFrame) -> DataFrame:
@@ -2782,6 +2960,21 @@ def compile_stream(node: ast.Node) -> StreamFn:
             return run_hasin
         if node.name == "del":
             return lift(_compile_del(node))
+        if node.name in ("paths", "leaf_paths"):
+            return _stream_paths(node.name == "leaf_paths")
+        if node.name == "setpath":
+            a0, a1 = node.args
+
+            def run_setpath(df: DataFrame) -> DataFrame:
+                n0, n1 = _fresh("sp"), _fresh("sq")
+                df, (c0, c1) = _stage_cv_many(df, [(a0, n0), (a1, n1)])
+                cv = _col_builtin("setpath", F.col("v"), [c0, c1])
+                return _finish(
+                    df, cv,
+                    drop_cols=[f"{n0}_v", f"{n0}_e", f"{n1}_v", f"{n1}_e"],
+                )
+
+            return run_setpath
         if node.name == "range":
             rarg = node.args[0]
 

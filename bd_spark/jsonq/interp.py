@@ -466,7 +466,126 @@ def _deep_merge(a: dict, b: dict) -> dict:
 
 # ------------------------------------------------------------ builtins
 
+def get_path(v: object, keys: list) -> object:
+    """jq getpath: missing levels yield null; indexing a scalar or a
+    wrong key type is an error (raised as ValueError). Shared by the
+    interpreter and the Spark setpath/paths UDFs so messages match."""
+    cur = v
+    for k in keys:
+        if cur is None:
+            continue  # null stays null through any further keys
+        if isinstance(cur, dict):
+            if not isinstance(k, str):
+                raise ValueError(f"getpath: cannot index object with {_tname(k)}")
+            cur = cur.get(k)
+        elif isinstance(cur, list):
+            # int-tower keys only (a 1.0 float key errors, like the
+            # Spark fold's vtype dispatch)
+            if not isinstance(k, int) or isinstance(k, bool):
+                raise ValueError(f"getpath: cannot index array with {_tname(k)}")
+            i = int(k)
+            i = i + len(cur) if i < 0 else i
+            cur = cur[i] if 0 <= i < len(cur) else None
+        else:
+            raise ValueError(f"getpath: cannot index {_tname(cur)}")
+    return cur
+
+
+def set_path(cur: object, keys: list, val: object) -> object:
+    """jq setpath: missing objects are created, arrays extend with
+    nulls; setting through a scalar is an error (ValueError)."""
+    if not keys:
+        return val
+    k = keys[0]
+    if isinstance(k, str):
+        if cur is None:
+            base: dict = {}
+        elif isinstance(cur, dict):
+            base = cur
+        else:
+            raise ValueError(f"setpath: cannot index {_tname(cur)} with string")
+        out = dict(base)
+        out[k] = set_path(base.get(k), keys[1:], val)
+        return out
+    if isinstance(k, int) and not isinstance(k, bool):
+        i = int(k)
+        if cur is None:
+            lst: list = []
+        elif isinstance(cur, list):
+            lst = list(cur)
+        else:
+            raise ValueError(f"setpath: cannot index {_tname(cur)} with number")
+        if i < 0:
+            i += len(lst)
+            if i < 0:
+                raise ValueError("setpath: negative index out of range")
+        if i >= len(lst):
+            lst = lst + [None] * (i + 1 - len(lst))
+        lst[i] = set_path(lst[i], keys[1:], val)
+        return lst
+    raise ValueError(f"setpath: bad path key {_tname(k)}")
+
+
+def all_paths(v: object, leaf_only: bool = False) -> list[list]:
+    """Every path below the root, document order with the engine's
+    sorted-object-key convention (matches `.[]` / `..`)."""
+    out: list[list] = []
+
+    def walk(x: object, prefix: list) -> None:
+        if isinstance(x, dict):
+            for k in sorted(x):
+                p = prefix + [k]
+                if not leaf_only or not isinstance(x[k], (dict, list)):
+                    out.append(p)
+                walk(x[k], p)
+        elif isinstance(x, list):
+            for i, e in enumerate(x):
+                p = prefix + [i]
+                if not leaf_only or not isinstance(e, (dict, list)):
+                    out.append(p)
+                walk(e, p)
+
+    walk(v, [])
+    return out
+
+
 def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  # noqa: PLR0911, PLR0912
+    if name == "getpath":
+        out = []
+        for pv, pe in _eval(args[0], v):
+            if pe is not None:
+                out.append((None, pe))
+                continue
+            if not isinstance(pv, list):
+                out.append(_err(f"getpath arg must be array, got {_tname(pv)}"))
+                continue
+            try:
+                out.append((get_path(v, pv), None))
+            except ValueError as ex:
+                out.append(_err(str(ex)))
+        return out
+    if name == "setpath":
+        out = []
+        for pv, pe in _eval(args[0], v):
+            if pe is not None:
+                out.append((None, pe))
+                continue
+            for nv, ne in _eval(args[1], v):
+                if ne is not None:
+                    out.append((None, ne))
+                    continue
+                if not isinstance(pv, list):
+                    out.append(
+                        _err(f"setpath arg must be array, got {_tname(pv)}")
+                    )
+                    continue
+                try:
+                    out.append((set_path(v, pv, nv), None))
+                except ValueError as ex:
+                    out.append(_err(str(ex)))
+        return out
+    if name in ("paths", "leaf_paths"):
+        return [(p, None) for p in all_paths(v, name == "leaf_paths")]
     if name == "select":
         out: list[Entry] = []
         for fv, fe in _eval(args[0], v):

@@ -655,7 +655,8 @@ class Parser:
                 return ast.Builtin(name, ())
             self.expect("(")
             args = [self.parse_expr()]
-            while self.at(","):
+            # jq separates builtin args with `;` (`,` also accepted)
+            while self.at(";") or self.at(","):
                 self.take()
                 args.append(self.parse_expr())
             self.expect(")")

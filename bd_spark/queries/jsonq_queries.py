@@ -635,6 +635,45 @@ FROM documents
 """
 
 
+def jq_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path builtins + foreach (beyond-reference jq): flatten every
+    leaf path of events.props with `leaf_paths`/`join`, navigate
+    dynamically with `getpath`, rewrite with `setpath`, and running-
+    count keys with `foreach`. getpath compiles to a native
+    F.aggregate fold; paths/setpath are Arrow-batched shared-logic
+    UDFs; everything row-local, zero shuffle."""
+    ev = table(spark, "events", sf_dir).select("event_id", "props")
+    jq = JsonQ(spark)
+    stream = jq.stream_from_text_column(ev, "props", seq_col="event_id")
+    out = jq.run(
+        '{flat: ([leaf_paths | join("/")] | join(",")),'
+        ' k2: getpath(["k"]),'
+        ' upd: (setpath(["k2"]; getpath(["k"]) * 2) | tojson),'
+        ' nkeys: (foreach paths as $p (0; . + 1))}',
+        stream,
+        ordered=False,
+    )
+    return out.select(
+        F.col("seq").alias("event_id"),
+        F.try_variant_get("v", "$.flat", "string").alias("flat"),
+        F.try_variant_get("v", "$.k2", "long").alias("k2"),
+        F.try_variant_get("v", "$.upd", "string").alias("upd"),
+        F.try_variant_get("v", "$.nkeys", "long").alias("nkeys"),
+    )
+
+
+JQ_PATHS_SQL = """
+WITH p AS (
+  SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_id, 'k' AS flat, k AS k2,
+       '{"k":' || k || ',"k2":' || (k * 2) || '}' AS upd,
+       1 AS nkeys
+FROM p
+"""
+
+
 QUERIES = {
     "jq_props_k": jq_props_k,
     "jq_token_count": jq_token_count,
@@ -654,6 +693,7 @@ QUERIES = {
     "jq_sort_ops": jq_sort_ops,
     "jq_update": jq_update,
     "jq_fold": jq_fold,
+    "jq_paths": jq_paths,
 }
 
 ORACLES = {
@@ -675,4 +715,5 @@ ORACLES = {
     "jq_sort_ops": JQ_SORT_OPS_SQL,
     "jq_update": JQ_UPDATE_SQL,
     "jq_fold": JQ_FOLD_SQL,
+    "jq_paths": JQ_PATHS_SQL,
 }

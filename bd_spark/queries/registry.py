@@ -161,6 +161,7 @@ EXTRA = [
     "jq_fold",                 # variables / reduce / string interpolation
     "q_rolling_revenue",       # RANGE-frame moving avg over the daily agg
     "q_events_retention",      # cohort retention (two aggs + one join)
+    "jq_paths",                # getpath/setpath/paths/leaf_paths + foreach
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

@@ -344,6 +344,29 @@ CORPUS = [
     ("foreach .[] as $n (0; . + $n) | . * 10", "[1, 2]", [10, 30]),
     ("{peaks: [foreach .xs.[] as $n (0; if $n > . then $n else . end)]}",
      '{"xs": [3, 1, 5]}', [{"peaks": [3, 3, 5]}]),
+    # getpath / setpath / paths / leaf_paths
+    ('getpath(["a", "b"])', '{"a": {"b": 7}}', [7]),
+    ('getpath(["a", "z"])', '{"a": {"b": 7}}', [None]),  # missing -> null
+    ('getpath(["a", 0])', '{"a": [5, 6]}', [5]),
+    ('getpath(["a", -1])', '{"a": [5, 6]}', [6]),
+    ("getpath(.p)", '{"p": ["x"], "x": 9}', [9]),  # dynamic path
+    ('setpath(["a", "b"]; 9)', '{"a": {"c": 1}}', [{"a": {"b": 9, "c": 1}}]),
+    ('setpath(["a", "b"]; 9)', "{}", [{"a": {"b": 9}}]),  # fresh objects
+    ('setpath(["xs", 3]; 1)', '{"xs": [0]}',
+     [{"xs": [0, None, None, 1]}]),  # arrays extend with nulls
+    ("setpath([]; 42)", '{"a": 1}', [42]),
+    ('setpath(["a"]; .b + 1)', '{"b": 4}', [{"a": 5, "b": 4}]),
+    ("[paths]", '{"a": {"b": 1}, "c": [2]}',
+     [[["a"], ["a", "b"], ["c"], ["c", 0]]]),
+    ("[leaf_paths]", '{"a": {"b": 1}, "c": [2]}', [[["a", "b"], ["c", 0]]]),
+    ("[paths]", "5", [[]]),  # scalars have no paths
+    ('[paths | join(".")]', '{"a": {"b": 1}}', [["a", "a.b"]]),
+    ("reduce paths as $p (0; . + ($p | length))", '{"a": {"b": 1}, "c": 2}',
+     [4]),
+    # flatten-to-pairs idiom: every leaf with its path
+    ('. as $d | [leaf_paths | {p: ., v: (. as $q | $d | getpath($q))}]',
+     '{"a": {"b": 7}, "c": 5}',
+     [[{"p": ["a", "b"], "v": 7}, {"p": ["c"], "v": 5}]]),
     # map(select(f)) filters (r5: the drop flag was ignored in map)
     ("map(select(. > 2))", "[1, 3, 5]", [[3, 5]]),
     ("map(select(.ok) | .n)", '[{"ok": true, "n": 1}, {"ok": false, "n": 2}]',
