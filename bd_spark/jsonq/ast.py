@@ -291,4 +291,14 @@ BUILTIN_ARITY = {
     "setpath": 2,
     "paths": 0,
     "leaf_paths": 0,
+    # regex / string batch (jq manual semantics, Java-regex dialect)
+    "sub": 2,
+    "gsub": 2,
+    "scan": 1,
+    "splits": 1,
+    "capture": 1,
+    "explode": 0,
+    "implode": 0,
+    "utf8bytelength": 0,
+    "with_entries": 1,
 }

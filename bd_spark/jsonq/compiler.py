@@ -53,7 +53,10 @@ ARG1_VALUE_BUILTINS = (
 )
 
 # generator builtins: multi-valued output, stream fan-out only
-GENERATOR_BUILTINS = ("range", "paths", "leaf_paths")
+GENERATOR_BUILTINS = ("range", "paths", "leaf_paths", "scan", "splits")
+
+# arity-2 builtins whose arguments are both VALUE expressions
+ARG2_VALUE_BUILTINS = ("sub", "gsub")
 
 # arity-1 builtins whose argument is a lambda BODY applied per element
 HOF_BUILTINS = (
@@ -218,7 +221,8 @@ def compile_col(node: ast.Node) -> ColFn | None:
         if lf is None or rf is None:
             return None
         op = node.op
-        return lambda v: _col_binary(op, lf(v), rf(v))
+        lk, rk = _static_kind(node.left), _static_kind(node.right)
+        return lambda v: _col_binary(op, lf(v), rf(v), lk, rk)
     if isinstance(node, ast.Assign):
         return _compile_assign(node)
     if isinstance(node, ast.Var):
@@ -263,6 +267,8 @@ def compile_col(node: ast.Node) -> ColFn | None:
             return _compile_del(node)
         if node.name in GENERATOR_BUILTINS:
             return None  # generators need stream fan-out
+        if node.name == "capture":
+            return _compile_capture(node)
         argfns = [compile_col(a) for a in node.args]
         if any(f is None for f in argfns):
             return None
@@ -478,25 +484,18 @@ def _del_json(v: Column, segs: tuple) -> Column:
 
 
 def _compile_assign(node: ast.Assign) -> ColFn | None:
-    rhsf = compile_col(node.value)
-    if rhsf is None:
+    """Thin unpack over the packed-tier assign (_packed_assign): the
+    rhs tree and serialized leaf stay let-bound, so plan size is
+    linear in the rhs — the old substitution form multiplied rhs ×
+    vjson(≈8) × set_json(2) × the err repeat (`.n += 1` cold plan
+    build measured 14.6 s substituted vs ~1 s packed)."""
+    pf = _packed_assign(node)
+    if pf is None:
         return None
-    segs = node.path
 
     def fn(v: Column) -> CV:
-        # a missing key reads as jq null, not SQL NULL (|= body sees it)
-        old = F.coalesce(_path_get(v, segs), V.vnull())
-        cv = rhsf(old) if node.update else rhsf(v)
-        leaf = V.vjson(cv.v)
-        if cv.err is not None:
-            leaf = F.when(cv.err.isNotNull(), F.lit("null")).otherwise(leaf)
-        res = _guarded(
-            _path_ok(v, segs),
-            F.parse_json(_set_json(v, segs, leaf)),
-            F.lit("cannot set path ." + ".".join(segs)),
-            False,
-        )
-        return CV(res.v, _merge_err(cv.err, res.err), cv.drop)
+        out = pf(_pk(v))
+        return CV(out["v"], F.when(out["e"].isNotNull(), out["e"]), out["d"])
 
     return fn
 
@@ -555,7 +554,77 @@ def _col_if(c: CV, a: CV, b: CV) -> CV:
     return CV(v, err, _merge_drop(c.drop, drop))
 
 
-def _col_binary(op: str, l: CV, r: CV) -> CV:
+_KIND_NUM_BUILTINS = (
+    "length", "utf8bytelength", "tonumber", "floor", "ceil", "sqrt",
+    "fabs", "abs",
+)
+_KIND_STR_BUILTINS = (
+    "tostring", "ascii_downcase", "ascii_upcase", "sub", "gsub",
+    "implode", "join", "tojson",
+)
+_KIND_ARR_BUILTINS = (
+    "keys", "chars", "explode", "to_entries", "sort", "unique",
+    "map", "sort_by", "flatten",
+)
+_KIND_BOOL_BUILTINS = (
+    "test", "startswith", "endswith", "contains", "has", "in", "not",
+    "any", "all",
+)
+
+
+def _static_kind(node: ast.Node) -> str | None:
+    """Value kind of `node` when statically knowable, else None.
+    Lets _binary_value prune overload branches — pruning the `*`
+    deep-merge branch matters doubly, because that branch carries a
+    Python UDF which Catalyst rejects inside lambda functions (so
+    `map(.x * 2)` only compiles natively when the literal `2` proves
+    the object/object branch dead)."""
+    if isinstance(node, ast.Literal):
+        t = node.text.lstrip()
+        if not t:
+            return None
+        c = t[0]
+        if c == '"':
+            return "string"
+        if c == "[":
+            return "array"
+        if c == "{":
+            return "object"
+        if c in "-0123456789.":
+            return "number"
+        if t in ("true", "false"):
+            return "bool"
+        if t == "null":
+            return "null"
+        return None
+    if isinstance(node, ast.StrInterp):
+        return "string"
+    if isinstance(node, ast.Unary):
+        return "number" if node.op == "-" else "bool"
+    if isinstance(node, ast.Builtin):
+        if node.name in _KIND_NUM_BUILTINS:
+            return "number"
+        if node.name in _KIND_STR_BUILTINS:
+            return "string"
+        if node.name in _KIND_ARR_BUILTINS:
+            return "array"
+        if node.name in _KIND_BOOL_BUILTINS:
+            return "bool"
+        return None
+    if isinstance(node, ast.ListCons):
+        return "array"
+    if isinstance(node, ast.DictCons):
+        return "object"
+    if isinstance(node, ast.Try):
+        return _static_kind(node.expr)
+    if isinstance(node, ast.Pipe):
+        return _static_kind(node.right)
+    return None
+
+
+def _col_binary(
+    op: str, l: CV, r: CV, lk: str | None = None, rk: str | None = None
+) -> CV:
     if op == "//":
         # jq alternative: rhs when lhs errored OR is falsy; lhs
         # errors are SUPPRESSED (beyond-reference jq usability)
@@ -570,13 +639,20 @@ def _col_binary(op: str, l: CV, r: CV) -> CV:
     err = _merge_err(l.err, r.err)
     drop = _merge_drop(l.drop, r.drop)
     a, b = l.v, r.v
-    v = _binary_value(op, a, b)
+    v = _binary_value(op, a, b, lk, rk)
     if err is not None:
         v = F.when(err.isNotNull(), V.vnull()).otherwise(v)
     return CV(v, err, drop)
 
 
-def _binary_value(op: str, a: Column, b: Column) -> Column:
+def _kind_not_object(k: str | None) -> bool:
+    return k is not None and k != "object"
+
+
+def _binary_value(
+    op: str, a: Column, b: Column,
+    lk: str | None = None, rk: str | None = None,
+) -> Column:
     ta, tb = V.vtype(a), V.vtype(b)
     bothint = (ta == "int") & (tb == "int")
     bothnum = V.is_number(ta) & V.is_number(tb)
@@ -644,7 +720,16 @@ def _binary_value(op: str, a: Column, b: Column) -> Column:
                 (ta == "int") & (tb == "string") & (la > 0),
                 V.vstring(F.repeat(V.as_string(b), la.cast("int"))),
             )
-            .when((ta == "object") & (tb == "object"), _obj_deep_merge(a, b))
+            .when(
+                (ta == "object") & (tb == "object"),
+                # statically-dead object/object branch is PRUNED, not
+                # just unreachable: the deep-merge Python UDF would
+                # otherwise make the whole expression illegal inside
+                # lambda functions (map/transform bodies)
+                V.vnull()
+                if _kind_not_object(lk) or _kind_not_object(rk)
+                else _obj_deep_merge(a, b),
+            )
             .otherwise(V.vnull())
         )
     if op == "/":
@@ -972,6 +1057,85 @@ def _stream_paths(leaf_only: bool) -> StreamFn:
     return run
 
 
+def _named_groups(pat: str) -> list[tuple[str, int]]:
+    """(name, java-group-number) pairs for named groups in a Java
+    regex, in source order. All capturing groups — plain `(` and
+    `(?<name>...)` — count toward Java's numbering; `(?:` `(?=` `(?!`
+    `(?<=` `(?<!` do not. Skips escapes and character classes."""
+    out: list[tuple[str, int]] = []
+    idx, i, n = 0, 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "[":
+            i += 1
+            if i < n and pat[i] == "^":
+                i += 1
+            if i < n and pat[i] == "]":
+                i += 1
+            while i < n and pat[i] != "]":
+                i += 2 if pat[i] == "\\" else 1
+            i += 1
+            continue
+        if c == "(":
+            if pat[i + 1 : i + 2] != "?":
+                idx += 1
+            elif (
+                pat[i + 2 : i + 3] == "<"
+                and pat[i + 3 : i + 4] not in ("=", "!")
+            ):
+                idx += 1
+                j = pat.index(">", i + 3)
+                out.append((pat[i + 3 : j], idx))
+        i += 1
+    return out
+
+
+def _compile_capture(node: ast.Builtin) -> ColFn:
+    """capture(re): object of named captures from the FIRST match;
+    no match drops the row (jq's match-based semantics: zero matches
+    -> empty stream). The pattern must be a string literal — group
+    names and numbers are read at compile time so each capture is one
+    native regexp_extract. Dialect note (mirrored in the interp):
+    unmatched optional groups yield \"\" — regexp_extract cannot
+    distinguish them from an empty match."""
+    arg = node.args[0]
+    if not isinstance(arg, ast.Literal):
+        raise NotImplementedError("capture requires a literal pattern")
+    import json as _js
+
+    pat = _js.loads(arg.text)
+    if not isinstance(pat, str):
+        raise NotImplementedError("capture pattern must be a string")
+    groups = _named_groups(pat)
+
+    def fn(v: Column) -> CV:
+        t = V.vtype(v)
+        s = V.as_string(v)
+        matched = F.regexp_like(s, F.lit(pat))
+        if groups:
+            entries = F.array(*[
+                F.struct(
+                    F.lit(nm).alias("k"),
+                    V.json_quote(F.regexp_extract(s, pat, gi)).alias("j"),
+                )
+                for nm, gi in groups
+            ])
+            obj = V.vobject(entries)
+        else:
+            obj = F.parse_json(F.lit("{}"))
+        ok = t == "string"
+        return CV(
+            F.when(ok & matched, obj).otherwise(V.vnull()),
+            F.when(~ok, F.concat(F.lit("capture on "), t)),
+            ok & ~matched,
+        )
+
+    return fn
+
+
 def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
     """Builtin applied to input v with pre-evaluated args
     (ops.rs:1418-1713)."""
@@ -992,7 +1156,7 @@ def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
         ok = t.isin("null", "string", "array", "object")
         return _guarded(ok, out, F.concat(t, F.lit(" has no length")), False)
 
-    if name == "chars":
+    if name in ("chars", "explode"):
         t = V.vtype(v)
         s = V.as_string(v)
         # codepoints (json.rs:790-801): ascii() yields the full
@@ -1007,8 +1171,10 @@ def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
             F.lit("]"),
         )
         out = F.when(t == "string", F.parse_json(arr_json)).otherwise(v)
-        ok = t.isin("string", "array")
-        return _guarded(ok, out, F.concat(F.lit("chars on "), t), False)
+        # chars passes arrays through (json.rs:790-801); jq's explode
+        # is string-only
+        ok = t.isin("string", "array") if name == "chars" else t == "string"
+        return _guarded(ok, out, F.concat(F.lit(name + " on "), t), False)
 
     if name == "keys":
         t = V.vtype(v)
@@ -1179,6 +1345,82 @@ def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
         )
         return CV(out.v, _merge_err(k.err, out.err), k.drop)
 
+    if name in ("sub", "gsub"):
+        p, r = args
+        t, tp, tr = V.vtype(v), V.vtype(p.v), V.vtype(r.v)
+        s, pat, rep = V.as_string(v), V.as_string(p.v), V.as_string(r.v)
+        if name == "gsub":
+            # dialect: replacement is a plain string (no capture
+            # refs), so escape Java's $group refs and backslashes
+            rlit = F.regexp_replace(rep, r"([\\$])", r"\\$1")
+            res = F.regexp_replace(s, pat, rlit)
+        else:
+            # first-match-only via split(limit=2): Java discards the
+            # matched text, our replacement never references it
+            parts = F.call_function("split", s, pat, F.lit(2))
+            res = (
+                F.when(F.length(pat) == 0, F.concat(rep, s))
+                .when(
+                    F.size(parts) == 2,
+                    F.concat(
+                        F.element_at(parts, 1), rep, F.element_at(parts, 2)
+                    ),
+                )
+                .otherwise(s)
+            )
+        ok = (t == "string") & (tp == "string") & (tr == "string")
+        out = _guarded(
+            ok, V.vstring(res),
+            F.concat(F.lit(name + " on "), t, F.lit("/"), tp, F.lit("/"), tr),
+            False,
+        )
+        return CV(
+            out.v,
+            _merge_err(_merge_err(p.err, r.err), out.err),
+            _merge_drop(p.drop, r.drop),
+        )
+
+    if name == "utf8bytelength":
+        t = V.vtype(v)
+        return _guarded(
+            t == "string", V.vlong(F.octet_length(V.as_string(v))),
+            F.concat(F.lit("utf8bytelength on "), t), False,
+        )
+
+    if name == "implode":
+        t = V.vtype(v)
+        arr = V.as_array(v)
+
+        def _u4(x: Column) -> Column:
+            return F.concat(F.lit("\\u"), F.lpad(F.hex(x), 4, "0"))
+
+        def _esc(x: Column) -> Column:
+            cp = V.as_long(x)
+            big = cp - F.lit(0x10000)
+            return F.when(cp <= F.lit(0xFFFF), _u4(cp)).otherwise(
+                F.concat(
+                    _u4(F.lit(0xD800) + F.shiftright(big, 10)),
+                    _u4(F.lit(0xDC00) + big.bitwiseAND(F.lit(0x3FF))),
+                )
+            )
+
+        # every element an int codepoint outside the surrogate range
+        # (lone surrogates round-trip differently per engine; both
+        # engines reject them — documented dialect choice)
+        okelem = F.forall(
+            arr,
+            lambda x: (V.vtype(x) == "int")
+            & V.as_long(x).between(0, 0x10FFFF)
+            & ~V.as_long(x).between(0xD800, 0xDFFF),
+        )
+        js = F.concat(
+            F.lit('"'), F.concat_ws("", F.transform(arr, _esc)), F.lit('"')
+        )
+        ok = (t == "array") & F.coalesce(okelem, F.lit(True))
+        return _guarded(
+            ok, F.parse_json(js), F.concat(F.lit("implode on "), t), False
+        )
+
     if name == "join":
         k = args[0]
         t, tk = V.vtype(v), V.vtype(k.v)
@@ -1330,12 +1572,35 @@ def _hof_body_colfn(f: ast.Node) -> ColFn | None:
 
 def _col_hof(name: str, f: ast.Node) -> ColFn:
     """map/any/all — higher-order builtins whose argument is a lambda
-    body (ops.rs:1631-1713). The body must be pure-expression."""
-    argfn = _hof_body_colfn(f)
-    if argfn is None:
-        raise NotImplementedError(
-            f"{name}(...) body must be a scalar expression (no .[], .., .[a,b])"
-        )
+    body (ops.rs:1631-1713). The body must be pure-expression.
+
+    The body result is LET-BOUND (packed tier + _let_p) before the
+    per-element finisher reads it: the finisher references v/err/drop
+    ~6× (vjson alone re-reads its input several times), and without
+    the binding each reference duplicates the whole body tree —
+    `map(.value = (.value * 2))` on ONE row measured >5 min of
+    Catalyst analysis under substitution vs ~1 s bound."""
+    pf = compile_packed(f)
+    if pf is not None:
+
+        def with_cv(x: Column, fin) -> Column:
+            return _let_p(
+                pf(_pk(x)),
+                lambda o: fin(
+                    CV(o["v"], F.when(o["e"].isNotNull(), o["e"]), o["d"])
+                ),
+            )
+
+    else:
+        cf = compile_col(f)
+        if cf is None:
+            raise NotImplementedError(
+                f"{name}(...) body must be a scalar expression "
+                "(no .[], .., .[a,b])"
+            )
+
+        def with_cv(x: Column, fin) -> Column:
+            return fin(cf(x))
 
     if name == "map":
 
@@ -1343,18 +1608,23 @@ def _col_hof(name: str, f: ast.Node) -> ColFn:
             t = V.vtype(v)
 
             def apply_elem(x: Column) -> Column:
-                cv = argfn(x)
-                r = V.vjson(cv.v)
-                if cv.err is not None:
-                    r = F.when(cv.err.isNotNull(), F.lit("null")).otherwise(r)
-                # `map(select(f))` drops elements whose body `?`/select
-                # suppressed (jq: empty body output contributes nothing)
-                d = (
-                    F.coalesce(cv.drop, F.lit(False))
-                    if cv.drop is not None
-                    else F.lit(False)
-                )
-                return F.struct(r.alias("j"), d.alias("d"))
+                def fin(cv: CV) -> Column:
+                    r = V.vjson(cv.v)
+                    if cv.err is not None:
+                        r = F.when(
+                            cv.err.isNotNull(), F.lit("null")
+                        ).otherwise(r)
+                    # `map(select(f))` drops elements whose body `?`/
+                    # select suppressed (jq: empty body output
+                    # contributes nothing)
+                    d = (
+                        F.coalesce(cv.drop, F.lit(False))
+                        if cv.drop is not None
+                        else F.lit(False)
+                    )
+                    return F.struct(r.alias("j"), d.alias("d"))
+
+                return with_cv(x, fin)
 
             kept_arr = F.filter(
                 F.transform(V.as_array(v), apply_elem), lambda s: ~s["d"]
@@ -1392,18 +1662,22 @@ def _col_hof(name: str, f: ast.Node) -> ColFn:
             arr = V.as_array(v)
 
             def keyed_elem(x: Column, i: Column) -> Column:
-                cv = argfn(x)
-                k = cv.v
-                e = (
-                    cv.err
-                    if cv.err is not None
-                    else F.lit(None).cast("string")
-                )
-                if cv.err is not None:
-                    k = F.when(cv.err.isNotNull(), V.vnull()).otherwise(k)
-                return F.struct(
-                    k.alias("k"), e.alias("e"), x.alias("x"), i.alias("i")
-                )
+                def fin(cv: CV) -> Column:
+                    k = cv.v
+                    e = (
+                        cv.err
+                        if cv.err is not None
+                        else F.lit(None).cast("string")
+                    )
+                    if cv.err is not None:
+                        k = F.when(
+                            cv.err.isNotNull(), V.vnull()
+                        ).otherwise(k)
+                    return F.struct(
+                        k.alias("k"), e.alias("e"), x.alias("x"), i.alias("i")
+                    )
+
+                return with_cv(x, fin)
 
             keyed = F.transform(arr, keyed_elem)
             body_err = F.exists(keyed, lambda s: s["e"].isNotNull())
@@ -1475,11 +1749,13 @@ def _col_hof(name: str, f: ast.Node) -> ColFn:
         elems = F.when(t == "array", V.as_array(v)).otherwise(F.map_values(V.as_map(v)))
 
         def pred(x: Column) -> Column:
-            cv = argfn(x)
-            p = V.truthy(cv.v)
-            if cv.err is not None:
-                p = F.when(cv.err.isNotNull(), F.lit(False)).otherwise(p)
-            return p
+            def fin(cv: CV) -> Column:
+                p = V.truthy(cv.v)
+                if cv.err is not None:
+                    p = F.when(cv.err.isNotNull(), F.lit(False)).otherwise(p)
+                return p
+
+            return with_cv(x, fin)
 
         agg = F.forall(elems, pred) if want_all else F.exists(elems, pred)
         ok = t.isin("array", "object")
@@ -1740,6 +2016,41 @@ def _elems_colfn(node: ast.Node) -> ColFn | None:
             return CV(F.transform(udf(V.vjson(v)), F.parse_json))
 
         return fn_paths
+    if isinstance(node, ast.Builtin) and node.name in ("scan", "splits"):
+        if is_multivalued(node.args[0]):
+            return None
+        sargf = compile_col(node.args[0])
+        if sargf is None:
+            return None
+        bname = node.name
+
+        def fn_regex_gen(v: Column) -> CV:
+            acv = sargf(v)
+            t, tk = V.vtype(v), V.vtype(acv.v)
+            s, p = V.as_string(v), V.as_string(acv.v)
+            matches = (
+                F.regexp_extract_all(s, p, F.lit(0))
+                if bname == "scan"
+                else F.call_function("split", s, p)
+            )
+            arr = F.transform(matches, V.vstring)
+            ok = (t == "string") & (tk == "string")
+            dropped = (
+                F.coalesce(acv.drop, F.lit(False))
+                if acv.drop is not None
+                else F.lit(False)
+            )
+            arrout = F.when(ok & ~dropped, arr).otherwise(_empty_varr())
+            err = _merge_err(
+                acv.err,
+                F.when(
+                    ~ok & ~dropped,
+                    F.concat(F.lit(bname + " on "), t, F.lit("/"), tk),
+                ),
+            )
+            return CV(arrout, err)
+
+        return fn_regex_gen
     if isinstance(node, ast.Builtin) and node.name == "range":
         if is_multivalued(node.args[0]):
             return None
@@ -1853,6 +2164,15 @@ def compile_packed(node: ast.Node) -> PFn | None:  # noqa: PLR0911, PLR0912
     if isinstance(node, (ast.Index, ast.Identifier, ast.Slice)):
         cf = compile_col(node)
         return (lambda p: _pk_chain(p, cf)) if cf is not None else None
+    if isinstance(node, ast.Assign):
+        # static-path assignment is pure-native (_set_json); the
+        # DEDICATED packed form below let-binds the rhs result and the
+        # serialized leaf so each appears once — `map(.value =
+        # (.value * 2))` on ONE row measured minutes of Catalyst
+        # analysis under substitution (vjson re-reads its input ~8×,
+        # _set_json duplicates the leaf, and the err column repeats
+        # the whole tree) vs ~1 s bound
+        return _packed_assign(node)
     if isinstance(node, ast.Pipe):
         lf, rf = compile_packed(node.left), compile_packed(node.right)
         if lf is None or rf is None:
@@ -1885,10 +2205,11 @@ def compile_packed(node: ast.Node) -> PFn | None:  # noqa: PLR0911, PLR0912
         if lf is None or rf is None:
             return None
         op = node.op
+        lk, rk = _static_kind(node.left), _static_kind(node.right)
 
         def run_bin(p: Column) -> Column:
             def inner(x: Column, y: Column) -> Column:
-                return _pk_cv(_col_binary(op, _unpk(x), _unpk(y)))
+                return _pk_cv(_col_binary(op, _unpk(x), _unpk(y), lk, rk))
 
             return F.zip_with(F.array(lf(p)), F.array(rf(p)), inner)[0]
 
@@ -2079,6 +2400,12 @@ def compile_packed(node: ast.Node) -> PFn | None:  # noqa: PLR0911, PLR0912
             return lambda p: _pk_chain(p, cf)
         if name in GENERATOR_BUILTINS:
             return None  # generators
+        if name == "capture":
+            try:
+                cf = _compile_capture(node)
+            except NotImplementedError:
+                return None
+            return lambda p: _pk_chain(p, cf)
         if not node.args:
             return lambda p: _pk_chain(
                 p, lambda v: _col_builtin(name, v, [])
@@ -2099,6 +2426,59 @@ def compile_packed(node: ast.Node) -> PFn | None:  # noqa: PLR0911, PLR0912
 
         return run_b1
     return None
+
+
+def _packed_assign(node: ast.Assign) -> PFn | None:
+    """Packed-tier static-path assignment. Everything multi-referenced
+    is a lambda variable: the input (t), the rhs packed result (r),
+    and the serialized leaf (lf) — so tree size stays linear in the
+    rhs, where the substitution form multiplies rhs × vjson(≈8) ×
+    set_json(2) × the err-column repeat."""
+    rhspf = compile_packed(node.value)
+    if rhspf is None:
+        cf0 = compile_col(node.value)
+        if cf0 is None:
+            return None
+        rhspf = lambda p: _pk_chain(p, cf0)  # noqa: E731
+    segs = node.path
+    update = node.update
+    msg = "cannot set path ." + ".".join(segs)
+
+    def run(p: Column) -> Column:
+        def body(t: Column) -> Column:
+            v = t["v"]
+            old = F.coalesce(_path_get(v, segs), V.vnull())
+            rp = rhspf(_pk(old if update else v))
+
+            def with_r(r: Column) -> Column:
+                leaf = F.when(r["e"].isNotNull(), F.lit("null")).otherwise(
+                    V.vjson(r["v"])
+                )
+
+                def with_leaf(lf: Column) -> Column:
+                    ok = _path_ok(v, segs)
+                    resv = F.when(
+                        ok, F.parse_json(_set_json(v, segs, lf))
+                    ).otherwise(V.vnull())
+                    oute = F.coalesce(
+                        r["e"], F.when(~ok, F.lit(msg))
+                    )
+                    keep = t["e"].isNotNull() | t["d"]
+                    return F.when(keep, t).otherwise(
+                        F.struct(
+                            resv.alias("v"),
+                            oute.alias("e"),
+                            (t["d"] | r["d"]).alias("d"),
+                        )
+                    )
+
+                return _let_p(leaf, with_leaf)
+
+            return _let_p(rp, with_r)
+
+        return _let_p(p, body)
+
+    return run
 
 
 def _pk_chain2(t: Column, u: Column, name: str) -> Column:
@@ -2731,7 +3111,10 @@ def _plan_direct_raw(
         if right is None:
             return None
         rcv, rd, _ = right
-        cv = _col_binary(node.op, lcv, rcv)
+        cv = _col_binary(
+            node.op, lcv, rcv,
+            _static_kind(node.left), _static_kind(node.right),
+        )
         return _pemit(plan, cv, inp.err, name, max(ld, rd))
     if isinstance(node, ast.Assign):
         af = _compile_assign(node)
@@ -2783,8 +3166,23 @@ def _plan_direct_raw(
             acv, ad, _ = arg
             cv = _col_builtin(node.name, inp.v, [acv])
             return _pemit(plan, cv, inp.err, name, max(ad, in_depth))
-        if node.name == "range":
-            return None  # generator needs stream fan-out
+        if node.name in ARG2_VALUE_BUILTINS:
+            a0 = _plan_direct(plan, node.args[0], None, inp, in_depth, cse)
+            a1 = _plan_direct(plan, node.args[1], None, inp, in_depth, cse)
+            if a0 is None or a1 is None:
+                return None
+            cv = _col_builtin(node.name, inp.v, [a0[0], a1[0]])
+            return _pemit(plan, cv, inp.err, name, max(a0[1], a1[1], in_depth))
+        if node.name == "capture":
+            try:
+                cf = _compile_capture(node)
+            except NotImplementedError:
+                return None
+            return _pemit(plan, cf(inp.v), inp.err, name, in_depth)
+        if node.name in GENERATOR_BUILTINS:
+            return None  # generators need stream fan-out
+        if node.args:
+            return None  # other multi-arg builtins (setpath) stage fully
         cv = _col_builtin(node.name, inp.v, [])
         return _pemit(plan, cv, inp.err, name, in_depth)
     return None
@@ -2885,10 +3283,12 @@ def compile_stream(node: ast.Node) -> StreamFn:
         op = node.op
         left, right = node.left, node.right
 
+        lk, rk = _static_kind(left), _static_kind(right)
+
         def run_binary(df: DataFrame) -> DataFrame:
             ln, rn = _fresh("bl"), _fresh("br")
             df, (lcv, rcv) = _stage_cv_many(df, [(left, ln), (right, rn)])
-            cv = _col_binary(op, lcv, rcv)
+            cv = _col_binary(op, lcv, rcv, lk, rk)
             return _finish(df, cv, drop_cols=[f"{ln}_v", f"{ln}_e", f"{rn}_v", f"{rn}_e"])
 
         return run_binary
@@ -2960,6 +3360,45 @@ def compile_stream(node: ast.Node) -> StreamFn:
             return run_hasin
         if node.name == "del":
             return lift(_compile_del(node))
+        if node.name == "capture":
+            return lift(_compile_capture(node))
+        if node.name in ARG2_VALUE_BUILTINS:
+            b0, b1 = node.args
+            bname = node.name
+
+            def run_arg2(df: DataFrame) -> DataFrame:
+                n0, n1 = _fresh("b"), _fresh("c")
+                df, (c0, c1) = _stage_cv_many(df, [(b0, n0), (b1, n1)])
+                cv = _col_builtin(bname, F.col("v"), [c0, c1])
+                return _finish(
+                    df, cv,
+                    drop_cols=[f"{n0}_v", f"{n0}_e", f"{n1}_v", f"{n1}_e"],
+                )
+
+            return run_arg2
+        if node.name in ("scan", "splits"):
+            ef = _elems_colfn(node)
+
+            def run_regex_gen(df: DataFrame) -> DataFrame:
+                """One burst fan-out: matches (scan) / pieces (splits)
+                of the value string, `.[]`-style ord bookkeeping."""
+                cv = ef(F.col("v"))
+                gerr = cv.err if cv.err is not None else _null_str()
+                base = df.withColumns({
+                    "__gent": F.when(
+                        F.col("err").isNull() & gerr.isNull(),
+                        F.transform(cv.v, lambda x: _entry(x, _null_str())),
+                    ),
+                    "err": F.coalesce(F.col("err"), gerr),
+                })
+                base = base.withColumn(
+                    "v",
+                    F.when(F.col("err").isNotNull() & F.col("__gent").isNull(),
+                           V.vnull()).otherwise(F.col("v")),
+                )
+                return _fanout(base, F.col("__gent")).drop("__gent")
+
+            return run_regex_gen
         if node.name in ("paths", "leaf_paths"):
             return _stream_paths(node.name == "leaf_paths")
         if node.name == "setpath":
@@ -3196,7 +3635,8 @@ def _stream_binary_zip(node: ast.Binary) -> StreamFn:
         )
         j = l.join(r, on=[g, "__pos"])
         cv = _col_binary(
-            node.op, CV(F.col("__lv"), F.col("__le")), CV(F.col("__rv"), F.col("__re"))
+            node.op, CV(F.col("__lv"), F.col("__le")), CV(F.col("__rv"), F.col("__re")),
+            _static_kind(node.left), _static_kind(node.right),
         )
         err = cv.err if cv.err is not None else F.lit(None).cast("string")
         return j.select(

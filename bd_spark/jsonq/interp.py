@@ -285,6 +285,15 @@ def _tname(v: object) -> str:
             str: "string", list: "array", dict: "object"}[type(v)]
 
 
+def _pyre(pat: str) -> str:
+    """Translate Java/Oniguruma named groups `(?<name>` to Python's
+    `(?P<name>` so one pattern string runs on both engines (the Spark
+    compiler hands patterns to Java regex verbatim)."""
+    import re as _re
+
+    return _re.sub(r"(?<!\\)\(\?<([A-Za-z_]\w*)>", r"(?P<\1>", pat)
+
+
 def _index(v: object, key: str | int, opt: bool) -> list[Entry]:
     if isinstance(v, dict) and isinstance(key, str):
         if key in v:
@@ -690,10 +699,100 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
                 else:
                     import re as _re
 
-                    outs.append((_re.search(a, v) is not None, None))
+                    outs.append((_re.search(_pyre(a), v) is not None, None))
             else:
                 outs.append(_err(f"{name} on {_tname(v)}/{_tname(a)}"))
         return outs
+    if name in ("sub", "gsub"):
+        import re as _re
+
+        outs = []
+        for a, ae in _eval(args[0], v):
+            if ae is not None:
+                outs.append((None, ae))
+                continue
+            for r, re_ in _eval(args[1], v):
+                if re_ is not None:
+                    outs.append((None, re_))
+                elif (
+                    isinstance(v, str)
+                    and isinstance(a, str)
+                    and isinstance(r, str)
+                ):
+                    # dialect: replacement is a plain string (evaluated
+                    # against `.`, no capture refs); lambda repl keeps
+                    # Python from interpreting backslash escapes
+                    n = 1 if name == "sub" else 0
+                    outs.append(
+                        (_re.sub(_pyre(a), lambda _m: r, v, count=n), None)
+                    )
+                else:
+                    outs.append(_err(
+                        f"{name} on {_tname(v)}/{_tname(a)}/{_tname(r)}"
+                    ))
+        return outs
+    if name == "scan":
+        import re as _re
+
+        outs = []
+        for a, ae in _eval(args[0], v):
+            if ae is not None:
+                outs.append((None, ae))
+            elif isinstance(v, str) and isinstance(a, str):
+                outs.extend(
+                    (m.group(0), None)
+                    for m in _re.finditer(_pyre(a), v)
+                )
+            else:
+                outs.append(_err(f"scan on {_tname(v)}/{_tname(a)}"))
+        return outs
+    if name == "splits":
+        import re as _re
+
+        outs = []
+        for a, ae in _eval(args[0], v):
+            if ae is not None:
+                outs.append((None, ae))
+            elif isinstance(v, str) and isinstance(a, str):
+                outs.extend((p, None) for p in _re.split(_pyre(a), v))
+            else:
+                outs.append(_err(f"splits on {_tname(v)}/{_tname(a)}"))
+        return outs
+    if name == "capture":
+        import re as _re
+
+        if not isinstance(args[0], ast.Literal):
+            return [_err("capture requires a literal pattern")]
+        import json as _j
+
+        pat = _j.loads(args[0].text)
+        if not isinstance(pat, str):
+            return [_err("capture pattern must be a string")]
+        if not isinstance(v, str):
+            return [_err(f"capture on {_tname(v)}")]
+        m = _re.search(_pyre(pat), v)
+        if m is None:
+            return []  # no match -> empty stream (jq match semantics)
+        # dialect: unmatched optional groups yield "" (the native
+        # engine's regexp_extract cannot distinguish them from null)
+        return [({k: (x if x is not None else "")
+                  for k, x in m.groupdict().items()}, None)]
+    if name == "explode":
+        if not isinstance(v, str):
+            return [_err(f"explode on {_tname(v)}")]
+        return [([ord(c) for c in v], None)]
+    if name == "implode":
+        if not isinstance(v, list) or any(
+            not (isinstance(c, int) and not isinstance(c, bool)
+                 and 0 <= c <= 0x10FFFF)
+            for c in v
+        ):
+            return [_err(f"implode on {_tname(v)}")]
+        return [("".join(chr(c) for c in v), None)]
+    if name == "utf8bytelength":
+        if not isinstance(v, str):
+            return [_err(f"utf8bytelength on {_tname(v)}")]
+        return [(len(v.encode("utf-8")), None)]
     if name == "join":
         outs = []
         for a, ae in _eval(args[0], v):

@@ -662,6 +662,16 @@ class Parser:
             self.expect(")")
             if len(args) != arity:
                 raise ParseError(f"{name} takes {arity} arg(s)")
+            if name == "with_entries":
+                # jq defines with_entries(f) as the pipeline below;
+                # desugaring here means zero engine-side surface
+                return ast.Pipe(
+                    ast.Builtin("to_entries", ()),
+                    ast.Pipe(
+                        ast.Builtin("map", (args[0],)),
+                        ast.Builtin("from_entries", ()),
+                    ),
+                )
             return ast.Builtin(name, tuple(args))
         # bare identifier ≡ `.name` with int fallback (ops.rs:320-368)
         return ast.Identifier(name, self.opt_flag())

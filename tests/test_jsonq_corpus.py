@@ -367,6 +367,33 @@ CORPUS = [
     ('. as $d | [leaf_paths | {p: ., v: (. as $q | $d | getpath($q))}]',
      '{"a": {"b": 7}, "c": 5}',
      [[{"p": ["a", "b"], "v": 7}, {"p": ["c"], "v": 5}]]),
+    # regex / string batch (jq manual semantics, Java-regex dialect)
+    ('sub("o"; "0")', '"foo boo"', ["f0o boo"]),
+    ('sub("x"; "0")', '"foo"', ["foo"]),  # no match -> unchanged
+    ('gsub("o"; "0")', '"foo boo"', ["f00 b00"]),
+    ('gsub("[aeiou]"; "$")', '"banana"', ["b$n$n$"]),  # $ escaped
+    ('gsub("\\\\s+"; "-")', '"a  b\\tc"', ["a-b-c"]),
+    ('.s | sub(.p; "X")', '{"s": null}', []),  # non-string -> err entry
+    ('scan("[a-z]+")', '"ab 12 cd"', ["ab", "cd"]),
+    ('scan("q")', '"ab"', []),  # no matches -> empty stream
+    ('[scan("[0-9]+")] | map(tonumber)', '"a1 b22 c333"', [[1, 22, 333]]),
+    ('splits(", *")', '"a, b,c"', ["a", "b", "c"]),
+    ('splits("x")', '"axa"', ["a", "a"]),
+    ('reduce splits(" ") as $w (0; . + ($w | length))', '"ab cd efg"', [7]),
+    ('capture("(?<y>[0-9]{4})-(?<m>[0-9]{2})")', '"on 2024-07-01"',
+     [{"y": "2024", "m": "07"}]),
+    ('capture("(?<d>[0-9]+)")', '"abc"', []),  # no match -> empty
+    ('capture("([a-z])(?<n>[0-9])")', '"q7"', [{"n": "7"}]),  # numbering
+    ("explode", '"AB"', [[65, 66]]),
+    ("implode", "[72, 105, 128021]", ["Hi\U0001f415"]),  # surrogate pair
+    ("explode | implode", '"汉语ab"', ["汉语ab"]),
+    ("utf8bytelength", '"汉a"', [4]),
+    ("with_entries(.value = (.value * 2))", '{"a": 1, "b": 2}',
+     [{"a": 2, "b": 4}]),
+    ("with_entries(.value += 1)", '{"a": 1, "b": 9}', [{"a": 2, "b": 10}]),
+    # assignment inside HOF lambdas (packed-tier assign)
+    ("map(.v = (.v * 2))", '[{"v": 1}, {"v": 3}]', [[{"v": 2}, {"v": 6}]]),
+    ("map(.v |= (. + 1))", '[{"v": 1}, {"v": 2}]', [[{"v": 2}, {"v": 3}]]),
     # map(select(f)) filters (r5: the drop flag was ignored in map)
     ("map(select(. > 2))", "[1, 3, 5]", [[3, 5]]),
     ("map(select(.ok) | .n)", '[{"ok": true, "n": 1}, {"ok": false, "n": 2}]',
