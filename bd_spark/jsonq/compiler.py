@@ -1766,29 +1766,64 @@ def _col_hof(name: str, f: ast.Node) -> ColFn:
 
 def _col_list(node: ast.ListCons) -> ColFn | None:
     """`[...]` with scalar payload: each comma item contributes exactly
-    one element."""
+    one element. An item that is itself a row-local generator (one
+    `_elems_colfn` can render — `[scan(re)]`, `[.xs.[]]`, `[range(n)]`
+    and scalar pipes into those) splices its whole burst in place, so
+    the collect stays a single projection instead of falling to the
+    stream tier's posexplode → collect_list → join round-trip."""
     if node.expr is None:
         return lambda v: CV(F.parse_json(F.lit("[]")))
     items = list(node.expr.items) if isinstance(node.expr, ast.Iter) else [node.expr]
-    fns = [compile_col(i) for i in items]
-    if any(f is None for f in fns):
-        return None
+    fns: list[tuple[bool, ColFn]] = []
+    for i in items:
+        f = compile_col(i)
+        if f is not None:
+            fns.append((False, f))
+            continue
+        ef = _elems_colfn(i)
+        if ef is None:
+            return None
+        fns.append((True, ef))
 
-    def fn(v: Column) -> CV:
-        cvs = [f(v) for f in fns]
+    if not any(many for many, _ in fns):
+
+        def fn(v: Column) -> CV:
+            cvs = [f(v) for _, f in fns]
+            err = None
+            drop = None
+            for cv in cvs:
+                err = _merge_err(err, cv.err)
+                drop = _merge_drop(drop, cv.drop)
+            arr_json = F.concat(
+                F.lit("["),
+                F.concat_ws(",", F.array(*[V.vjson(cv.v) for cv in cvs])),
+                F.lit("]"),
+            )
+            return CV(F.parse_json(arr_json), err, drop)
+
+        return fn
+
+    def fn_burst(v: Column) -> CV:
         err = None
         drop = None
-        for cv in cvs:
+        segs: list[Column] = []
+        for many, f in fns:
+            cv = f(v)
             err = _merge_err(err, cv.err)
-            drop = _merge_drop(drop, cv.drop)
+            if many:
+                # burst CVs encode `?`-drop as an empty array already
+                segs.append(F.transform(cv.v, lambda x: V.vjson(x)))
+            else:
+                drop = _merge_drop(drop, cv.drop)
+                segs.append(F.array(V.vjson(cv.v)))
         arr_json = F.concat(
             F.lit("["),
-            F.concat_ws(",", F.array(*[V.vjson(cv.v) for cv in cvs])),
+            F.concat_ws(",", F.flatten(F.array(*segs))),
             F.lit("]"),
         )
         return CV(F.parse_json(arr_json), err, drop)
 
-    return fn
+    return fn_burst
 
 
 def _col_dict(parts: list[tuple[CV, CV]]) -> CV:
@@ -2281,7 +2316,12 @@ def compile_packed(node: ast.Node) -> PFn | None:  # noqa: PLR0911, PLR0912
             )
         )
         if any(is_multivalued(i) for i in items):
-            return None
+            # a row-local generator payload ([scan(re)], [.xs.[]],
+            # [range(n)]) still collects in ONE projection via
+            # _col_list's burst splice — only generators _elems_colfn
+            # can't render fall through to the stream tier
+            cf = _col_list(node)
+            return (lambda p: _pk_chain(p, cf)) if cf is not None else None
         fns = [compile_packed(i) for i in items]
         if any(f is None for f in fns):
             return None
@@ -3185,6 +3225,14 @@ def _plan_direct_raw(
             return None  # other multi-arg builtins (setpath) stage fully
         cv = _col_builtin(node.name, inp.v, [])
         return _pemit(plan, cv, inp.err, name, in_depth)
+    if isinstance(node, ast.ListCons):
+        # row-local collect — including generator payloads _col_list
+        # can splice ([scan(re)], [.xs.[]], [range(n)]); only payloads
+        # _elems_colfn can't render stage through the stream tier
+        cf = _col_list(node)
+        if cf is None:
+            return None
+        return _pemit(plan, cf(inp.v), inp.err, name, in_depth)
     return None
 
 
@@ -3512,6 +3560,12 @@ def compile_stream(node: ast.Node) -> StreamFn:
     if isinstance(node, ast.Recurse):
         return _stream_recurse()
     if isinstance(node, ast.ListCons):
+        # row-local collect first (handles generator payloads via
+        # _col_list's burst splice); posexplode fan-out only for
+        # payloads _elems_colfn can't render
+        cf = _col_list(node)
+        if cf is not None:
+            return lift(cf)
         return _stream_list(node.expr)
     if isinstance(node, ast.DictCons):
         return _stream_dict(node.pairs)

@@ -674,6 +674,62 @@ FROM p
 """
 
 
+def jq_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex / string builtins (beyond-reference jq; the reference
+    exposes only `test`): gsub and first-match sub (literal and
+    data-driven pattern), scan / splits generators collected into
+    lists, capture with a named group, explode/implode round-trip,
+    utf8bytelength, and with_entries over a built object. Everything
+    compiles to native Java-regex Catalyst expressions (regexp_replace
+    / regexp_extract_all / split / regexp_extract) — one row-local
+    projection, zero shuffle, no Python UDFs."""
+    docs = table(spark, "documents", sf_dir)
+    jq = JsonQ(spark)
+    stream = jq.stream_from_table(docs)
+    out = jq.run(
+        '{id: .doc_id,'
+        ' starred: (.text | gsub("[aeiou]"; "*") | utf8bytelength),'
+        ' n_words: ([.text | scan("[a-z]+")] | length),'
+        ' n_segs: ([.text | splits(" ")] | length),'
+        ' first5: (.text | capture("^(?<h>.{0,5})") | .h),'
+        ' sub1: (.text | sub(" "; "_")),'
+        ' dyn: (. as $d | $d.text | sub($d.lang; "@")),'
+        ' lang_sum: (.lang | explode | add),'
+        ' lang_rt: (.lang | explode | implode),'
+        ' dbl: ({a: .n_chars} | with_entries(.value = (.value * 2)) | .a)}',
+        stream,
+        ordered=False,
+    )
+    return out.select(
+        F.try_variant_get("v", "$.id", "long").alias("id"),
+        F.try_variant_get("v", "$.starred", "long").alias("starred"),
+        F.try_variant_get("v", "$.n_words", "long").alias("n_words"),
+        F.try_variant_get("v", "$.n_segs", "long").alias("n_segs"),
+        F.try_variant_get("v", "$.first5", "string").alias("first5"),
+        F.try_variant_get("v", "$.sub1", "string").alias("sub1"),
+        F.try_variant_get("v", "$.dyn", "string").alias("dyn"),
+        F.try_variant_get("v", "$.lang_sum", "long").alias("lang_sum"),
+        F.try_variant_get("v", "$.lang_rt", "string").alias("lang_rt"),
+        F.try_variant_get("v", "$.dbl", "long").alias("dbl"),
+    )
+
+
+JQ_REGEX_SQL = """
+SELECT doc_id AS id,
+       strlen(regexp_replace(text, '[aeiou]', '*', 'g')) AS starred,
+       len(regexp_extract_all(text, '[a-z]+')) AS n_words,
+       len(str_split_regex(text, ' ')) AS n_segs,
+       regexp_extract(text, '^(.{0,5})', 1) AS first5,
+       regexp_replace(text, ' ', '_') AS sub1,
+       regexp_replace(text, lang, '@') AS dyn,
+       list_sum(list_transform(string_split(lang, ''),
+                               x -> unicode(x))) AS lang_sum,
+       lang AS lang_rt,
+       n_chars * 2 AS dbl
+FROM documents
+"""
+
+
 QUERIES = {
     "jq_props_k": jq_props_k,
     "jq_token_count": jq_token_count,
@@ -694,6 +750,7 @@ QUERIES = {
     "jq_update": jq_update,
     "jq_fold": jq_fold,
     "jq_paths": jq_paths,
+    "jq_regex": jq_regex,
 }
 
 ORACLES = {
@@ -716,4 +773,5 @@ ORACLES = {
     "jq_update": JQ_UPDATE_SQL,
     "jq_fold": JQ_FOLD_SQL,
     "jq_paths": JQ_PATHS_SQL,
+    "jq_regex": JQ_REGEX_SQL,
 }

@@ -162,6 +162,7 @@ EXTRA = [
     "q_rolling_revenue",       # RANGE-frame moving avg over the daily agg
     "q_events_retention",      # cohort retention (two aggs + one join)
     "jq_paths",                # getpath/setpath/paths/leaf_paths + foreach
+    "jq_regex",                # sub/gsub/scan/splits/capture + explode/implode
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

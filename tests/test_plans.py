@@ -158,6 +158,24 @@ def test_rowlocal_text_ops_no_exchange(spark, sf_dir):
         assert "Exchange" not in plan, fn.__name__
 
 
+def test_jq_regex_rowlocal_native(spark, sf_dir):
+    """The regex/string builtin batch (sub/gsub/scan/splits/capture/
+    explode/implode/with_entries) compiles to native Java-regex
+    Catalyst expressions: no shuffle, no Python UDF anywhere in the
+    plan."""
+    from bd_spark.queries.jsonq_queries import jq_regex
+
+    plan = _plan(jq_regex(spark, sf_dir))
+    # the only allowed exchange is the deliberate round-robin input
+    # rebalance (spreads the 1-file parquet scan across cores); any
+    # hash/range exchange / join / generate means a list collect fell
+    # back to the stream tier's posexplode -> collect_list -> join
+    assert "hashpartitioning(" not in plan
+    assert "rangepartitioning(" not in plan
+    assert "Join" not in plan and "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_dedup_lines_shuffles_on_line_hash(spark, sf_dir):
     """Corpus line dedup: the dedup window shuffles on md5(line) and
     the reassembly on the doc id — and nothing else."""
