@@ -301,4 +301,33 @@ BUILTIN_ARITY = {
     "implode": 0,
     "utf8bytelength": 0,
     "with_entries": 1,
+    # math / date / format batch (jq manual semantics)
+    "round": 0,
+    "pow": 2,
+    "log": 0,
+    "log2": 0,
+    "log10": 0,
+    "exp": 0,
+    "exp2": 0,
+    "exp10": 0,
+    "todate": 0,
+    "fromdate": 0,
+    "trim": 0,
+    "ltrim": 0,
+    "rtrim": 0,
+    "inside": 1,
+    "index": 1,
+    "rindex": 1,
+    "indices": 1,
+    "transpose": 0,
+    "limit": 2,
+    "error": 1,
+    "@text": 0,
+    "@json": 0,
+    "@html": 0,
+    "@uri": 0,
+    "@csv": 0,
+    "@tsv": 0,
+    "@base64": 0,
+    "@base64d": 0,
 }

@@ -50,13 +50,15 @@ CORE_COLS = ("seq", "ord", "v", "err")
 ARG1_VALUE_BUILTINS = (
     "has", "in", "ltrimstr", "rtrimstr", "startswith", "endswith",
     "contains", "test", "join", "split", "getpath",
+    "error", "index", "rindex", "indices",
 )
 
 # generator builtins: multi-valued output, stream fan-out only
-GENERATOR_BUILTINS = ("range", "paths", "leaf_paths", "scan", "splits")
+GENERATOR_BUILTINS = ("range", "paths", "leaf_paths", "scan", "splits",
+                      "limit")
 
 # arity-2 builtins whose arguments are both VALUE expressions
-ARG2_VALUE_BUILTINS = ("sub", "gsub")
+ARG2_VALUE_BUILTINS = ("sub", "gsub", "pow")
 
 # arity-1 builtins whose argument is a lambda BODY applied per element
 HOF_BUILTINS = (
@@ -557,14 +559,19 @@ def _col_if(c: CV, a: CV, b: CV) -> CV:
 _KIND_NUM_BUILTINS = (
     "length", "utf8bytelength", "tonumber", "floor", "ceil", "sqrt",
     "fabs", "abs",
+    "round", "pow", "log", "log2", "log10", "exp", "exp2", "exp10",
+    "fromdate",
 )
 _KIND_STR_BUILTINS = (
     "tostring", "ascii_downcase", "ascii_upcase", "sub", "gsub",
     "implode", "join", "tojson",
+    "todate", "trim", "ltrim", "rtrim",
+    "@html", "@uri", "@csv", "@tsv", "@base64", "@base64d",
 )
 _KIND_ARR_BUILTINS = (
     "keys", "chars", "explode", "to_entries", "sort", "unique",
     "map", "sort_by", "flatten",
+    "indices", "transpose",
 )
 _KIND_BOOL_BUILTINS = (
     "test", "startswith", "endswith", "contains", "has", "in", "not",
@@ -1245,6 +1252,178 @@ def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
             V.is_number(t), out, F.concat(F.lit(name + " on "), t), False
         )
 
+    if name in ("round", "log", "log2", "log10", "exp", "exp2", "exp10"):
+        t = V.vtype(v)
+        d = V.as_double(v)
+        if name == "round":
+            # dialect: half away from zero (C round, like jq); ints
+            # pass through keeping the int tower
+            mag = F.floor(F.abs(d) + F.lit(0.5)).cast("long")
+            out = F.when(t == "int", v).otherwise(
+                V.vlong(F.when(d < 0, -mag).otherwise(mag))
+            )
+            ok = V.is_number(t)
+        elif name in ("log", "log2", "log10"):
+            fn = {"log": F.log, "log2": F.log2, "log10": F.log10}[name]
+            # nonpositive input is an in-band error (the JSON tower
+            # cannot carry -inf/NaN), not a NaN double
+            out = V.vdouble(fn(d))
+            ok = V.is_number(t) & (d > 0)
+        else:
+            r = {
+                "exp": F.exp(d),
+                "exp2": F.pow(F.lit(2.0), d),
+                "exp10": F.pow(F.lit(10.0), d),
+            }[name]
+            out = V.vdouble(r)
+            ok = V.is_number(t) & (r != F.lit(float("inf")))
+        return _guarded(
+            ok, out, F.concat(F.lit(name + " on "), t), False
+        )
+
+    if name == "todate":
+        # epoch seconds (int) -> ISO-8601 UTC text; session tz is UTC
+        # (catalog contract), so date_format renders UTC wall time
+        t = V.vtype(v)
+        s = F.date_format(
+            F.timestamp_seconds(V.as_long(v)), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        )
+        return _guarded(
+            t == "int", V.vstring(s), F.concat(F.lit("todate on "), t), False
+        )
+
+    if name == "fromdate":
+        t = V.vtype(v)
+        ts = F.try_to_timestamp(
+            V.as_string(v), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
+        )
+        ok = (t == "string") & ts.isNotNull()
+        return _guarded(
+            ok,
+            V.vlong(ts.cast("long")),
+            F.concat(F.lit("fromdate on "), t),
+            False,
+        )
+
+    if name in ("trim", "ltrim", "rtrim"):
+        t = V.vtype(v)
+        pat = {"trim": r"(^\s+)|(\s+$)", "ltrim": r"^\s+",
+               "rtrim": r"\s+$"}[name]
+        out = V.vstring(F.regexp_replace(V.as_string(v), pat, ""))
+        return _guarded(
+            t == "string", out, F.concat(F.lit(name + " on "), t), False
+        )
+
+    if name == "transpose":
+        t = V.vtype(v)
+        arr = V.as_array(v)
+        allarr = F.forall(arr, lambda x: V.vtype(x) == "array")
+        maxn = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, x: F.greatest(
+                acc, F.coalesce(F.size(V.as_array(x)), F.lit(0))
+            ),
+        )
+        rows = F.transform(
+            F.sequence(F.lit(1), F.greatest(maxn, F.lit(1))),
+            lambda i: F.concat(
+                F.lit("["),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        arr,
+                        lambda r: V.vjson(
+                            F.coalesce(
+                                F.try_element_at(V.as_array(r), i), V.vnull()
+                            )
+                        ),
+                    ),
+                ),
+                F.lit("]"),
+            ),
+        )
+        js = F.when(maxn <= 0, F.lit("[]")).otherwise(
+            F.concat(F.lit("["), F.concat_ws(",", rows), F.lit("]"))
+        )
+        ok = (t == "array") & F.coalesce(allarr, F.lit(True))
+        return _guarded(
+            ok, F.parse_json(js), F.concat(F.lit("transpose on "), t), False
+        )
+
+    if name in ("@base64", "@base64d", "@uri", "@html"):
+        # scalar format strings tostring non-string input first (jq:
+        # `5 | @base64` == "NQ==")
+        t = V.vtype(v)
+        s = F.when(t == "string", V.as_string(v)).otherwise(F.to_json(v))
+        ok = F.lit(True)
+        if name == "@base64":
+            out = V.vstring(F.base64(F.encode(s, "UTF-8")))
+        elif name == "@base64d":
+            ok = s.rlike(r"^[A-Za-z0-9+/]*={0,2}$") & (
+                F.length(s) % 4 == 0
+            )
+            out = V.vstring(F.decode(F.unbase64(s), "UTF-8"))
+        elif name == "@uri":
+            # percent-encode every byte of every char outside the
+            # RFC 3986 unreserved set
+            enc = F.transform(
+                F.split(s, ""),
+                lambda c: F.when(c.rlike("^[A-Za-z0-9_.~-]$"), c).otherwise(
+                    F.regexp_replace(
+                        F.upper(F.hex(F.encode(c, "UTF-8"))), "(..)", r"%$1"
+                    )
+                ),
+            )
+            out = V.vstring(F.concat_ws("", enc))
+        else:  # @html (jq entity set: & < > ' " -> named/#dec)
+            h = F.replace(s, F.lit("&"), F.lit("&amp;"))
+            h = F.replace(h, F.lit("<"), F.lit("&lt;"))
+            h = F.replace(h, F.lit(">"), F.lit("&gt;"))
+            h = F.replace(h, F.lit("'"), F.lit("&#39;"))
+            h = F.replace(h, F.lit('"'), F.lit("&#34;"))
+            out = V.vstring(h)
+        return _guarded(
+            ok, out, F.concat(F.lit(name + " on "), t), False
+        )
+
+    if name in ("@csv", "@tsv"):
+        t = V.vtype(v)
+        arr = V.as_array(v)
+        sep = "," if name == "@csv" else "\t"
+
+        def _cell(x: Column) -> Column:
+            tx = V.vtype(x)
+            sx = V.as_string(x)
+            if name == "@csv":
+                qs = F.concat(
+                    F.lit('"'),
+                    F.replace(sx, F.lit('"'), F.lit('""')),
+                    F.lit('"'),
+                )
+            else:
+                qs = F.replace(sx, F.lit("\\"), F.lit("\\\\"))
+                qs = F.replace(qs, F.lit("\t"), F.lit("\\t"))
+                qs = F.replace(qs, F.lit("\n"), F.lit("\\n"))
+                qs = F.replace(qs, F.lit("\r"), F.lit("\\r"))
+            # NULL cell marks an illegal element type (bool/array/
+            # object are invalid in csv/tsv rows, like jq)
+            return (
+                F.when(tx == "string", qs)
+                .when(V.is_number(tx), F.to_json(x))
+                .when(tx == "null", F.lit(""))
+            )
+
+        cells = F.transform(arr, _cell)
+        legal = F.forall(cells, lambda c: c.isNotNull())
+        ok = (t == "array") & F.coalesce(legal, F.lit(True))
+        return _guarded(
+            ok,
+            V.vstring(F.concat_ws(sep, cells)),
+            F.concat(F.lit(name + " on "), t),
+            False,
+        )
+
     if name == "tostring":
         t = V.vtype(v)
         out = F.when(t == "string", v).otherwise(
@@ -1326,7 +1505,7 @@ def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
         out = F.when(applies, V.vstring(trimmed)).otherwise(v)
         return CV(out, k.err, k.drop)
 
-    if name in ("startswith", "endswith", "contains", "test"):
+    if name in ("startswith", "endswith", "test"):
         k = args[0]
         t, tk = V.vtype(v), V.vtype(k.v)
         s, p = V.as_string(v), V.as_string(k.v)
@@ -1334,14 +1513,58 @@ def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
             b = s.startswith(p)
         elif name == "endswith":
             b = s.endswith(p)
-        elif name == "contains":
-            b = s.contains(p)
         else:
             b = F.regexp_like(s, p)
         ok = (t == "string") & (tk == "string")
         out = _guarded(
             ok, V.vbool(b),
             F.concat(F.lit(name + " on "), t, F.lit("/"), tk), False,
+        )
+        return CV(out.v, _merge_err(k.err, out.err), k.drop)
+
+    if name == "contains":
+        k = args[0]
+        t, tk = V.vtype(v), V.vtype(k.v)
+        s, p = V.as_string(v), V.as_string(k.v)
+        # dialect: array/object containment is membership/subset by
+        # DEEP EQUALITY, not jq's recursive element containment
+        arrb = F.forall(
+            V.as_array(k.v),
+            lambda e: F.exists(
+                V.as_array(v),
+                lambda x: V.deep_eq(x, e, V.vtype(x), V.vtype(e)),
+            ),
+        )
+        mv, mk = V.as_map(v), V.as_map(k.v)
+        objb = F.forall(
+            F.map_keys(mk),
+            lambda kk: F.try_element_at(mv, kk).isNotNull()
+            & V.deep_eq(
+                F.try_element_at(mv, kk),
+                F.try_element_at(mk, kk),
+                V.vtype(F.try_element_at(mv, kk)),
+                V.vtype(F.try_element_at(mk, kk)),
+            ),
+        )
+        b = (
+            F.when((t == "string") & (tk == "string"), s.contains(p))
+            .when((t == "array") & (tk == "array"), arrb)
+            .when((t == "object") & (tk == "object"), objb)
+        )
+        # `ok` must NOT be b.isNotNull(): that duplicates the nested
+        # exists/forall lambdas into the err expression, and after
+        # projection collapse the shared lambda-variable slots
+        # mis-evaluate (observed: value false AND "contains on
+        # array/array" err on the same row). A pure type-pair check
+        # keeps lambdas out of the err column entirely.
+        ok = (
+            ((t == "string") & (tk == "string"))
+            | ((t == "array") & (tk == "array"))
+            | ((t == "object") & (tk == "object"))
+        )
+        out = _guarded(
+            ok, V.vbool(b),
+            F.concat(F.lit("contains on "), t, F.lit("/"), tk), False,
         )
         return CV(out.v, _merge_err(k.err, out.err), k.drop)
 
@@ -1379,6 +1602,88 @@ def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
             _merge_err(_merge_err(p.err, r.err), out.err),
             _merge_drop(p.drop, r.drop),
         )
+
+    if name == "pow":
+        x, y = args
+        tx, ty = V.vtype(x.v), V.vtype(y.v)
+        r = F.pow(V.as_double(x.v), V.as_double(y.v))
+        # dialect: always the float tower (like int/int division,
+        # json.rs:930); NaN (neg base, frac exp) and overflow are
+        # in-band errors — the JSON tower can't carry them
+        ok = (
+            V.is_number(tx)
+            & V.is_number(ty)
+            & ~F.isnan(r)
+            & (F.abs(r) != F.lit(float("inf")))
+        )
+        out = _guarded(
+            ok,
+            V.vdouble(r),
+            F.concat(F.lit("pow on "), tx, F.lit("/"), ty),
+            False,
+        )
+        return CV(
+            out.v,
+            _merge_err(_merge_err(x.err, y.err), out.err),
+            _merge_drop(x.drop, y.drop),
+        )
+
+    if name == "error":
+        m = args[0]
+        tm = V.vtype(m.v)
+        msg = F.when(tm == "string", V.as_string(m.v)).otherwise(
+            F.to_json(m.v)
+        )
+        return CV(V.vnull(), F.coalesce(m.err, msg), m.drop)
+
+    if name in ("index", "rindex"):
+        k = args[0]
+        t, tk = V.vtype(v), V.vtype(k.v)
+        s, n = V.as_string(v), V.as_string(k.v)
+        if name == "index":
+            pos = F.instr(s, n)
+            val = F.when(pos > 0, V.vlong((pos - 1).cast("long"))).otherwise(
+                V.vnull()
+            )
+        else:
+            rp = F.instr(F.reverse(s), F.reverse(n))
+            val = F.when(
+                rp > 0,
+                V.vlong((F.length(s) - rp - F.length(n) + 1).cast("long")),
+            ).otherwise(V.vnull())
+        # dialect: string inputs only (jq also searches arrays)
+        ok = (t == "string") & (tk == "string")
+        out = _guarded(
+            ok, val, F.concat(F.lit(name + " on "), t, F.lit("/"), tk), False
+        )
+        return CV(out.v, _merge_err(k.err, out.err), k.drop)
+
+    if name == "indices":
+        k = args[0]
+        t, tk = V.vtype(v), V.vtype(k.v)
+        s, n = V.as_string(v), V.as_string(k.v)
+        ls, ln = F.length(s), F.length(n)
+        # overlapping 0-based offsets, like jq ("aaa"|indices("aa")
+        # -> [0,1]); guarded sequence: never descending
+        hits = F.filter(
+            F.sequence(F.lit(0), F.greatest(ls - ln, F.lit(0))),
+            lambda i: (i + ln <= ls) & (s.substr(i + F.lit(1), ln) == n),
+        )
+        js = F.when((ln == 0) | (ls < ln), F.lit("[]")).otherwise(
+            F.concat(
+                F.lit("["),
+                F.concat_ws(",", F.transform(hits, lambda i: i.cast("string"))),
+                F.lit("]"),
+            )
+        )
+        ok = (t == "string") & (tk == "string")
+        out = _guarded(
+            ok,
+            F.parse_json(js),
+            F.concat(F.lit("indices on "), t, F.lit("/"), tk),
+            False,
+        )
+        return CV(out.v, _merge_err(k.err, out.err), k.drop)
 
     if name == "utf8bytelength":
         t = V.vtype(v)
@@ -2086,6 +2391,33 @@ def _elems_colfn(node: ast.Node) -> ColFn | None:
             return CV(arrout, err)
 
         return fn_regex_gen
+    if isinstance(node, ast.Builtin) and node.name == "limit":
+        if is_multivalued(node.args[0]):
+            return None
+        nf = compile_col(node.args[0])
+        inner = _elems_colfn(node.args[1])
+        if nf is None or inner is None:
+            return None
+
+        def fn_limit(v: Column) -> CV:
+            ncv = nf(v)
+            ecv = inner(v)
+            tn = V.vtype(ncv.v)
+            n = V.as_long(ncv.v)
+            ok = tn == "int"
+            arr = F.when(
+                ok,
+                F.slice(
+                    ecv.v, 1, F.greatest(n, F.lit(0)).cast("int")
+                ),
+            ).otherwise(_empty_varr())
+            err = _merge_err(
+                _merge_err(ncv.err, ecv.err),
+                F.when(~ok, F.concat(F.lit("limit count on "), tn)),
+            )
+            return CV(arr, err)
+
+        return fn_limit
     if isinstance(node, ast.Builtin) and node.name == "range":
         if is_multivalued(node.args[0]):
             return None
@@ -3424,8 +3756,12 @@ def compile_stream(node: ast.Node) -> StreamFn:
                 )
 
             return run_arg2
-        if node.name in ("scan", "splits"):
+        if node.name in ("scan", "splits", "limit"):
             ef = _elems_colfn(node)
+            if ef is None:
+                raise NotImplementedError(
+                    "limit(n; f): f must be a row-local generator"
+                )
 
             def run_regex_gen(df: DataFrame) -> DataFrame:
                 """One burst fan-out: matches (scan) / pieces (splits)

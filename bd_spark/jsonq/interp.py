@@ -285,6 +285,19 @@ def _tname(v: object) -> str:
             str: "string", list: "array", dict: "object"}[type(v)]
 
 
+def _deq(a: object, b: object) -> bool:
+    """Deep equality with bool/number kept DISTINCT (Python's
+    `1 == True` would diverge from the engine's type-tagged
+    deep_eq)."""
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_deq(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_deq(a[k], b[k]) for k in a)
+    return a == b
+
+
 def _pyre(pat: str) -> str:
     """Translate Java/Oniguruma named groups `(?<name>` to Python's
     `(?P<name>` so one pattern string runs on both engines (the Spark
@@ -700,6 +713,23 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
                     import re as _re
 
                     outs.append((_re.search(_pyre(a), v) is not None, None))
+            elif (
+                name == "contains"
+                and isinstance(v, list)
+                and isinstance(a, list)
+            ):
+                # dialect: membership by deep equality (see compiler)
+                outs.append(
+                    (all(any(_deq(x, e) for x in v) for e in a), None)
+                )
+            elif (
+                name == "contains"
+                and isinstance(v, dict)
+                and isinstance(a, dict)
+            ):
+                outs.append(
+                    (all(k in v and _deq(v[k], a[k]) for k in a), None)
+                )
             else:
                 outs.append(_err(f"{name} on {_tname(v)}/{_tname(a)}"))
         return outs
@@ -793,6 +823,203 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
         if not isinstance(v, str):
             return [_err(f"utf8bytelength on {_tname(v)}")]
         return [(len(v.encode("utf-8")), None)]
+    if name in ("round", "log", "log2", "log10", "exp", "exp2", "exp10"):
+        import math
+
+        if not _is_num(v):
+            return [_err(f"{name} on {_tname(v)}")]
+        if name == "round":
+            # dialect: half away from zero (C round); ints unchanged
+            if isinstance(v, int):
+                return [(v, None)]
+            m = math.floor(abs(v) + 0.5)
+            return [(-m if v < 0 else m, None)]
+        if name in ("log", "log2", "log10"):
+            if v <= 0:
+                return [_err(f"{name} on {_tname(v)}")]
+            fn = {"log": math.log, "log2": math.log2,
+                  "log10": math.log10}[name]
+            return [(fn(v), None)]
+        base = {"exp": math.e, "exp2": 2.0, "exp10": 10.0}[name]
+        try:
+            r = math.pow(base, v)
+        except OverflowError:
+            return [_err(f"{name} on {_tname(v)}")]
+        if math.isinf(r):
+            return [_err(f"{name} on {_tname(v)}")]
+        return [(r, None)]
+    if name == "pow":
+        import math
+
+        outs = []
+        for x, xe in _eval(args[0], v):
+            if xe is not None:
+                outs.append((None, xe))
+                continue
+            for y, ye in _eval(args[1], v):
+                if ye is not None:
+                    outs.append((None, ye))
+                elif _is_num(x) and _is_num(y):
+                    try:
+                        r = math.pow(x, y)
+                    except (OverflowError, ValueError):
+                        outs.append(
+                            _err(f"pow on {_tname(x)}/{_tname(y)}")
+                        )
+                        continue
+                    if math.isnan(r) or math.isinf(r):
+                        outs.append(
+                            _err(f"pow on {_tname(x)}/{_tname(y)}")
+                        )
+                    else:
+                        # dialect: always the float tower
+                        outs.append((r, None))
+                else:
+                    outs.append(_err(f"pow on {_tname(x)}/{_tname(y)}"))
+        return outs
+    if name == "todate":
+        if not (isinstance(v, int) and not isinstance(v, bool)):
+            return [_err(f"todate on {_tname(v)}")]
+        from datetime import datetime, timezone
+
+        dt = datetime.fromtimestamp(v, tz=timezone.utc)
+        return [(dt.strftime("%Y-%m-%dT%H:%M:%SZ"), None)]
+    if name == "fromdate":
+        if not isinstance(v, str):
+            return [_err(f"fromdate on {_tname(v)}")]
+        import calendar
+        import time as _time
+
+        try:
+            st = _time.strptime(v, "%Y-%m-%dT%H:%M:%SZ")
+        except ValueError:
+            return [_err(f"fromdate on {_tname(v)}")]
+        return [(calendar.timegm(st), None)]
+    if name in ("trim", "ltrim", "rtrim"):
+        import re as _re
+
+        if not isinstance(v, str):
+            return [_err(f"{name} on {_tname(v)}")]
+        pat = {"trim": r"(^\s+)|(\s+$)", "ltrim": r"^\s+",
+               "rtrim": r"\s+$"}[name]
+        return [(_re.sub(pat, "", v), None)]
+    if name == "transpose":
+        if not isinstance(v, list) or any(
+            not isinstance(r, list) for r in v
+        ):
+            return [_err(f"transpose on {_tname(v)}")]
+        n = max((len(r) for r in v), default=0)
+        return [(
+            [[r[i] if i < len(r) else None for r in v] for i in range(n)],
+            None,
+        )]
+    if name in ("@base64", "@base64d", "@uri", "@html"):
+        import json as _j
+
+        s = v if isinstance(v, str) else _j.dumps(
+            v, separators=(",", ":"), sort_keys=True
+        )
+        if name == "@base64":
+            import base64 as _b64
+
+            return [(_b64.b64encode(s.encode("utf-8")).decode("ascii"),
+                     None)]
+        if name == "@base64d":
+            import base64 as _b64
+            import re as _re
+
+            if len(s) % 4 != 0 or not _re.fullmatch(
+                r"[A-Za-z0-9+/]*={0,2}", s
+            ):
+                return [_err(f"@base64d on {_tname(v)}")]
+            return [(_b64.b64decode(s).decode("utf-8"), None)]
+        if name == "@uri":
+            out = []
+            for c in s:
+                if ("A" <= c <= "Z" or "a" <= c <= "z" or "0" <= c <= "9"
+                        or c in "_.~-"):
+                    out.append(c)
+                else:
+                    out.extend(f"%{b:02X}" for b in c.encode("utf-8"))
+            return [("".join(out), None)]
+        # @html (jq entity set)
+        s = s.replace("&", "&amp;").replace("<", "&lt;")
+        s = s.replace(">", "&gt;").replace("'", "&#39;")
+        s = s.replace('"', "&#34;")
+        return [(s, None)]
+    if name in ("@csv", "@tsv"):
+        import json as _j
+
+        if not isinstance(v, list):
+            return [_err(f"{name} on {_tname(v)}")]
+        cells = []
+        for x in v:
+            if isinstance(x, str):
+                if name == "@csv":
+                    cells.append('"' + x.replace('"', '""') + '"')
+                else:
+                    cells.append(
+                        x.replace("\\", "\\\\").replace("\t", "\\t")
+                        .replace("\n", "\\n").replace("\r", "\\r")
+                    )
+            elif _is_num(x):
+                cells.append(_j.dumps(x))
+            elif x is None:
+                cells.append("")
+            else:
+                return [_err(f"{name} on {_tname(v)}")]
+        return [((","  if name == "@csv" else "\t").join(cells), None)]
+    if name == "error":
+        import json as _j
+
+        outs = []
+        for m, me in _eval(args[0], v):
+            if me is not None:
+                outs.append((None, me))
+            else:
+                outs.append((None, m if isinstance(m, str) else _j.dumps(
+                    m, separators=(",", ":"), sort_keys=True
+                )))
+        return outs
+    if name in ("index", "rindex"):
+        outs = []
+        for n, ne in _eval(args[0], v):
+            if ne is not None:
+                outs.append((None, ne))
+            elif isinstance(v, str) and isinstance(n, str):
+                # dialect: string inputs only (jq also searches arrays)
+                p = v.find(n) if name == "index" else v.rfind(n)
+                outs.append((p if p >= 0 else None, None))
+            else:
+                outs.append(_err(f"{name} on {_tname(v)}/{_tname(n)}"))
+        return outs
+    if name == "indices":
+        outs = []
+        for n, ne in _eval(args[0], v):
+            if ne is not None:
+                outs.append((None, ne))
+            elif isinstance(v, str) and isinstance(n, str):
+                if not n:
+                    outs.append(([], None))
+                    continue
+                hits, i = [], v.find(n)
+                while i >= 0:
+                    hits.append(i)
+                    i = v.find(n, i + 1)  # overlapping, like jq
+                outs.append((hits, None))
+            else:
+                outs.append(_err(f"indices on {_tname(v)}/{_tname(n)}"))
+        return outs
+    if name == "limit":
+        outs = []
+        for n, ne in _eval(args[0], v):
+            if ne is not None:
+                outs.append((None, ne))
+            elif isinstance(n, int) and not isinstance(n, bool):
+                outs.extend(_eval(args[1], v)[: max(n, 0)])
+            else:
+                outs.append(_err(f"limit count on {_tname(n)}"))
+        return outs
     if name == "join":
         outs = []
         for a, ae in _eval(args[0], v):

@@ -43,6 +43,7 @@ _TOKEN_RE = re.compile(
   | (?P<dotdot>\.\.(?!\.))
   | (?P<number>\d+(?:\.\d+(?!\.))?(?:[eE][+-]?\d+)?)
   | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<fmt>@[A-Za-z][A-Za-z0-9]*)
   | (?P<op><<|>>|<=|>=|==|!=|&&|\|\||\|=|//=|//|\+=|-=|\*=|/=|%=|[-+*/%<>=!&^|?,:;(){}\[\].])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
@@ -347,6 +348,16 @@ class Parser:
             return self.parse_dict_cons()
         if kind == "ident":
             return self.parse_ident_form()
+        if kind == "fmt":
+            self.take()
+            # @text / @json are pure aliases — desugar at parse time
+            if text == "@text":
+                return ast.Builtin("tostring", ())
+            if text == "@json":
+                return ast.Builtin("tojson", ())
+            if text not in ast.BUILTIN_ARITY:
+                raise ParseError(f"unknown format string {text}")
+            return ast.Builtin(text, ())
         raise ParseError(f"unexpected token {text!r}")
 
     def parse_dot_form(self) -> ast.Node:
@@ -662,6 +673,16 @@ class Parser:
             self.expect(")")
             if len(args) != arity:
                 raise ParseError(f"{name} takes {arity} arg(s)")
+            if name == "inside":
+                # jq: def inside(xs): . as $x | xs | contains($x);
+                return ast.BindAs(
+                    ast.Identity(),
+                    "__inside",
+                    ast.Pipe(
+                        args[0],
+                        ast.Builtin("contains", (ast.Var("__inside"),)),
+                    ),
+                )
             if name == "with_entries":
                 # jq defines with_entries(f) as the pipeline below;
                 # desugaring here means zero engine-side surface

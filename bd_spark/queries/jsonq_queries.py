@@ -730,6 +730,77 @@ FROM documents
 """
 
 
+def jq_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math / date / format-string builtins (beyond-reference jq):
+    round (half away from zero), pow via the float tower, log10,
+    todate/fromdate (ISO-8601 UTC round-trip), @base64, @uri, @html,
+    @csv, index, and ltrimstr+trim — all native Catalyst expressions
+    over full-row event docs; one row-local projection, zero
+    shuffle."""
+    ev = table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "props"
+    )
+    jq = JsonQ(spark)
+    # full-row doc: {event_id, event_type, props: "json text"} — parse
+    # props inline with fromjson for typed k
+    stream = jq.stream_from_table(ev)
+    out = jq.run(
+        '. as $e | (.props | fromjson | .k) as $k'
+        " | {id: $e.event_id,"
+        "    lg: ($k + 1 | log10 | round),"
+        "    pw: pow(2; ($k % 7)),"
+        "    dt: (1704067200 + ($k * 3600) | todate),"
+        "    ep: ((1704067200 + $k | todate) | fromdate),"
+        '    b64: ($e.event_type | @base64),'
+        '    uri: ($e.event_type + " #" | @uri),'
+        '    html: ("<" + $e.event_type + ">" | @html),'
+        "    csv: ([$e.event_id, $e.event_type, $k] | @csv),"
+        '    ix: ($e.event_type | index("e")),'
+        '    tr: ($e.event_type | ltrimstr("e") | trim)}',
+        stream,
+        ordered=False,
+    )
+    return out.select(
+        F.try_variant_get("v", "$.id", "long").alias("id"),
+        F.try_variant_get("v", "$.lg", "long").alias("lg"),
+        F.try_variant_get("v", "$.pw", "double").alias("pw"),
+        F.try_variant_get("v", "$.dt", "string").alias("dt"),
+        F.try_variant_get("v", "$.ep", "long").alias("ep"),
+        F.try_variant_get("v", "$.b64", "string").alias("b64"),
+        F.try_variant_get("v", "$.uri", "string").alias("uri"),
+        F.try_variant_get("v", "$.html", "string").alias("html"),
+        F.try_variant_get("v", "$.csv", "string").alias("csv"),
+        F.try_variant_get("v", "$.ix", "long").alias("ix"),
+        F.try_variant_get("v", "$.tr", "string").alias("tr"),
+    )
+
+
+JQ_FORMATS_SQL = """
+WITH p AS (
+  SELECT event_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_id AS id,
+       CAST(round(log10(k + 1)) AS BIGINT) AS lg,
+       CAST(pow(2, k % 7) AS DOUBLE) AS pw,
+       strftime(make_timestamp((1704067200 + k * 3600) * 1000000),
+                '%Y-%m-%dT%H:%M:%SZ') AS dt,
+       1704067200 + k AS ep,
+       base64(encode(event_type)) AS b64,
+       replace(replace(event_type || ' #', ' ', '%20'),
+               '#', '%23') AS uri,
+       '&lt;' || event_type || '&gt;' AS html,
+       CAST(event_id AS VARCHAR) || ',"' || event_type || '",'
+         || CAST(k AS VARCHAR) AS csv,
+       CASE WHEN instr(event_type, 'e') = 0 THEN NULL
+            ELSE instr(event_type, 'e') - 1 END AS ix,
+       CASE WHEN starts_with(event_type, 'e')
+            THEN substr(event_type, 2) ELSE event_type END AS tr
+FROM p
+"""
+
+
 QUERIES = {
     "jq_props_k": jq_props_k,
     "jq_token_count": jq_token_count,
@@ -751,6 +822,7 @@ QUERIES = {
     "jq_fold": jq_fold,
     "jq_paths": jq_paths,
     "jq_regex": jq_regex,
+    "jq_formats": jq_formats,
 }
 
 ORACLES = {
@@ -774,4 +846,5 @@ ORACLES = {
     "jq_fold": JQ_FOLD_SQL,
     "jq_paths": JQ_PATHS_SQL,
     "jq_regex": JQ_REGEX_SQL,
+    "jq_formats": JQ_FORMATS_SQL,
 }

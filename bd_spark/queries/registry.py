@@ -163,6 +163,7 @@ EXTRA = [
     "q_events_retention",      # cohort retention (two aggs + one join)
     "jq_paths",                # getpath/setpath/paths/leaf_paths + foreach
     "jq_regex",                # sub/gsub/scan/splits/capture + explode/implode
+    "jq_formats",              # round/pow/log/todate/fromdate + @format strings
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

@@ -394,6 +394,58 @@ CORPUS = [
     # assignment inside HOF lambdas (packed-tier assign)
     ("map(.v = (.v * 2))", '[{"v": 1}, {"v": 3}]', [[{"v": 2}, {"v": 6}]]),
     ("map(.v |= (. + 1))", '[{"v": 1}, {"v": 2}]', [[{"v": 2}, {"v": 3}]]),
+    # math / date / format batch (jq manual semantics; dialect notes
+    # in compiler.py)
+    ("2.5 | round", "null", [3]),           # half away from zero
+    ("-2.5 | round", "null", [-3]),
+    (".x | round", '{"x": 7}', [7]),        # int passthrough
+    ('"q" | round', "null", []),            # non-number -> err
+    ("100 | log10", "null", [2.0]),
+    ("8 | log2", "null", [3.0]),
+    ("1 | log", "null", [0.0]),
+    ("0 | log", "null", []),                # domain error -> err
+    ("0 | exp", "null", [1.0]),
+    ("3 | exp2", "null", [8.0]),
+    ("2 | exp10", "null", [100.0]),
+    ("1000 | exp", "null", []),             # overflow -> err
+    ("pow(2; 10)", "null", [1024.0]),       # always float tower
+    ("pow(.b; 2)", '{"b": -3}', [9.0]),
+    ('pow("a"; 2)', "null", []),
+    ("0 | todate", "null", ["1970-01-01T00:00:00Z"]),
+    ("1438366800 | todate", "null", ["2015-07-31T18:20:00Z"]),
+    ('"2015-03-05T23:51:47Z" | fromdate', "null", [1425599507]),
+    ('"not a date" | fromdate', "null", []),
+    ("todate | fromdate", "1425599507", [1425599507]),  # round-trip
+    ('"  hi \\n" | trim', "null", ["hi"]),
+    ('" x" | ltrim', "null", ["x"]),
+    ('"x " | rtrim', "null", ["x"]),
+    ("transpose", "[[1,2,3],[4,5]]", [[[1, 4], [2, 5], [3, None]]]),
+    ("transpose", "[]", [[]]),
+    ('"hi" | @base64', "null", ["aGk="]),
+    ("5 | @base64", "null", ["NQ=="]),      # tostring'd first
+    ('"aGk=" | @base64d', "null", ["hi"]),
+    ('"!!" | @base64d', "null", []),        # invalid -> err
+    ("@uri", '"a b/汉~"', ["a%20b%2F%E6%B1%89~"]),
+    ("@html", '"a<b&\\"c\\""', ["a&lt;b&amp;&#34;c&#34;"]),
+    ("@csv", '[1, "a,\\"b\\"", null]', ['1,"a,""b""",']),
+    ("@csv", "[true]", []),                 # bool invalid -> err
+    ("@tsv", '["a\\tb", 2]', ["a\\tb\t2"]),
+    ("@text", '{"a": 1}', ['{"a":1}']),     # == tostring
+    ("@json", '"x"', ['"x"']),              # == tojson
+    ('"abcabc" | index("bc")', "null", [1]),
+    ('"abcabc" | rindex("bc")', "null", [4]),
+    ('"abc" | index("q")', "null", [None]),
+    ('"aaa" | indices("aa")', "null", [[0, 1]]),  # overlapping
+    ('"abc" | indices("")', "null", [[]]),
+    ('[limit(2; scan("[a-z]+"))]', '"ab cd ef"', [["ab", "cd"]]),
+    ('[limit(0; scan("[a-z]+"))]', '"ab"', [[]]),
+    ("limit(2; .[])", "[1, 2, 3, 4]", [1, 2]),
+    ("inside([1,2,3])", "[1,2]", [True]),
+    ("inside([1,3])", "[1,2]", [False]),
+    ('inside("abc")', '"bc"', [True]),
+    ('inside({"a": 1, "b": 2})', '{"a": 1}', [True]),
+    ("contains([4])", "[1,2]", [False]),
+    ('contains({"a": 2})', '{"a": 1}', [False]),
     # map(select(f)) filters (r5: the drop flag was ignored in map)
     ("map(select(. > 2))", "[1, 3, 5]", [[3, 5]]),
     ("map(select(.ok) | .n)", '[{"ok": true, "n": 1}, {"ok": false, "n": 2}]',
