@@ -47,6 +47,8 @@ HEAVY = [
     "pipe_semantic_dedup",      # SemDeDup clusters + in-cluster pairs (r5)
     "pipe_bpe",                 # BPE training + corpus encoding (r5)
     "pipe_dedup_lines",         # corpus-level line dedup (r5)
+    "jq_regex",                 # regex/string builtin batch (r5)
+    "jq_formats",               # math/date/format builtin batch (r5)
 ]
 
 
@@ -54,6 +56,7 @@ def main() -> None:
     big = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     k = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     small = "/root/testdata/sf0.1"
     spark = get_spark("scale_rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
@@ -71,6 +74,8 @@ def main() -> None:
 
     out = {}
     for name in HEAVY:
+        if only is not None and name not in only:
+            continue
         fn = qs[name]
         try:
             t_small = best(fn, small)
