@@ -864,3 +864,79 @@ def bm25(docs, query_terms: list[str], id_col: str = "doc_id",
             F.round(F.sum(contrib), 6).alias("bm25"),
         )
     )
+
+
+def dsir_select(docs, id_col: str, text_col: str, is_target,
+                m: int = 64, k: int = 200):
+    """DSIR-style data selection via importance resampling (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): fit two bag-of-hashed-ngrams models — target
+    (rows where ``is_target``) and source (all rows) — weight every
+    document by its log importance ratio, and resample top-k under
+    Gumbel perturbation (Gumbel-top-k == sampling without replacement
+    proportional to the importance weights).
+
+    Features are unigrams + word bigrams hashed into ``m`` buckets
+    (h31, engine-portable); both models use add-1 smoothing, so
+    log w(d) = sum_grams [ln(t_b+1) - ln(s_b+1)] + n_grams*[ln(S+m)
+    - ln(T+m)].  The Gumbel key is a pure function of the doc id
+    (md5-derived uniform), so selection is deterministic and
+    reproducible across engines and partitionings.  Both logw and the
+    selection key are round(·, 6) — the established convention that
+    absorbs sub-ulp ln() differences between JVM and C libm.
+
+    100 TB shape: the FIT is one explode + an m-group map-side-
+    combinable aggregate collected as m rows (m = 64, driver-side
+    trivially small; at petabyte scale fit on a hash-sample of the
+    corpus instead — the estimator only needs bucket frequencies).
+    The per-doc gram->bucket projection is persisted so fit and
+    scoring share one tokenization pass.  SCORING is row-local
+    against two m-element literal arrays (zero shuffle, zero join),
+    and top-k is an orderBy+limit — Spark's TakeOrdered (per-
+    partition heap + driver merge of k), never a global sort.
+
+    Returns (id, n_grams, logw, key), the k selected rows.
+    """
+    from bd_spark.operators.hashing import lit_longs
+
+    toks = tokens(F.col(text_col))
+    grams = F.concat(toks, word_shingles(toks, 2))
+    bks = F.transform(
+        grams, lambda g: (h31(F.concat(F.lit("dsirg:"), g)) % m).cast("int")
+    )
+    base = docs.select(
+        F.col(id_col), is_target.alias("__t"), bks.alias("__bk")
+    ).persist()
+    fit = (
+        base.select(F.explode("__bk").alias("b"), "__t")
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("s"),
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("t"),
+        )
+    )
+    by_b = {r["b"]: (r["s"], r["t"]) for r in fit.collect()}
+    s_arr = [by_b.get(b, (0, 0))[0] for b in range(m)]
+    t_arr = [by_b.get(b, (0, 0))[1] for b in range(m)]
+    s_tot, t_tot = sum(s_arr), sum(t_arr)
+    slit, tlit = lit_longs(s_arr), lit_longs(t_arr)
+    shift = F.log(F.lit(float(s_tot + m))) - F.log(F.lit(float(t_tot + m)))
+    part = F.aggregate(
+        F.col("__bk"),
+        F.lit(0.0),
+        lambda acc, b: acc
+        + F.log(F.element_at(tlit, b + 1) + F.lit(1))
+        - F.log(F.element_at(slit, b + 1) + F.lit(1)),
+    )
+    logw = F.round(part + F.size("__bk") * shift, 6)
+    u = (
+        h31(F.concat(F.lit("dsir:"), F.col(id_col).cast("string"))) + 1
+    ).cast("double") / F.lit(float(P31 + 1))
+    gumbel = -F.log(-F.log(u))
+    out = base.select(
+        F.col(id_col),
+        F.size("__bk").alias("n_grams"),
+        logw.alias("logw"),
+        F.round(logw + gumbel, 6).alias("key"),
+    )
+    return out.orderBy(F.desc("key"), id_col).limit(k)

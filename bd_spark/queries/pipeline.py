@@ -1652,6 +1652,50 @@ WHERE ({_h31("CAST(doc_id AS VARCHAR)")} % 1000000)
 """
 
 
+def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators.text.dsir_select):
+    target = 'en' docs, source = whole corpus; hashed unigram+bigram
+    models, Gumbel-top-200 selection. Fit is one 64-group map-side
+    agg; scoring is row-local against literal arrays; selection is
+    TakeOrdered — no global sort, no join."""
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text", "lang")
+    return T.dsir_select(
+        docs, "doc_id", "text", F.col("lang") == "en", m=64, k=200
+    )
+
+
+PIPE_DSIR_SELECT_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS ws FROM documents),
+g1 AS (SELECT doc_id, lang, unnest(ws) AS g FROM t),
+g2p AS (SELECT doc_id, lang, unnest(ws[1:len(ws)-1]) AS w1,
+               unnest(ws[2:len(ws)]) AS w2
+        FROM t WHERE len(ws) >= 2),
+grams AS (SELECT doc_id, lang, g FROM g1
+          UNION ALL SELECT doc_id, lang, w1 || ' ' || w2 FROM g2p),
+gb AS (SELECT doc_id, lang, ({_h31("'dsirg:' || g")} % 64) AS b
+       FROM grams),
+fit AS (SELECT b, count(*) AS s_c,
+               count(*) FILTER (lang = 'en') AS t_c
+        FROM gb GROUP BY b),
+tots AS (SELECT sum(s_c) AS s_tot, sum(t_c) AS t_tot FROM fit),
+sc AS (SELECT gb.doc_id, count(*) AS n_grams,
+              sum(ln(fit.t_c + 1) - ln(fit.s_c + 1)) AS part
+       FROM gb JOIN fit USING (b) GROUP BY gb.doc_id),
+w AS (SELECT d.doc_id,
+             coalesce(sc.n_grams, 0) AS n_grams,
+             round(coalesce(sc.part, 0)
+                   + coalesce(sc.n_grams, 0)
+                     * (ln(s_tot + 64) - ln(t_tot + 64)), 6) AS logw
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      CROSS JOIN tots)
+SELECT doc_id, n_grams, logw,
+       round(logw + -ln(-ln(
+         ({_h31("'dsir:' || CAST(doc_id AS VARCHAR)")} + 1.0)
+         / {P31 + 1}.0)), 6) AS key
+FROM w ORDER BY key DESC, doc_id LIMIT 200
+"""
+
+
 QUERIES = {
     "pipe_dedup_exact": pipe_dedup_exact,
     "pipe_dedup_minhash": pipe_dedup_minhash,
@@ -1688,6 +1732,7 @@ QUERIES = {
     "pipe_shuffle": pipe_shuffle,
     "pipe_lm_score": pipe_lm_score,
     "pipe_text_bm25": pipe_text_bm25,
+    "pipe_dsir_select": pipe_dsir_select,
 }
 
 ORACLES = {
@@ -1726,4 +1771,5 @@ ORACLES = {
     "pipe_shuffle": PIPE_SHUFFLE_SQL,
     "pipe_lm_score": PIPE_LM_SCORE_SQL,
     "pipe_text_bm25": PIPE_TEXT_BM25_SQL,
+    "pipe_dsir_select": PIPE_DSIR_SELECT_SQL,
 }

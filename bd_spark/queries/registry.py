@@ -164,6 +164,7 @@ EXTRA = [
     "jq_paths",                # getpath/setpath/paths/leaf_paths + foreach
     "jq_regex",                # sub/gsub/scan/splits/capture + explode/implode
     "jq_formats",              # round/pow/log/todate/fromdate + @format strings
+    "pipe_dsir_select",        # DSIR importance resampling (Gumbel top-k)
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

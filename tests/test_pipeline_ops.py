@@ -822,3 +822,42 @@ def test_bm25_hand_check(spark):
     assert out[1].n_hit == 1 and out[2].n_hit == 1
     assert abs(out[1].bm25 - round(s(2, 3), 6)) < 1e-9
     assert abs(out[2].bm25 - round(s(1, 2), 6)) < 1e-9
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """DSIR must up-weight documents whose n-gram profile matches the
+    target model: with a vocabulary split between target-ish and
+    source-ish tokens, the top half of the selection should be
+    dominated by target-like docs, and logw must be higher for a
+    target-like doc than a source-like one."""
+    from pyspark.sql import functions as F
+
+    from bd_spark.operators.text import dsir_select
+
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:  # target-like content, flagged as target
+            rows.append((i, "alpha beta gamma alpha beta", True))
+        else:           # source-only content
+            rows.append((i, "zork quux blarg zork quux", False))
+    # plus unlabeled docs of both flavors — selection should prefer
+    # the alpha-flavored ones
+    rows += [(100, "alpha beta gamma beta alpha", False),
+             (101, "zork quux blarg quux zork", False)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    out = dsir_select(docs, "doc_id", "text", F.col("is_t"), m=16, k=20)
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 20
+    assert got, "selection is empty"
+    # every selected doc carries the deterministic key fields
+    assert all(r.n_grams > 0 for r in got.values())
+    full = {
+        r.doc_id: r.logw
+        for r in dsir_select(
+            docs, "doc_id", "text", F.col("is_t"), m=16, k=1000
+        ).collect()
+    }
+    assert full[100] > full[101], (full[100], full[101])
+    # target-like docs all share one logw, source-like another
+    assert full[0] == full[2] and full[1] == full[3]
+    assert full[0] > full[1]

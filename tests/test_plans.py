@@ -176,6 +176,20 @@ def test_jq_regex_rowlocal_native(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_dsir_scoring_rowlocal_takeordered(spark, sf_dir):
+    """DSIR selection: after the (collected) 64-group fit, the
+    returned plan is row-local scoring + TakeOrdered — no hash/range
+    exchange (a global sort for top-k would be the scale killer) and
+    no join (the models are literal arrays, not tables)."""
+    from bd_spark.queries.pipeline import pipe_dsir_select
+
+    plan = _plan(pipe_dsir_select(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning(" not in plan
+    assert "rangepartitioning(" not in plan
+    assert "Join" not in plan
+
+
 def test_dedup_lines_shuffles_on_line_hash(spark, sf_dir):
     """Corpus line dedup: the dedup window shuffles on md5(line) and
     the reassembly on the doc id — and nothing else."""
