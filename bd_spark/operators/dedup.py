@@ -619,3 +619,79 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def substring_dup_stats(
+    docs: DataFrame, id_col: str, text_col: str,
+    k: int = 40, stride: int = 10, anchor_n: int = 8,
+) -> DataFrame:
+    """Cross-document substring duplication (the anchored-window
+    approximation of Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better" exact-substring dedup): hash the
+    ``k``-char window at every CONTENT-DEFINED anchor — a position
+    whose ``anchor_n``-char gram hashes to 0 mod ``stride`` (the CDC
+    / winnowing trick) — and mark windows whose hash appears in more
+    than one distinct document.  Content-defined anchors align on the
+    CONTENT, not the offset, so a span shared verbatim at DIFFERENT
+    offsets in two docs anchors at the same in-span positions in both
+    (fixed-stride windows would only collide when the offsets differ
+    by a multiple of the stride); a shared span of length L carries
+    ~(L-k)/stride expected collisions, with a geometric-tail miss
+    probability for short spans.
+
+    Returns (id, n_windows, n_dup, dup_frac, flagged) — one row per
+    doc with at least one anchored window, flagged when more than
+    half its windows are cross-doc duplicates.
+
+    100 TB shape: anchoring costs one md5 per char position (the
+    same per-position gram hashing the decontaminate operator
+    already pays) and emits ~len/stride windows per doc — a constant
+    factor, not a blow-up; the (window-hash, doc) distinct and the
+    >1-doc filter are map-side-combinable aggregates on the UNIFORM
+    md5-derived window-hash key (no skew by construction); the
+    flag-back join is on that same key.  Nothing is all-pairs and no
+    suffix array is materialized — stride trades index density for
+    the detection floor, exactly the knob a 100 TB corpus needs.
+    """
+    s = F.lower(F.trim(F.col(text_col)))
+    n = F.length(s)
+    # anchor test per gram position i (0-based; gram = s[i+1 : i+1+8])
+    anch = F.transform(
+        char_ngrams(s, anchor_n),
+        lambda g, i: F.when(
+            (h31(F.concat(F.lit("anch:"), g)) % stride == 0)
+            & (i <= n - k),
+            i,
+        ),
+    )
+    hashes = F.transform(
+        F.filter(anch, lambda x: x.isNotNull()),
+        lambda i: h31(F.concat(F.lit("sub:"), s.substr(i + 1, F.lit(k)))),
+    )
+    win = docs.select(
+        F.col(id_col), F.explode(hashes).alias("h")
+    )
+    # windows present in >1 DISTINCT doc: (h, doc) distinct first so
+    # in-doc repeats don't fake cross-doc duplication
+    dup = (
+        win.dropDuplicates(["h", id_col])
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    per = (
+        win.join(dup.withColumn("__dup", F.lit(1)), "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("__dup").alias("n_dup"),
+        )
+    )
+    return per.select(
+        F.col(id_col),
+        "n_windows",
+        "n_dup",
+        F.round(F.col("n_dup") / F.col("n_windows"), 6).alias("dup_frac"),
+        (F.col("n_dup") * 2 > F.col("n_windows")).alias("flagged"),
+    )

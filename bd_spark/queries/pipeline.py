@@ -1652,6 +1652,39 @@ WHERE ({_h31("CAST(doc_id AS VARCHAR)")} % 1000000)
 """
 
 
+def pipe_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored-window substring duplication stats (Lee et al. 2022
+    exact-substring dedup, content-defined-anchor approximation):
+    40-char windows at CDC anchors (8-gram hash ≡ 0 mod 10); windows
+    in >1 distinct doc mark duplicated text
+    (operators.dedup.substring_dup_stats). One explode + two
+    map-side-combinable aggs on the uniform window-hash key."""
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    return dedup.substring_dup_stats(docs, "doc_id", "text")
+
+
+PIPE_DEDUP_SUBSTRING_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         [{_h31("'sub:' || substr(s, i + 1, 40)")}
+          for i in range(greatest(length(s) - 7, 0))
+          if {_h31("'anch:' || substr(s, i + 1, 8)")} % 10 = 0
+             and i <= length(s) - 40] AS hs
+  FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents)
+),
+win AS (SELECT doc_id, unnest(hs) AS h FROM w),
+dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM win)
+        GROUP BY h HAVING count(*) > 1)
+SELECT win.doc_id,
+       count(*) AS n_windows,
+       count(dup.h) AS n_dup,
+       round(count(dup.h) * 1.0 / count(*), 6) AS dup_frac,
+       count(dup.h) * 2 > count(*) AS flagged
+FROM win LEFT JOIN dup USING (h)
+GROUP BY win.doc_id
+"""
+
+
 def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators.text.dsir_select):
     target = 'en' docs, source = whole corpus; hashed unigram+bigram
@@ -1733,6 +1766,7 @@ QUERIES = {
     "pipe_lm_score": pipe_lm_score,
     "pipe_text_bm25": pipe_text_bm25,
     "pipe_dsir_select": pipe_dsir_select,
+    "pipe_dedup_substring": pipe_dedup_substring,
 }
 
 ORACLES = {
@@ -1772,4 +1806,5 @@ ORACLES = {
     "pipe_lm_score": PIPE_LM_SCORE_SQL,
     "pipe_text_bm25": PIPE_TEXT_BM25_SQL,
     "pipe_dsir_select": PIPE_DSIR_SELECT_SQL,
+    "pipe_dedup_substring": PIPE_DEDUP_SUBSTRING_SQL,
 }

@@ -165,6 +165,7 @@ EXTRA = [
     "jq_regex",                # sub/gsub/scan/splits/capture + explode/implode
     "jq_formats",              # round/pow/log/todate/fromdate + @format strings
     "pipe_dsir_select",        # DSIR importance resampling (Gumbel top-k)
+    "pipe_dedup_substring",    # windowed-hash substring dedup (Lee et al.)
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

@@ -861,3 +861,38 @@ def test_dsir_selects_target_like_docs(spark):
     # target-like docs all share one logw, source-like another
     assert full[0] == full[2] and full[1] == full[3]
     assert full[0] > full[1]
+
+
+def test_substring_dup_stats_hand_check(spark):
+    """Two docs sharing a long verbatim span are mutually flagged;
+    a unique doc has zero duplicated windows; a short doc (< k chars)
+    produces no row."""
+    from bd_spark.operators.dedup import substring_dup_stats
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green bottles stand quietly on the old stone wall beside the "
+        "river and the miller grinds wheat into flour all day long"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail one unique alpha beta gamma delta"),
+            (2, "prefix two unique " + shared),  # DIFFERENT offset
+            (3, "completely different text with no overlap whatsoever "
+                "zork quux blarg etc etc etc"),
+            (4, "tiny"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           substring_dup_stats(docs, "doc_id", "text", k=40, stride=10)
+           .collect()}
+    assert set(out) == {1, 2, 3}          # doc 4 anchors no window
+    # content-defined anchors align on content, so the shared span is
+    # detected even though its offset differs between the two docs
+    # (0 vs 18 — a fixed-stride scheme would need offsets congruent
+    # mod stride); a ~180-char span carries ~(L-k)/stride ≈ 14
+    # expected anchors, so detection is near-certain
+    assert out[1].n_dup > 0 and out[2].n_dup > 0
+    assert out[3].n_dup == 0 and out[3].flagged is False
+    assert out[1].dup_frac == round(out[1].n_dup / out[1].n_windows, 6)
