@@ -240,20 +240,36 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
     sh = rebalance(df).select(
         F.col(id_col).alias("id"), simhash_column(text_col).alias("simhash")
     ).persist()
-    chunks = sh.select(
-        "id",
-        "simhash",
+    return hamming_near_dupes(sh, "id", "simhash", max_hamming=max_hamming)
+
+
+def hamming_near_dupes(hashed: DataFrame, id_col: str, hash_col: str,
+                       chunks: int = SIMHASH_CHUNKS,
+                       chunk_bits: int | None = None,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs of any fixed-width integer hash (simhash,
+    image dHash, audio fingerprint) by chunk-bucketing + exact
+    Hamming verify.  Pigeonhole: two hashes within Hamming distance
+    ``chunks - 1`` agree on at least one of ``chunks`` disjoint
+    bit-chunks, so bucketing each row ``chunks`` times finds every
+    qualifying pair with ONE uniform-key shuffle — never all-pairs.
+    ``hashed`` must already be cheap to recompute or persisted (the
+    self-join reads it twice)."""
+    cb = chunk_bits if chunk_bits is not None else _CHUNK_BITS
+    ch = hashed.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("hv"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), i * _CHUNK_BITS)
-                    .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
-                    for i in range(SIMHASH_CHUNKS)
+                    F.shiftright(F.col(hash_col), i * cb)
+                    .bitwiseAND(F.lit((1 << cb) - 1))
+                    for i in range(chunks)
                 ]
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    l, r = chunks.alias("l"), chunks.alias("r")
+    l, r = ch.alias("l"), ch.alias("r")
     cand = (
         l.join(
             r,
@@ -264,8 +280,8 @@ def simhash_near_dupes(df: DataFrame, id_col: str, text_col: str,
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
+            F.col("l.hv").alias("sh_a"),
+            F.col("r.hv").alias("sh_b"),
         )
         .distinct()
     )

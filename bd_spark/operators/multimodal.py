@@ -288,3 +288,102 @@ def repartition_by_size(assets: DataFrame, target_partitions: int) -> DataFrame:
     partition accumulates multiple giant blobs."""
     bucket = F.floor(F.log2(F.greatest(F.octet_length("payload"), F.lit(1))))
     return assets.repartition(target_partitions, bucket, F.col("asset_id"))
+
+
+PHASH_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("phash", LongType()),            # 60-bit dHash
+    StructField("err", StringType()),            # in-band per-row error
+])
+
+_DH_ROWS, _DH_COLS = 6, 11  # 6 x 10 adjacent-column compares = 60 bits
+
+
+def dhash_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """60-bit difference hash (dHash) per asset — the perceptual-hash
+    primitive behind image near-dup detection: reduce to a 6x11
+    grayscale grid, set bit (r*10+c) when grid[r][c+1] > grid[r][c].
+    Near-identical images differ in few bits, so the generic Hamming
+    pigeonhole join (operators.dedup.hamming_near_dupes) finds pairs
+    with one uniform-key shuffle.
+
+    fake=True (the oracle-able gate path): the payload BYTES are the
+    grid — pixel(r,c) = payload[(r*11 + c) % len] — so the exact
+    integer pipeline is reproducible in DuckDB SQL.  fake=False: real
+    decode (codecs.decode_image), grayscale mean, block-average pool
+    to 6x11, same bit rule; per-row in-band errors like
+    decode_assets.
+
+    100 TB shape: Arrow-batched mapInPandas, payloads never leave
+    Arrow buffers, output is 16 bytes/asset; everything downstream
+    (the near-dup join) operates on the hash only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _bits_from_grid(grid) -> int:
+        h = 0
+        bit = 0
+        for r in range(_DH_ROWS):
+            for c in range(_DH_COLS - 1):
+                if grid[r][c + 1] > grid[r][c]:
+                    h |= 1 << bit
+                bit += 1
+        return h
+
+    if fake:
+
+        def fake_batches(it):
+            for pdf in it:
+                out = {"asset_id": [], "phash": [], "err": []}
+                for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                    b = bytes(payload)
+                    n = len(b)
+                    if n == 0:
+                        h = 0
+                    else:
+                        grid = [
+                            [b[(r * _DH_COLS + c) % n]
+                             for c in range(_DH_COLS)]
+                            for r in range(_DH_ROWS)
+                        ]
+                        h = _bits_from_grid(grid)
+                    out["asset_id"].append(aid)
+                    out["phash"].append(h)
+                    out["err"].append(None)
+                yield pd.DataFrame(out)
+
+        return assets.mapInPandas(fake_batches, schema=PHASH_SCHEMA)
+
+    from bd_spark.operators import codecs
+
+    def real_batches(it):
+        for pdf in it:
+            out = {"asset_id": [], "phash": [], "err": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                h, err = None, None
+                try:
+                    img = codecs.decode_image(bytes(payload))
+                    gray = img.astype(np.float64).mean(axis=2)
+                    hh, ww = gray.shape
+                    if hh < _DH_ROWS or ww < _DH_COLS:
+                        raise codecs.CodecError(
+                            f"image {ww}x{hh} smaller than dhash grid"
+                        )
+                    # block-average pool to the fixed grid
+                    re = np.array([
+                        [gray[
+                            (r * hh) // _DH_ROWS:((r + 1) * hh) // _DH_ROWS,
+                            (c * ww) // _DH_COLS:((c + 1) * ww) // _DH_COLS,
+                        ].mean() for c in range(_DH_COLS)]
+                        for r in range(_DH_ROWS)
+                    ])
+                    h = _bits_from_grid(re)
+                except Exception as e:  # noqa: BLE001 — in-band per row
+                    err = f"{type(e).__name__}: {e}"
+                out["asset_id"].append(aid)
+                out["phash"].append(h)
+                out["err"].append(err)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(real_batches, schema=PHASH_SCHEMA)

@@ -1685,6 +1685,59 @@ GROUP BY win.doc_id
 """
 
 
+def pipe_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup: 60-bit dHash per asset
+    (Arrow-batched mapInPandas, multimodal.dhash_assets) then the
+    generic Hamming pigeonhole join (dedup.hamming_near_dupes) —
+    hashes shuffle, payloads never do. Fake-decode path (payload
+    bytes ARE the pixel grid) so the integer pipeline has a full
+    DuckDB oracle; the real decode+pool path is pytest-gated on
+    synthetic PNG/BMP images."""
+    assets = multimodal.assets_from_documents(
+        table(spark, "documents", sf_dir)
+    )
+    hashed = multimodal.dhash_assets(assets, fake=True).persist()
+    return dedup.hamming_near_dupes(
+        hashed, "asset_id", "phash", max_hamming=3
+    )
+
+
+PIPE_IMAGE_NEARDUP_SQL = """
+WITH c AS (
+  SELECT doc_id, [unicode(ch) for ch in str_split(text, '')] AS codes
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         CASE WHEN len(codes) = 0 THEN 0 ELSE
+           coalesce(list_sum(
+             [CASE WHEN codes[(((i // 10) * 11 + (i % 10) + 1)
+                              % len(codes)) + 1]
+                   > codes[(((i // 10) * 11 + (i % 10))
+                            % len(codes)) + 1]
+                   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+              for i in range(60)]), 0)
+         END AS phash
+  FROM c
+),
+ch AS (
+  SELECT doc_id, phash,
+         unnest([0, 1, 2, 3]) AS ci,
+         unnest([(phash >> 0) & 32767, (phash >> 15) & 32767,
+                 (phash >> 30) & 32767, (phash >> 45) & 32767]) AS cv
+  FROM p
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                  l.phash AS ha, r.phash AS hb
+  FROM ch l JOIN ch r
+    ON l.ci = r.ci AND l.cv = r.cv AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
 def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators.text.dsir_select):
     target = 'en' docs, source = whole corpus; hashed unigram+bigram
@@ -1767,6 +1820,7 @@ QUERIES = {
     "pipe_text_bm25": pipe_text_bm25,
     "pipe_dsir_select": pipe_dsir_select,
     "pipe_dedup_substring": pipe_dedup_substring,
+    "pipe_image_neardup": pipe_image_neardup,
 }
 
 ORACLES = {
@@ -1807,4 +1861,5 @@ ORACLES = {
     "pipe_text_bm25": PIPE_TEXT_BM25_SQL,
     "pipe_dsir_select": PIPE_DSIR_SELECT_SQL,
     "pipe_dedup_substring": PIPE_DEDUP_SUBSTRING_SQL,
+    "pipe_image_neardup": PIPE_IMAGE_NEARDUP_SQL,
 }

@@ -166,6 +166,7 @@ EXTRA = [
     "jq_formats",              # round/pow/log/todate/fromdate + @format strings
     "pipe_dsir_select",        # DSIR importance resampling (Gumbel top-k)
     "pipe_dedup_substring",    # windowed-hash substring dedup (Lee et al.)
+    "pipe_image_neardup",      # perceptual dHash + Hamming pigeonhole join
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

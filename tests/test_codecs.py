@@ -238,3 +238,39 @@ def test_decode_assets_real_path(spark):
               multimodal.resize_images(both, 2, 2, fake=False).collect()}
     assert rz_all[1].err is None and rz_all[1].payload is not None
     assert rz_all[4].payload is None and rz_all[4].err is not None
+
+
+def test_dhash_real_path_near_dup_and_errors(spark):
+    """Real-decode dHash: two nearly identical PNGs land within
+    Hamming 3, a structurally different image does not, and garbage
+    payloads become in-band err rows (never task failures)."""
+    from pyspark.sql import functions as F
+
+    from bd_spark.operators import multimodal
+    from bd_spark.operators.dedup import hamming_near_dupes
+
+    rng = _rng(33)
+    base = rng.integers(0, 256, (12, 22, 3), dtype=np.uint8)
+    tweak = base.copy()
+    tweak[0, 0] = (tweak[0, 0] + 3) % 256      # imperceptible change
+    other = rng.integers(0, 256, (12, 22, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(codecs.encode_png(base)), ("t", 1)),
+        (2, "image", bytearray(codecs.encode_png(tweak)), ("t", 1)),
+        (3, "image", bytearray(codecs.encode_png(other)), ("t", 1)),
+        (4, "image", bytearray(b"not an image"), ("t", 1)),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    hashed = multimodal.dhash_assets(assets, fake=False).persist()
+    got = {r.asset_id: r for r in hashed.collect()}
+    assert got[1].err is None and got[2].err is None
+    assert got[4].err is not None and got[4].phash is None
+    # 1-pixel tweak flips at most the one bit its grid cell borders
+    assert bin(got[1].phash ^ got[2].phash).count("1") <= 3
+    assert got[1].phash != got[3].phash
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in hamming_near_dupes(
+                 hashed.where(F.col("err").isNull()),
+                 "asset_id", "phash", max_hamming=3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
