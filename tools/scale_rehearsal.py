@@ -48,6 +48,9 @@ HEAVY = [
     "pipe_bpe",                 # BPE training + corpus encoding (r5)
     "pipe_dedup_lines",         # corpus-level line dedup (r5)
     "jq_regex",                 # regex/string builtin batch (r5)
+    "pipe_dsir_select",         # DSIR importance resampling (r5)
+    "pipe_dedup_substring",     # anchored-window substring dedup (r5)
+    "pipe_image_neardup",       # dHash + Hamming pigeonhole (r5)
     "jq_formats",               # math/date/format builtin batch (r5)
 ]
 
