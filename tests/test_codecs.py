@@ -274,3 +274,49 @@ def test_dhash_real_path_near_dup_and_errors(spark):
                  "asset_id", "phash", max_hamming=3).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_audio_fingerprint_near_dup(spark):
+    """WAV fingerprints: the same melody with tiny noise lands within
+    Hamming 3 of the original; a different melody does not; junk and
+    too-short payloads become in-band err rows."""
+    from pyspark.sql import functions as F
+
+    from bd_spark.operators import multimodal
+    from bd_spark.operators.dedup import hamming_near_dupes
+
+    rng = _rng(44)
+    n = 8000
+    t = np.arange(n)
+    # amplitude-modulated tone: energy envelope rises/falls per frame
+    env = 1 + 0.8 * np.sin(2 * np.pi * t / 1311)
+    base = (3000 * env * np.sin(2 * np.pi * t / 37)).astype(np.int16)
+    noisy = (base + rng.integers(-40, 40, n)).astype(np.int16)
+    other_env = 1 + 0.8 * np.sin(2 * np.pi * t / 433 + 1.0)
+    other = (3000 * other_env * np.sin(2 * np.pi * t / 23)).astype(np.int16)
+    rows = [
+        (1, "audio", bytearray(codecs.encode_wav(base.reshape(-1, 1))),
+         ("t", 1)),
+        (2, "audio", bytearray(codecs.encode_wav(noisy.reshape(-1, 1))),
+         ("t", 1)),
+        (3, "audio", bytearray(codecs.encode_wav(other.reshape(-1, 1))),
+         ("t", 1)),
+        (4, "audio", bytearray(b"not audio"), ("t", 1)),
+        (5, "audio",
+         bytearray(codecs.encode_wav(np.zeros((10, 1), dtype=np.int16))),
+         ("t", 1)),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    hashed = multimodal.audio_fingerprints(assets).persist()
+    got = {r.asset_id: r for r in hashed.collect()}
+    assert got[1].err is None and got[2].err is None
+    assert got[4].err is not None          # undecodable
+    assert got[5].err is not None          # shorter than the window
+    assert bin(got[1].phash ^ got[2].phash).count("1") <= 3
+    assert bin(got[1].phash ^ got[3].phash).count("1") > 3
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in hamming_near_dupes(
+                 hashed.where(F.col("err").isNull()),
+                 "asset_id", "phash", max_hamming=3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
