@@ -215,10 +215,29 @@ class Parser:
                     f"left side of {op} must be a static path (.a.b)"
                 )
             if any(not isinstance(s, str) for s in path):
-                raise ParseError(
-                    f"array-index assignment is not supported ({op})"
-                )
-            if op in ("=", "|="):
+                # array-index path (`.a[0] = E`): desugar onto the
+                # dynamic-path builtins — setpath(p; ...) handles int
+                # segments; `|=`/arithmetic sugar read the old value
+                # with getpath(p) (jq: the rhs/body sees the OLD
+                # value at the path; `=`'s rhs sees the root)
+                pathlit = ast.Literal(json.dumps(list(path)))
+                if op == "=":
+                    node = ast.Builtin("setpath", (pathlit, rhs))
+                elif op == "|=":
+                    node = ast.Builtin(
+                        "setpath",
+                        (pathlit,
+                         ast.Pipe(ast.Builtin("getpath", (pathlit,)), rhs)),
+                    )
+                else:
+                    node = ast.Builtin(
+                        "setpath",
+                        (pathlit,
+                         ast.Binary(op[:-1],
+                                    ast.Builtin("getpath", (pathlit,)),
+                                    rhs)),
+                    )
+            elif op in ("=", "|="):
                 node = ast.Assign(tuple(path), rhs, op == "|=")
             else:
                 # jq arithmetic update: `.a += E` == `.a = .a + E`
@@ -314,6 +333,19 @@ class Parser:
 
     # -- primaries -----------------------------------------------------
     def parse_primary(self) -> ast.Node:
+        node = self._parse_primary_core()
+        # jq postfix brackets bind at PRIMARY level: `.a[0]`, `$d[0]`,
+        # `keys[0]`, `(.x)[1:3]`, `[1,2][0]` all index/slice/iterate
+        # the preceding term (so `.a + $d[0]` indexes $d, not the
+        # sum). This replaces the old juxtaposition reading in which
+        # `.a [0]` piped into LIST CONSTRUCTION — that jq-divergent
+        # form silently built [0]; construction after navigation now
+        # needs the explicit pipe (`.a | [0]`), exactly like jq.
+        while self.at("["):
+            node = ast.Pipe(node, self.parse_bracket_suffix())
+        return node
+
+    def _parse_primary_core(self) -> ast.Node:
         kind, text = self.peek()
         if self.at("("):
             self.take()
@@ -451,9 +483,14 @@ class Parser:
         elif sign == -1:
             self.i = start_i
             return None
-        if not (self.at_kind("dotdot") or self.at_kind("dotdoteq")):
+        if not (
+            self.at_kind("dotdot") or self.at_kind("dotdoteq")
+            or self.at(":")
+        ):
             self.i = start_i
             return None
+        # `:` is jq's exclusive-end separator (`.a[1:3]`), equivalent
+        # to the reference dialect's `..`
         inclusive = self.at_kind("dotdoteq")
         self.take()
         end: int | None = None

@@ -446,6 +446,22 @@ CORPUS = [
     ('inside({"a": 1, "b": 2})', '{"a": 1}', [True]),
     ("contains([4])", "[1,2]", [False]),
     ('contains({"a": 2})', '{"a": 1}', [False]),
+    # jq postfix brackets (r5: `.a[0]` used to pipe into LIST
+    # CONSTRUCTION — jq-divergent; now indexes like jq)
+    (".a[0]", '{"a": [7, 8]}', [7]),
+    (".a[-1]", '{"a": [7, 8]}', [8]),
+    (".a[]", '{"a": [1, 2]}', [1, 2]),
+    (".a[1:3]", '{"a": [1, 2, 3, 4]}', [[2, 3]]),
+    (".a[:2]", '{"a": [1, 2, 3]}', [[1, 2]]),
+    (".a[1:]", '{"a": [1, 2, 3]}', [[2, 3]]),
+    ('.a["k"]', '{"a": {"k": 9}}', [9]),
+    (".a[0].b", '{"a": [{"b": 5}]}', [5]),
+    (". as $d | $d.a[0]", '{"a": [4, 5]}', [4]),
+    ("keys[0]", '{"b": 1, "a": 2}', ["a"]),
+    ("[10, 20][1]", "null", [20]),
+    (".a[0] = 5", '{"a": [1, 2]}', [{"a": [5, 2]}]),
+    (".a[1] |= (. * 3)", '{"a": [1, 2]}', [{"a": [1, 6]}]),
+    (".a[0] += 2", '{"a": [1, 2]}', [{"a": [3, 2]}]),
     # map(select(f)) filters (r5: the drop flag was ignored in map)
     ("map(select(. > 2))", "[1, 3, 5]", [[3, 5]]),
     ("map(select(.ok) | .n)", '[{"ok": true, "n": 1}, {"ok": false, "n": 2}]',
