@@ -502,16 +502,64 @@ def _compile_assign(node: ast.Assign) -> ColFn | None:
     return fn
 
 
+_DELPATH_UDF = None
+
+
 def _compile_del(node: ast.Builtin) -> ColFn:
     from bd_spark.jsonq.parser import static_path
 
     segs = static_path(node.args[0])
-    if segs is None or not segs or any(
-        not isinstance(s, str) for s in segs
-    ):
+    if segs is None or not segs:
         raise NotImplementedError(
-            "del requires a static object-key path (del(.a.b))"
+            "del requires a static path (del(.a.b), del(.a[1]))"
         )
+    if any(not isinstance(s, str) for s in segs):
+        # int segments: per-row surgery via the shared interp
+        # del_path walker (Arrow-batched, like setpath) — Catalyst
+        # can't splice arrays at arbitrary static depth without the
+        # whole _set_json machinery growing an array dialect
+        global _DELPATH_UDF
+        if _DELPATH_UDF is None:
+
+            def delp(docs, paths):
+                import json as js
+
+                import pandas as pd
+
+                from bd_spark.jsonq.interp import del_path
+
+                outs_j: list[str] = []
+                outs_e: list[str | None] = []
+                for d, pth in zip(docs, paths):
+                    try:
+                        res = del_path(js.loads(d), js.loads(pth))
+                        outs_j.append(
+                            js.dumps(
+                                res, separators=(",", ":"), sort_keys=True
+                            )
+                        )
+                        outs_e.append(None)
+                    except ValueError as ex:
+                        outs_j.append("null")
+                        outs_e.append(str(ex))
+                return pd.DataFrame({"j": outs_j, "e": outs_e})
+
+            _DELPATH_UDF = F.pandas_udf(
+                delp, "j string, e string", F.PandasUDFType.SCALAR
+            )
+
+        import json as _js
+
+        plit = F.lit(_js.dumps(list(segs)))
+
+        def fn_int(v: Column) -> CV:
+            out = _DELPATH_UDF(V.vjson(v), plit)
+            return CV(
+                F.parse_json(out["j"]),
+                F.when(out["e"].isNotNull(), out["e"]),
+            )
+
+        return fn_int
 
     def fn(v: Column) -> CV:
         return _guarded(

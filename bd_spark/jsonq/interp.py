@@ -548,6 +548,42 @@ def set_path(cur: object, keys: list, val: object) -> object:
     raise ValueError(f"setpath: bad path key {_tname(k)}")
 
 
+def del_path(cur: object, keys: list) -> object:
+    """Single-path delete with jq semantics (shared by the interp and
+    the engine's Arrow UDF): deleting a missing key / out-of-range
+    index is a no-op, null traverses to null, deleting through a
+    scalar or with a bad key type is an error (ValueError)."""
+    k = keys[0]
+    if isinstance(k, str):
+        if cur is None:
+            return None
+        if not isinstance(cur, dict):
+            raise ValueError(f"del: cannot index {_tname(cur)} with string")
+        if k not in cur:
+            return cur
+        out: dict = dict(cur)
+        if len(keys) == 1:
+            del out[k]
+        else:
+            out[k] = del_path(out[k], keys[1:])
+        return out
+    if isinstance(k, int) and not isinstance(k, bool):
+        if cur is None:
+            return None
+        if not isinstance(cur, list):
+            raise ValueError(f"del: cannot index {_tname(cur)} with number")
+        i = k + len(cur) if k < 0 else k
+        if i < 0 or i >= len(cur):
+            return cur
+        lst = list(cur)
+        if len(keys) == 1:
+            del lst[i]
+        else:
+            lst[i] = del_path(lst[i], keys[1:])
+        return lst
+    raise ValueError(f"del: bad path key {_tname(k)}")
+
+
 def all_paths(v: object, leaf_only: bool = False) -> list[list]:
     """Every path below the root, document order with the engine's
     sorted-object-key convention (matches `.[]` / `..`)."""
@@ -1050,10 +1086,14 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
         from bd_spark.jsonq.parser import static_path
 
         segs = static_path(args[0])
-        if segs is None or not segs or any(
-            not isinstance(s, str) for s in segs
-        ):
-            return [_err("del requires a static object-key path")]
+        if segs is None or not segs:
+            return [_err("del requires a static path")]
+        if any(not isinstance(s, str) for s in segs):
+            # int segments (del(.a[1])): the shared del_path walker
+            try:
+                return [(del_path(v, list(segs)), None)]
+            except ValueError as ex:
+                return [_err(str(ex))]
 
         def _ok(x: object, ss: tuple) -> bool:
             for k in ss:

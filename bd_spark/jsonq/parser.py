@@ -103,6 +103,38 @@ def tokenize(src: str) -> list[tuple[str, str]]:
     return toks
 
 
+def _subst(node: object, env: dict) -> object:
+    """Substitute filter-param references (bare identifiers named in
+    ``env``) with their argument ASTs — the call-by-name expansion of
+    a jq ``def``'s filter parameters.  Field access (`.f`) parses as
+    Index, not Identifier, so it is never captured.  ASTs are frozen
+    dataclasses, so shared subtrees are safe."""
+    import dataclasses
+
+    if isinstance(node, ast.Identifier) and node.name in env:
+        rep = env[node.name]
+        return ast.Try(rep) if node.opt else rep
+    if not dataclasses.is_dataclass(node):
+        return node
+    changes = {}
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name)
+        if dataclasses.is_dataclass(v):
+            nv = _subst(v, env)
+        elif isinstance(v, tuple):
+            nv = tuple(
+                _subst(x, env) if dataclasses.is_dataclass(x) else x
+                for x in v
+            )
+            if all(a is b for a, b in zip(nv, v)):
+                nv = v
+        else:
+            nv = v
+        if nv is not v:
+            changes[f.name] = nv
+    return dataclasses.replace(node, **changes) if changes else node
+
+
 def static_path(node: ast.Node) -> tuple | None:
     """The (key, ...) path a pure navigation chain denotes, or None
     if the node is not a static path (used by assignment and del)."""
@@ -125,6 +157,9 @@ class Parser:
         self.toks = tokenize(src)
         self.i = 0
         self._in_if = 0
+        # (name, arity) -> (params, body) for jq `def`; None marks a
+        # def whose body is still being parsed (recursion guard)
+        self.defs: dict[tuple[str, int], tuple | None] = {}
 
     # -- token helpers -------------------------------------------------
     def peek(self, k: int = 0) -> tuple[str, str]:
@@ -156,10 +191,83 @@ class Parser:
     def parse_program(self) -> ast.Node:
         if self.at_kind("eof"):
             return ast.Identity()  # empty program == identity (query.rs:88)
-        node = self.parse_expr()
+        node = self.parse_defs_then_expr()
         if not self.at_kind("eof"):
             raise ParseError(f"trailing input at {self.peek()[1]!r}")
         return node
+
+    # -- jq `def` (beyond-reference): parse-time macro expansion ------
+    def _at_def(self) -> bool:
+        return (
+            self.at_kind("ident")
+            and self.peek()[1] == "def"
+            and self.peek(1)[0] == "ident"
+        )
+
+    def parse_defs_then_expr(self) -> ast.Node:
+        """``def f: body; def g(x): body; expr`` — leading defs, then
+        the expression they scope over.  Calls expand inline at parse
+        time (filter params by substitution — call-by-name, like jq;
+        `$value` params via `as`-bindings, so they evaluate ONCE
+        against the call-site input).  Both engines evaluate the
+        EXPANDED tree, so defs need zero compiler/interp surface.
+        Recursive defs are rejected (no fixpoint in a macro
+        expander)."""
+        while self._at_def():
+            self._parse_def()
+        return self.parse_expr()
+
+    def _parse_def(self) -> None:
+        self.take()  # `def` (contextual: only ident-after-def forms)
+        name = self.take()[1]
+        params: list[str] = []
+        if self.at("("):
+            self.take()
+            while True:
+                kind, text = self.peek()
+                if kind in ("var", "ident"):
+                    self.take()
+                    params.append(text)
+                else:
+                    raise ParseError(
+                        f"def parameter must be name or $name, got {text!r}"
+                    )
+                if self.at(";") or self.at(","):
+                    self.take()
+                    continue
+                break
+            self.expect(")")
+        self.expect(":")
+        key = (name, len(params))
+        snapshot = dict(self.defs)
+        self.defs[key] = None  # recursion guard while body parses
+        body = self.parse_defs_then_expr()  # nested defs scope to body
+        self.expect(";")
+        self.defs = snapshot  # nested defs fall out of scope
+        self.defs[key] = (tuple(params), body)
+
+    def _expand_def(self, name: str, args: list[ast.Node]) -> ast.Node:
+        key = (name, len(args))
+        entry = self.defs.get(key)
+        if key in self.defs and entry is None:
+            raise ParseError(f"recursive def {name} is not supported")
+        if entry is None:
+            arities = sorted(k[1] for k in self.defs if k[0] == name)
+            raise ParseError(
+                f"{name}/{len(args)} is not defined (have arities {arities})"
+            )
+        params, body = entry
+        fenv: dict[str, ast.Node] = {}
+        binds: list[tuple[str, ast.Node]] = []
+        for p, a in zip(params, args):
+            if p.startswith("$"):
+                binds.append((p[1:], a))
+            else:
+                fenv[p] = a
+        out = _subst(body, fenv) if fenv else body
+        for vname, a in reversed(binds):
+            out = ast.BindAs(a, vname, out)
+        return out
 
     _PIPE_STARTERS = frozenset(
         ["(", "[", "{", ".", "!", "-"]
@@ -349,7 +457,10 @@ class Parser:
         kind, text = self.peek()
         if self.at("("):
             self.take()
-            node = self.parse_expr()
+            # `(def f: ...; expr)` — defs scope to the parens
+            snapshot = dict(self.defs)
+            node = self.parse_defs_then_expr()
+            self.defs = snapshot
             self.expect(")")
             return node
         if kind == "dotdot":
@@ -675,6 +786,19 @@ class Parser:
             return ast.Literal(name)
         if name == "if":
             return self.parse_if_tail()
+        # user `def` call — shadows builtins, expands inline
+        if any(k[0] == name for k in self.defs):
+            args: list[ast.Node] = []
+            if self.at("(") and any(
+                k[0] == name and k[1] > 0 for k in self.defs
+            ):
+                self.take()
+                args.append(self.parse_expr())
+                while self.at(";") or self.at(","):
+                    self.take()
+                    args.append(self.parse_expr())
+                self.expect(")")
+            return self._expand_def(name, args)
         if name in ("reduce", "foreach"):
             source = self.parse_segment()
             self.expect_kw("as")

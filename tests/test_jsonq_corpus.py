@@ -462,6 +462,25 @@ CORPUS = [
     (".a[0] = 5", '{"a": [1, 2]}', [{"a": [5, 2]}]),
     (".a[1] |= (. * 3)", '{"a": [1, 2]}', [{"a": [1, 6]}]),
     (".a[0] += 2", '{"a": [1, 2]}', [{"a": [3, 2]}]),
+    ("del(.a[1])", '{"a": [1, 2, 3]}', [{"a": [1, 3]}]),
+    ("del(.a[-1])", '{"a": [1, 2, 3]}', [{"a": [1, 2]}]),
+    ("del(.a[9])", '{"a": [1]}', [{"a": [1]}]),   # out of range: no-op
+    ("del(.a[0].b)", '{"a": [{"b": 1, "c": 2}]}', [{"a": [{"c": 2}]}]),
+    ("del(.a[0])", '{"a": 5}', []),               # scalar: err
+    # jq `def` — parse-time macro expansion (beyond-reference)
+    ("def double: . * 2; map(double)", "[1, 2, 3]", [[2, 4, 6]]),
+    ("def addx($x): . + $x; .[] | addx(10)", "[1, 2]", [11, 12]),
+    ("def apply(f): f | f; 5 | apply(. + 1)", "null", [7]),
+    # $value params bind ONCE against the call-site input (not
+    # re-evaluated inside the body's pipe)
+    ("def f($x): .a | . + $x; f(.b)", '{"a": 1, "b": 2}', [3]),
+    ("def clamp($lo; $hi): if . < $lo then $lo"
+     " elif . > $hi then $hi else . end; map(clamp(2; 3))",
+     "[1, 2, 5]", [[2, 2, 3]]),
+    ("def outer: (def inner: . + 1; inner | inner); outer", "5", [7]),
+    ("def inc: . + 1; def twice(f): f | f; twice(inc)", "3", [5]),
+    ("def g(f): f; g(. + 1) | g(. * 2)", "4", [10]),
+    ("def keys: 42; keys", '{"a": 1}', [42]),   # defs shadow builtins
     # map(select(f)) filters (r5: the drop flag was ignored in map)
     ("map(select(. > 2))", "[1, 3, 5]", [[3, 5]]),
     ("map(select(.ok) | .n)", '[{"ok": true, "n": 1}, {"ok": false, "n": 2}]',
