@@ -801,6 +801,52 @@ FROM p
 """
 
 
+def jq_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined functions + jq postfix brackets (beyond-reference;
+    the reference's variables/defs are disabled, lib.rs:17): zero-
+    arity defs calling defs, a 2-value-param clamp through if/elif,
+    postfix indexing/slicing on a def's output (`toks[0]`,
+    `toks[1:3]`, `toks[-1:]`), all macro-expanded at parse time into
+    one row-local Catalyst projection."""
+    docs = table(spark, "documents", sf_dir)
+    jq = JsonQ(spark)
+    stream = jq.stream_from_table(docs)
+    out = jq.run(
+        'def toks: .text / " ";'
+        " def n_toks: toks | length;"
+        " def clamp($lo; $hi):"
+        "   if . < $lo then $lo elif . > $hi then $hi else . end;"
+        " {id: .doc_id,"
+        "  n: n_toks,"
+        "  c: (n_toks | clamp(10; 50)),"
+        "  f: toks[0],"
+        "  l: (toks[-1:] | .[0]),"
+        '  s2: (toks[1:3] | join("-"))}',
+        stream,
+        ordered=False,
+    )
+    return out.select(
+        F.try_variant_get("v", "$.id", "long").alias("id"),
+        F.try_variant_get("v", "$.n", "long").alias("n"),
+        F.try_variant_get("v", "$.c", "long").alias("c"),
+        F.try_variant_get("v", "$.f", "string").alias("f"),
+        F.try_variant_get("v", "$.l", "string").alias("l"),
+        F.try_variant_get("v", "$.s2", "string").alias("s2"),
+    )
+
+
+JQ_DEFS_SQL = """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+SELECT doc_id AS id,
+       len(ws) AS n,
+       least(greatest(len(ws), 10), 50) AS c,
+       ws[1] AS f,
+       ws[len(ws)] AS l,
+       array_to_string(ws[2:3], '-') AS s2
+FROM t
+"""
+
+
 QUERIES = {
     "jq_props_k": jq_props_k,
     "jq_token_count": jq_token_count,
@@ -823,6 +869,7 @@ QUERIES = {
     "jq_paths": jq_paths,
     "jq_regex": jq_regex,
     "jq_formats": jq_formats,
+    "jq_defs": jq_defs,
 }
 
 ORACLES = {
@@ -847,4 +894,5 @@ ORACLES = {
     "jq_paths": JQ_PATHS_SQL,
     "jq_regex": JQ_REGEX_SQL,
     "jq_formats": JQ_FORMATS_SQL,
+    "jq_defs": JQ_DEFS_SQL,
 }

@@ -167,6 +167,7 @@ EXTRA = [
     "pipe_dsir_select",        # DSIR importance resampling (Gumbel top-k)
     "pipe_dedup_substring",    # windowed-hash substring dedup (Lee et al.)
     "pipe_image_neardup",      # perceptual dHash + Hamming pigeonhole join
+    "jq_defs",                 # user-defined functions + postfix brackets
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are
