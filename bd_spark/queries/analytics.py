@@ -94,12 +94,51 @@ ORDER BY 1, 2
 """
 
 
+# ------------------------------------------------- pivot / crosstab
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily × event-type revenue crosstab via DataFrame PIVOT with an
+    EXPLICIT value list: the plan is a (day, type) measure aggregate
+    feeding a pivotfirst aggregate on day — both map-side combinable
+    on uniform keys. Explicit values matter twice at 100 TB: omitting
+    them costs an eager distinct-scan JOB to discover the columns and
+    makes the output schema data-dependent downstream."""
+    ev = table(spark, "events", sf_dir)
+    out = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 6))
+    )
+    return out
+
+
+Q_PIVOT_DAILY_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       round(sum(CASE WHEN event_type = 'click' THEN value END), 6)
+         AS click,
+       round(sum(CASE WHEN event_type = 'error' THEN value END), 6)
+         AS error,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6)
+         AS purchase,
+       round(sum(CASE WHEN event_type = 'signup' THEN value END), 6)
+         AS signup,
+       round(sum(CASE WHEN event_type = 'view' THEN value END), 6)
+         AS view
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_rolling_revenue": q_rolling_revenue,
     "q_events_retention": q_events_retention,
+    "q_pivot_daily": q_pivot_daily,
 }
 
 ORACLES = {
     "q_rolling_revenue": Q_ROLLING_REVENUE_SQL,
     "q_events_retention": Q_EVENTS_RETENTION_SQL,
+    "q_pivot_daily": Q_PIVOT_DAILY_SQL,
 }

@@ -168,6 +168,7 @@ EXTRA = [
     "pipe_dedup_substring",    # windowed-hash substring dedup (Lee et al.)
     "pipe_image_neardup",      # perceptual dHash + Hamming pigeonhole join
     "jq_defs",                 # user-defined functions + postfix brackets
+    "q_pivot_daily",           # PIVOT crosstab (explicit values, one agg)
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

@@ -176,6 +176,23 @@ def test_jq_regex_rowlocal_native(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_pivot_explicit_values_two_phase(spark, sf_dir):
+    """PIVOT with an explicit value list: the (day, type) measure agg
+    feeds a pivotfirst agg on day — both exchanges on uniform keys,
+    the value list INLINED into pivotfirst (no distinct-scan job to
+    discover it), and every agg phase map-side combinable."""
+    import re
+
+    from bd_spark.queries.analytics import q_pivot_daily
+
+    plan = _plan(q_pivot_daily(spark, sf_dir))
+    assert "pivotfirst(event_type" in plan
+    assert "click, error, purchase, signup, view" in plan  # inlined
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 2, plan
+    assert "partial_pivotfirst" in plan  # map-side combine
+
+
 def test_dsir_scoring_rowlocal_takeordered(spark, sf_dir):
     """DSIR selection: after the (collected) 64-group fit, the
     returned plan is row-local scoring + TakeOrdered — no hash/range
