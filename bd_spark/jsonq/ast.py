@@ -284,19 +284,22 @@ BUILTIN_ARITY = {
     "startswith": 1,
     "endswith": 1,
     "contains": 1,
-    "test": 1,
     "join": 1,
     "split": 1,
     "getpath": 1,
     "setpath": 2,
     "paths": 0,
     "leaf_paths": 0,
-    # regex / string batch (jq manual semantics, Java-regex dialect)
-    "sub": 2,
-    "gsub": 2,
-    "scan": 1,
-    "splits": 1,
-    "capture": 1,
+    # regex / string batch (jq manual semantics, Java-regex dialect;
+    # the optional extra arg is a flag string from [gimsx] — `g`
+    # makes sub global, others prepend an inline (?ims x) group)
+    "sub": (2, 3),
+    "gsub": (2, 3),
+    "scan": (1, 2),
+    "splits": (1, 2),
+    "capture": (1, 2),
+    "match": (1, 2),
+    "test": (1, 2),
     "explode": 0,
     "implode": 0,
     "utf8bytelength": 0,

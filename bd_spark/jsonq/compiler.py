@@ -55,7 +55,7 @@ ARG1_VALUE_BUILTINS = (
 
 # generator builtins: multi-valued output, stream fan-out only
 GENERATOR_BUILTINS = ("range", "paths", "leaf_paths", "scan", "splits",
-                      "limit")
+                      "limit", "match")
 
 # arity-2 builtins whose arguments are both VALUE expressions
 ARG2_VALUE_BUILTINS = ("sub", "gsub", "pow")
@@ -503,6 +503,49 @@ def _compile_assign(node: ast.Assign) -> ColFn | None:
 
 
 _DELPATH_UDF = None
+_MATCH_UDF = None
+
+
+def _match_udf():
+    """jq `match` via the shared interp.regex_match_objects (Arrow-
+    batched; offsets/captures of an arbitrary dynamic regex are not
+    expressible as Catalyst expressions)."""
+    global _MATCH_UDF
+    if _MATCH_UDF is None:
+
+        def mt(ss, ps, gs):
+            import json as js
+            import re
+
+            import pandas as pd
+
+            from bd_spark.jsonq.interp import regex_match_objects
+
+            outs_j: list[str] = []
+            outs_e: list[str | None] = []
+            for s, p, g in zip(ss, ps, gs):
+                if s is None or p is None:
+                    outs_j.append("[]")
+                    outs_e.append(None)
+                    continue
+                try:
+                    outs_j.append(
+                        js.dumps(
+                            regex_match_objects(s, p, bool(g)),
+                            separators=(",", ":"),
+                            sort_keys=True,
+                        )
+                    )
+                    outs_e.append(None)
+                except re.error as ex:
+                    outs_j.append("[]")
+                    outs_e.append(f"match: {ex}")
+            return pd.DataFrame({"j": outs_j, "e": outs_e})
+
+        _MATCH_UDF = F.pandas_udf(
+            mt, "j string, e string", F.PandasUDFType.SCALAR
+        )
+    return _MATCH_UDF
 
 
 def _compile_del(node: ast.Builtin) -> ColFn:
@@ -2439,6 +2482,39 @@ def _elems_colfn(node: ast.Node) -> ColFn | None:
             return CV(arrout, err)
 
         return fn_regex_gen
+    if isinstance(node, ast.Builtin) and node.name == "match":
+        if is_multivalued(node.args[0]):
+            return None
+        patf = compile_col(node.args[0])
+        if patf is None:
+            return None
+        is_global = node.args[1].text == "true"
+        udf = _match_udf()
+
+        def fn_match(v: Column) -> CV:
+            pcv = patf(v)
+            t, tp = V.vtype(v), V.vtype(pcv.v)
+            out = udf(V.as_string(v), V.as_string(pcv.v), F.lit(is_global))
+            ok = (t == "string") & (tp == "string")
+            dropped = (
+                F.coalesce(pcv.drop, F.lit(False))
+                if pcv.drop is not None
+                else F.lit(False)
+            )
+            arr = F.when(
+                ok & ~dropped & out["e"].isNull(),
+                V.as_array(F.parse_json(out["j"])),
+            ).otherwise(_empty_varr())
+            err = _merge_err(
+                _merge_err(pcv.err, F.when(ok, out["e"])),
+                F.when(
+                    ~ok & ~dropped,
+                    F.concat(F.lit("match on "), t, F.lit("/"), tp),
+                ),
+            )
+            return CV(arr, err)
+
+        return fn_match
     if isinstance(node, ast.Builtin) and node.name == "limit":
         if is_multivalued(node.args[0]):
             return None
@@ -3804,11 +3880,11 @@ def compile_stream(node: ast.Node) -> StreamFn:
                 )
 
             return run_arg2
-        if node.name in ("scan", "splits", "limit"):
+        if node.name in ("scan", "splits", "limit", "match"):
             ef = _elems_colfn(node)
             if ef is None:
                 raise NotImplementedError(
-                    "limit(n; f): f must be a row-local generator"
+                    f"{node.name}: arguments must be row-local"
                 )
 
             def run_regex_gen(df: DataFrame) -> DataFrame:

@@ -548,6 +548,38 @@ def set_path(cur: object, keys: list, val: object) -> object:
     raise ValueError(f"setpath: bad path key {_tname(k)}")
 
 
+def regex_match_objects(s: str, pat: str, global_: bool) -> list[dict]:
+    """jq `match` objects (shared by the interp and the engine's
+    Arrow UDF): {offset, length, string, captures:[{offset, length,
+    string, name}]}; unmatched optional groups carry offset -1 /
+    string null, exactly like jq.  Offsets are codepoint offsets
+    (Python string indices)."""
+    import re as _re
+
+    rx = _re.compile(_pyre(pat))
+    names = {v: k for k, v in rx.groupindex.items()}
+    out: list[dict] = []
+    for m in rx.finditer(s):
+        caps = []
+        for gi in range(1, rx.groups + 1):
+            g = m.group(gi)
+            caps.append({
+                "offset": m.start(gi) if g is not None else -1,
+                "length": (m.end(gi) - m.start(gi)) if g is not None else 0,
+                "string": g,
+                "name": names.get(gi),
+            })
+        out.append({
+            "offset": m.start(),
+            "length": m.end() - m.start(),
+            "string": m.group(0),
+            "captures": caps,
+        })
+        if not global_:
+            break
+    return out
+
+
 def del_path(cur: object, keys: list) -> object:
     """Single-path delete with jq semantics (shared by the interp and
     the engine's Arrow UDF): deleting a missing key / out-of-range
@@ -1045,6 +1077,24 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
                 outs.append((hits, None))
             else:
                 outs.append(_err(f"indices on {_tname(v)}/{_tname(n)}"))
+        return outs
+    if name == "match":
+        import re as _re
+
+        global_ = args[1].text == "true"
+        outs = []
+        for a, ae in _eval(args[0], v):
+            if ae is not None:
+                outs.append((None, ae))
+            elif isinstance(v, str) and isinstance(a, str):
+                try:
+                    outs.extend(
+                        (m, None) for m in regex_match_objects(v, a, global_)
+                    )
+                except _re.error as ex:
+                    outs.append(_err(f"match: {ex}"))
+            else:
+                outs.append(_err(f"match on {_tname(v)}/{_tname(a)}"))
         return outs
     if name == "limit":
         outs = []

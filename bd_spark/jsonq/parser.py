@@ -780,6 +780,50 @@ class Parser:
             return ast.DictPair(ast.Literal(json.dumps(name)), ast.Index(name))
         raise ParseError(f"bad dict key {text!r}")
 
+    # regex builtins accepting a trailing flag-string arg; value =
+    # the arity WITHOUT flags
+    _FLAGGABLE = {"test": 1, "scan": 1, "splits": 1, "capture": 1,
+                  "match": 1, "sub": 2, "gsub": 2}
+
+    def _regex_flags_desugar(
+        self, name: str, args: list
+    ) -> tuple[str, tuple]:
+        """Fold a literal flag string into the pattern at parse time:
+        [imsx] become an inline `(?ims x)` group (understood by both
+        Java and Python regex, so zero engine surface), `g` turns sub
+        into gsub and match into match-all.  match normalizes to an
+        internal arity-2 form (pattern, global-bool)."""
+        base = self._FLAGGABLE[name]
+        flags = ""
+        if len(args) > base:
+            fl = args[base]
+            if not (isinstance(fl, ast.Literal)
+                    and fl.text.lstrip().startswith('"')):
+                raise ParseError(f"{name} flags must be a string literal")
+            flags = json.loads(fl.text)
+            bad = [c for c in flags if c not in "gimsx"]
+            if bad:
+                raise ParseError(f"unsupported regex flags {flags!r}")
+            args = args[:base]
+        if "g" in flags and name in ("test", "capture"):
+            raise ParseError(f"{name} does not accept the g flag")
+        inline = "".join(c for c in "imsx" if c in flags)
+        if inline:
+            pat = args[0]
+            pre = f"(?{inline})"
+            if isinstance(pat, ast.Literal) and pat.text.lstrip().startswith('"'):
+                newpat: ast.Node = ast.Literal(
+                    json.dumps(pre + json.loads(pat.text))
+                )
+            else:
+                newpat = ast.Binary("+", ast.Literal(json.dumps(pre)), pat)
+            args = [newpat, *args[1:]]
+        if name == "sub" and "g" in flags:
+            name = "gsub"
+        if name == "match":
+            args = [args[0], ast.Literal("true" if "g" in flags else "false")]
+        return name, tuple(args)
+
     def parse_ident_form(self) -> ast.Node:
         name = self.take()[1]
         if name in ("null", "true", "false"):
@@ -823,7 +867,8 @@ class Parser:
             return ast.Try(operand)
         if name in ast.BUILTIN_ARITY:
             arity = ast.BUILTIN_ARITY[name]
-            if arity == 0:
+            arities = (arity,) if isinstance(arity, int) else arity
+            if arities == (0,):
                 return ast.Builtin(name, ())
             self.expect("(")
             args = [self.parse_expr()]
@@ -832,8 +877,12 @@ class Parser:
                 self.take()
                 args.append(self.parse_expr())
             self.expect(")")
-            if len(args) != arity:
-                raise ParseError(f"{name} takes {arity} arg(s)")
+            if len(args) not in arities:
+                raise ParseError(
+                    f"{name} takes {'/'.join(map(str, arities))} arg(s)"
+                )
+            if name in self._FLAGGABLE:
+                name, args = self._regex_flags_desugar(name, args)
             if name == "inside":
                 # jq: def inside(xs): . as $x | xs | contains($x);
                 return ast.BindAs(

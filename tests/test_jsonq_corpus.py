@@ -481,6 +481,22 @@ CORPUS = [
     ("def inc: . + 1; def twice(f): f | f; twice(inc)", "3", [5]),
     ("def g(f): f; g(. + 1) | g(. * 2)", "4", [10]),
     ("def keys: 42; keys", '{"a": 1}', [42]),   # defs shadow builtins
+    # regex flags + match objects (jq manual; flags fold into the
+    # pattern at parse time, match shares interp logic both engines)
+    ('test("HELLO"; "i")', '"say hello"', [True]),
+    ('test("^b"; "m")', '"a\\nb"', [True]),
+    ('sub("o"; "0"; "g")', '"foo boo"', ["f00 b00"]),
+    ('gsub("A."; "-"; "is")', '"xa\\nyA z"', ["x-y-z"]),
+    ('[scan("[A-Z]+"; "i")]', '"Ab cD"', [["Ab", "cD"]]),
+    ('capture("(?<h>HEL)"; "i")', '"hello"', [{"h": "hel"}]),
+    ('match("[a-z]+") | .string', '"ab 12 cd"', ["ab"]),
+    ('match("q")', '"ab"', []),                  # no match -> empty
+    ('[match("a"; "g") | .offset]', '"banana"', [[1, 3, 5]]),
+    ('[match("[a-z]+"; "g") | .length]', '"ab 12 cde"', [[2, 3]]),
+    ('match("(?<w>[a-z]+)-(?<n>[0-9]+)?") | .captures | map(.name)',
+     '"ab-"', [["w", "n"]]),
+    ('match("(x)?(?<n>[0-9])") | .captures[0].offset', '"q7"', [-1]),
+    ('match("[")', '"x"', []),                   # bad regex -> err
     # map(select(f)) filters (r5: the drop flag was ignored in map)
     ("map(select(. > 2))", "[1, 3, 5]", [[3, 5]]),
     ("map(select(.ok) | .n)", '[{"ok": true, "n": 1}, {"ok": false, "n": 2}]',
