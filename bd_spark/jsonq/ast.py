@@ -264,7 +264,7 @@ BUILTIN_ARITY = {
     "min": 0,
     "max": 0,
     "del": 1,
-    "range": 1,
+    "range": (1, 2, 3),
     "flatten": 0,
     "to_entries": 0,
     "from_entries": 0,
@@ -333,4 +333,8 @@ BUILTIN_ARITY = {
     "@tsv": 0,
     "@base64": 0,
     "@base64d": 0,
+    # iteration (interp-backed Arrow UDFs engine-side; capped)
+    "until": 2,
+    "while": 2,
+    "repeat": 1,
 }

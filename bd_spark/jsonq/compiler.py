@@ -55,7 +55,7 @@ ARG1_VALUE_BUILTINS = (
 
 # generator builtins: multi-valued output, stream fan-out only
 GENERATOR_BUILTINS = ("range", "paths", "leaf_paths", "scan", "splits",
-                      "limit", "match")
+                      "limit", "match", "while", "repeat")
 
 # arity-2 builtins whose arguments are both VALUE expressions
 ARG2_VALUE_BUILTINS = ("sub", "gsub", "pow")
@@ -271,6 +271,8 @@ def compile_col(node: ast.Node) -> ColFn | None:
             return None  # generators need stream fan-out
         if node.name == "capture":
             return _compile_capture(node)
+        if node.name == "until":
+            return _compile_until(node)
         argfns = [compile_col(a) for a in node.args]
         if any(f is None for f in argfns):
             return None
@@ -504,6 +506,62 @@ def _compile_assign(node: ast.Assign) -> ColFn | None:
 
 _DELPATH_UDF = None
 _MATCH_UDF = None
+
+
+def _iterate_udf(kind: str, a0: ast.Node, a1: ast.Node | None):
+    """until/while/repeat: per-row interp iteration, Arrow-batched —
+    an unbounded data-dependent loop has no Catalyst expression form,
+    so the sub-ASTs ship into the UDF and interp.run_* evaluates them
+    per row (capped; see interp._ITER_CAP).  until returns one value;
+    while/repeat return a JSON array of the output burst (repeat is
+    bounded by the pushed-down limit count column)."""
+
+    def it(docs, extra=None):
+        import json as js
+
+        import pandas as pd
+
+        from bd_spark.jsonq import interp
+
+        outs_j: list[str] = []
+        outs_e: list[str | None] = []
+        rows = zip(docs, extra) if extra is not None else ((d, None) for d in docs)
+        for d, n in rows:
+            x = js.loads(d)
+            if kind == "until":
+                val, err = interp.run_until(a0, a1, x)
+            elif kind == "while":
+                val, err = interp.run_while(a0, a1, x)
+            else:  # repeat, bounded by n
+                val, err = interp.run_repeat(a0, x, int(n or 0))
+            outs_j.append(
+                js.dumps(val, separators=(",", ":"), sort_keys=True)
+            )
+            outs_e.append(err)
+        return pd.DataFrame({"j": outs_j, "e": outs_e})
+
+    if kind == "repeat":
+        return F.pandas_udf(
+            lambda docs, ns: it(docs, ns),
+            "j string, e string",
+            F.PandasUDFType.SCALAR,
+        )
+    return F.pandas_udf(
+        lambda docs: it(docs), "j string, e string", F.PandasUDFType.SCALAR
+    )
+
+
+def _compile_until(node: ast.Builtin) -> ColFn:
+    udf = _iterate_udf("until", node.args[0], node.args[1])
+
+    def fn(v: Column) -> CV:
+        out = udf(V.vjson(v))
+        return CV(
+            F.parse_json(out["j"]),
+            F.when(out["e"].isNotNull(), out["e"]),
+        )
+
+    return fn
 
 
 def _match_udf():
@@ -2515,12 +2573,55 @@ def _elems_colfn(node: ast.Node) -> ColFn | None:
             return CV(arr, err)
 
         return fn_match
+    if isinstance(node, ast.Builtin) and node.name == "while":
+        udf = _iterate_udf("while", node.args[0], node.args[1])
+
+        def fn_while(v: Column) -> CV:
+            out = udf(V.vjson(v))
+            arr = F.when(
+                out["e"].isNull(), V.as_array(F.parse_json(out["j"]))
+            ).otherwise(_empty_varr())
+            return CV(arr, F.when(out["e"].isNotNull(), out["e"]))
+
+        return fn_while
     if isinstance(node, ast.Builtin) and node.name == "limit":
         if is_multivalued(node.args[0]):
             return None
         nf = compile_col(node.args[0])
+        if nf is None:
+            return None
+        if (
+            isinstance(node.args[1], ast.Builtin)
+            and node.args[1].name == "repeat"
+        ):
+            # push the limit count INTO the bounded repeat UDF — a
+            # bare repeat is unbounded and rejected
+            udf = _iterate_udf("repeat", node.args[1].args[0], None)
+
+            def fn_limrep(v: Column) -> CV:
+                ncv = nf(v)
+                tn = V.vtype(ncv.v)
+                ok = tn == "int"
+                out = udf(
+                    V.vjson(v),
+                    F.when(ok, V.as_long(ncv.v)).otherwise(F.lit(0)),
+                )
+                arr = F.when(
+                    ok & out["e"].isNull(),
+                    V.as_array(F.parse_json(out["j"])),
+                ).otherwise(_empty_varr())
+                err = _merge_err(
+                    _merge_err(
+                        ncv.err,
+                        F.when(~ok, F.concat(F.lit("limit count on "), tn)),
+                    ),
+                    F.when(ok, out["e"]),
+                )
+                return CV(arr, err)
+
+            return fn_limrep
         inner = _elems_colfn(node.args[1])
-        if nf is None or inner is None:
+        if inner is None:
             return None
 
         def fn_limit(v: Column) -> CV:
@@ -2543,8 +2644,59 @@ def _elems_colfn(node: ast.Node) -> ColFn | None:
 
         return fn_limit
     if isinstance(node, ast.Builtin) and node.name == "range":
-        if is_multivalued(node.args[0]):
+        if any(is_multivalued(a) for a in node.args):
             return None
+        if len(node.args) == 3:
+            fns = [compile_col(a) for a in node.args]
+            if any(f is None for f in fns):
+                return None
+            ff, tf, sf2 = fns
+
+            def fn_range3(v: Column) -> CV:
+                fc, tc, sc = ff(v), tf(v), sf2(v)
+                tF, tT, tS = V.vtype(fc.v), V.vtype(tc.v), V.vtype(sc.v)
+                frm = V.as_long(fc.v)
+                to = V.as_double(tc.v)
+                step = V.as_long(sc.v)
+                # dialect: int from/step (jq also ranges over floats)
+                ok = (
+                    (tF == "int") & V.is_number(tT) & (tS == "int")
+                    & (step != 0)
+                )
+                cnt = F.greatest(
+                    F.ceil((to - frm) / step.cast("double")).cast("long"),
+                    F.lit(0),
+                )
+                err = None
+                drop = None
+                for cv in (fc, tc, sc):
+                    err = _merge_err(err, cv.err)
+                    drop = _merge_drop(drop, cv.drop)
+                dropped = (
+                    F.coalesce(drop, F.lit(False))
+                    if drop is not None
+                    else F.lit(False)
+                )
+                arr = F.when(
+                    ok & (cnt > 0) & ~dropped,
+                    F.transform(
+                        F.sequence(F.lit(0), (cnt - 1).cast("int")),
+                        lambda i: V.vlong(frm + i * step),
+                    ),
+                ).otherwise(_empty_varr())
+                err = _merge_err(
+                    err,
+                    F.when(
+                        ~ok & ~dropped,
+                        F.concat(
+                            F.lit("range on "), tF, F.lit("/"), tT,
+                            F.lit("/"), tS,
+                        ),
+                    ),
+                )
+                return CV(arr, err)
+
+            return fn_range3
         argf = compile_col(node.args[0])
         if argf is None:
             return None
@@ -2901,6 +3053,9 @@ def compile_packed(node: ast.Node) -> PFn | None:  # noqa: PLR0911, PLR0912
                 cf = _compile_capture(node)
             except NotImplementedError:
                 return None
+            return lambda p: _pk_chain(p, cf)
+        if name == "until":
+            cf = _compile_until(node)
             return lambda p: _pk_chain(p, cf)
         if not node.args:
             return lambda p: _pk_chain(
@@ -3866,6 +4021,8 @@ def compile_stream(node: ast.Node) -> StreamFn:
             return lift(_compile_del(node))
         if node.name == "capture":
             return lift(_compile_capture(node))
+        if node.name == "until":
+            return lift(_compile_until(node))
         if node.name in ARG2_VALUE_BUILTINS:
             b0, b1 = node.args
             bname = node.name
@@ -3880,7 +4037,14 @@ def compile_stream(node: ast.Node) -> StreamFn:
                 )
 
             return run_arg2
-        if node.name in ("scan", "splits", "limit", "match"):
+        if node.name in ("scan", "splits", "limit", "match", "while",
+                         "repeat") or (
+            node.name == "range" and len(node.args) == 3
+        ):
+            if node.name == "repeat":
+                raise NotImplementedError(
+                    "repeat is unbounded — wrap in limit(n; repeat(f))"
+                )
             ef = _elems_colfn(node)
             if ef is None:
                 raise NotImplementedError(

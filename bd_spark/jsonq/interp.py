@@ -122,8 +122,13 @@ def _eval(node: ast.Node, v: object) -> list[Entry]:  # noqa: PLR0911, PLR0912
     if isinstance(node, ast.ListCons):
         if node.expr is None:
             return [([], None)]
-        vals = [x for x, err in _eval(node.expr, v) if err is None]
-        return [(vals, None)]
+        outs = _eval(node.expr, v)
+        # an error in the burst errors the whole collect (matches the
+        # engine, which carries one err per row)
+        for _, err in outs:
+            if err is not None:
+                return [(None, err)]
+        return [(vals, None) for vals in [[x for x, _ in outs]]]
 
     if isinstance(node, ast.DictCons):
         return _dict_cons(node.pairs, v)
@@ -546,6 +551,73 @@ def set_path(cur: object, keys: list, val: object) -> object:
         lst[i] = set_path(lst[i], keys[1:], val)
         return lst
     raise ValueError(f"setpath: bad path key {_tname(k)}")
+
+
+_ITER_CAP = 100_000
+
+
+def run_until(cond: "ast.Node", update: "ast.Node", v: object):
+    """jq until(cond; update) -> (value, err). Dialect: cond/update
+    contribute their FIRST output (jq fans out multi-valued updates
+    combinatorially); iteration is capped — shared by the interp and
+    the engine's Arrow UDF."""
+    x = v
+    for _ in range(_ITER_CAP):
+        cs = _eval(cond, x)
+        if not cs:
+            return None, "until: cond produced empty"
+        c0, ce = cs[0]
+        if ce is not None:
+            return None, ce
+        if _truthy(c0):
+            return x, None
+        us = _eval(update, x)
+        if not us:
+            return None, "until: update produced empty"
+        x, ue = us[0]
+        if ue is not None:
+            return None, ue
+    return None, "until: iteration limit exceeded"
+
+
+def run_while(cond: "ast.Node", update: "ast.Node", v: object):
+    """jq while(cond; update) -> (outputs, err). Same dialect notes
+    as run_until; an error wipes the burst (the engine's elems model
+    carries one err per row, not per element)."""
+    outs: list = []
+    x = v
+    for _ in range(_ITER_CAP):
+        cs = _eval(cond, x)
+        if not cs:
+            return [], "while: cond produced empty"
+        c0, ce = cs[0]
+        if ce is not None:
+            return [], ce
+        if not _truthy(c0):
+            return outs, None
+        outs.append(x)
+        us = _eval(update, x)
+        if not us:
+            return [], "while: update produced empty"
+        x, ue = us[0]
+        if ue is not None:
+            return [], ue
+    return [], "while: iteration limit exceeded"
+
+
+def run_repeat(f: "ast.Node", v: object, n: int):
+    """First n outputs of jq repeat(f) -> (outputs, err)."""
+    outs: list = []
+    x = v
+    for _ in range(max(n, 0)):
+        outs.append(x)
+        us = _eval(f, x)
+        if not us:
+            return [], "repeat: body produced empty"
+        x, ue = us[0]
+        if ue is not None:
+            return [], ue
+    return outs, None
 
 
 def regex_match_objects(s: str, pat: str, global_: bool) -> list[dict]:
@@ -1096,13 +1168,36 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
             else:
                 outs.append(_err(f"match on {_tname(v)}/{_tname(a)}"))
         return outs
+    if name == "until":
+        val, err = run_until(args[0], args[1], v)
+        return [(val, err)] if err is not None else [(val, None)]
+    if name == "while":
+        vals, err = run_while(args[0], args[1], v)
+        if err is not None:
+            return [(None, err)]
+        return [(x, None) for x in vals]
+    if name == "repeat":
+        # unbounded generator: only meaningful under limit(n; ...),
+        # which evaluates it bounded — bare repeat is an error
+        return [_err("repeat: unbounded (wrap in limit(n; repeat(f)))")]
     if name == "limit":
         outs = []
+        inner = args[1]
         for n, ne in _eval(args[0], v):
             if ne is not None:
                 outs.append((None, ne))
             elif isinstance(n, int) and not isinstance(n, bool):
-                outs.extend(_eval(args[1], v)[: max(n, 0)])
+                if (
+                    isinstance(inner, ast.Builtin)
+                    and inner.name == "repeat"
+                ):
+                    vals, err = run_repeat(inner.args[0], v, n)
+                    if err is not None:
+                        outs.append((None, err))
+                    else:
+                        outs.extend((x, None) for x in vals)
+                else:
+                    outs.extend(_eval(inner, v)[: max(n, 0)])
             else:
                 outs.append(_err(f"limit count on {_tname(n)}"))
         return outs
@@ -1167,6 +1262,36 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
         if not _ok(v, segs):
             return [_err("cannot delete path ." + ".".join(segs))]
         return [(_del_in(v, segs), None)]
+    if name == "range" and len(args) == 3:
+        outs = []
+        for f0, fe in _eval(args[0], v):
+            if fe is not None:
+                outs.append((None, fe))
+                continue
+            for t0, te in _eval(args[1], v):
+                if te is not None:
+                    outs.append((None, te))
+                    continue
+                for s0, se in _eval(args[2], v):
+                    if se is not None:
+                        outs.append((None, se))
+                    elif (
+                        isinstance(f0, int) and not isinstance(f0, bool)
+                        and _is_num(t0)
+                        and isinstance(s0, int) and not isinstance(s0, bool)
+                        and s0 != 0
+                    ):
+                        # dialect: int from/step (matches the engine)
+                        i = f0
+                        while (i < t0) if s0 > 0 else (i > t0):
+                            outs.append((i, None))
+                            i += s0
+                    else:
+                        outs.append(_err(
+                            f"range on {_tname(f0)}/{_tname(t0)}/"
+                            f"{_tname(s0)}"
+                        ))
+        return outs
     if name == "range":
         outs = []
         for a, ae in _eval(args[0], v):

@@ -883,6 +883,10 @@ class Parser:
                 )
             if name in self._FLAGGABLE:
                 name, args = self._regex_flags_desugar(name, args)
+            if name == "range" and len(args) == 2:
+                # normalize range(a; b) -> range(a; b; 1); range(n)
+                # keeps its dedicated 1-arg path
+                args = [args[0], args[1], ast.Literal("1")]
             if name == "inside":
                 # jq: def inside(xs): . as $x | xs | contains($x);
                 return ast.BindAs(

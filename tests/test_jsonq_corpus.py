@@ -497,6 +497,18 @@ CORPUS = [
      '"ab-"', [["w", "n"]]),
     ('match("(x)?(?<n>[0-9])") | .captures[0].offset', '"q7"', [-1]),
     ('match("[")', '"x"', []),                   # bad regex -> err
+    # multi-arity range + iteration builtins (until/while/repeat)
+    ("[range(2; 8; 2)]", "null", [[2, 4, 6]]),
+    ("range(1; 4)", "null", [1, 2, 3]),
+    ("[range(5; 1; -2)]", "null", [[5, 3]]),
+    ("[range(0; 3; 0)]", "null", []),            # zero step -> err
+    ("[limit(3; range(0; 100; 7))]", "null", [[0, 7, 14]]),
+    ("until(. > 100; . * 2)", "3", [192]),
+    ("until(. >= 5; . + 1)", "0", [5]),
+    ("[while(. < 20; . * 2)]", "3", [[3, 6, 12]]),
+    ("[while(false; .)]", "1", [[]]),
+    ("[limit(4; repeat(. * 2))]", "3", [[3, 6, 12, 24]]),
+    ("until(false; .)", "1", []),                # cap -> err
     # map(select(f)) filters (r5: the drop flag was ignored in map)
     ("map(select(. > 2))", "[1, 3, 5]", [[3, 5]]),
     ("map(select(.ok) | .n)", '[{"ok": true, "n": 1}, {"ok": false, "n": 2}]',
