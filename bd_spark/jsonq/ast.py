@@ -270,7 +270,7 @@ BUILTIN_ARITY = {
     "from_entries": 0,
     "type": 0,
     "not": 0,
-    "first": 0,
+    "first": (0, 1),
     "last": 0,
     "tojson": 0,
     "fromjson": 0,

@@ -883,6 +883,9 @@ class Parser:
                 )
             if name in self._FLAGGABLE:
                 name, args = self._regex_flags_desugar(name, args)
+            if name == "first" and len(args) == 1:
+                # jq: def first(f): limit(1; f);
+                return ast.Builtin("limit", (ast.Literal("1"), args[0]))
             if name == "range" and len(args) == 2:
                 # normalize range(a; b) -> range(a; b; 1); range(n)
                 # keeps its dedicated 1-arg path

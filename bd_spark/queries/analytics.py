@@ -131,14 +131,49 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------- rank-family windows
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-function family in one window: ntile quartiles,
+    percent_rank, cume_dist, and dense_rank over order totalprice
+    within each order priority — one shuffle on the partition key,
+    deterministic tie-break on o_orderkey so every engine agrees
+    bit-for-bit."""
+    orders = table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+Q_WINDOW_RANKS_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       dense_rank() OVER w AS drank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 QUERIES = {
     "q_rolling_revenue": q_rolling_revenue,
     "q_events_retention": q_events_retention,
     "q_pivot_daily": q_pivot_daily,
+    "q_window_ranks": q_window_ranks,
 }
 
 ORACLES = {
     "q_rolling_revenue": Q_ROLLING_REVENUE_SQL,
     "q_events_retention": Q_EVENTS_RETENTION_SQL,
     "q_pivot_daily": Q_PIVOT_DAILY_SQL,
+    "q_window_ranks": Q_WINDOW_RANKS_SQL,
 }

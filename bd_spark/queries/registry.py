@@ -169,6 +169,7 @@ EXTRA = [
     "pipe_image_neardup",      # perceptual dHash + Hamming pigeonhole join
     "jq_defs",                 # user-defined functions + postfix brackets
     "q_pivot_daily",           # PIVOT crosstab (explicit values, one agg)
+    "q_window_ranks",          # ntile/percent_rank/cume_dist/dense_rank
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

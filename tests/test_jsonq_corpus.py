@@ -509,6 +509,8 @@ CORPUS = [
     ("[while(false; .)]", "1", [[]]),
     ("[limit(4; repeat(. * 2))]", "3", [[3, 6, 12, 24]]),
     ("until(false; .)", "1", []),                # cap -> err
+    ("first(.[] | select(. > 2))", "[1, 3, 5]", [3]),
+    ('[first(scan("[a-z]+"))]', '"ab cd"', [["ab"]]),
     # map(select(f)) filters (r5: the drop flag was ignored in map)
     ("map(select(. > 2))", "[1, 3, 5]", [[3, 5]]),
     ("map(select(.ok) | .n)", '[{"ok": true, "n": 1}, {"ok": false, "n": 2}]',
