@@ -271,7 +271,8 @@ BUILTIN_ARITY = {
     "type": 0,
     "not": 0,
     "first": (0, 1),
-    "last": 0,
+    "last": (0, 1),
+    "nth": (1, 2),
     "tojson": 0,
     "fromjson": 0,
     "sort_by": 1,

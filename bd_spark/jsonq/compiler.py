@@ -4047,6 +4047,10 @@ def compile_stream(node: ast.Node) -> StreamFn:
                 )
             ef = _elems_colfn(node)
             if ef is None:
+                if node.name == "limit":
+                    # inner stream isn't row-local renderable (piped
+                    # generators, nested fan-out): generic take-n
+                    return _stream_limit(node.args[0], node.args[1])
                 raise NotImplementedError(
                     f"{node.name}: arguments must be row-local"
                 )
@@ -4258,6 +4262,52 @@ def _stream_itervalues(opt: bool) -> StreamFn:
 def _burst_pos(df: DataFrame, g: str) -> DataFrame:
     w = Window.partitionBy(g).orderBy("ord")
     return df.withColumn("__pos", (F.row_number().over(w) - 1).cast("long"))
+
+
+def _stream_limit(narg: ast.Node, fexpr: ast.Node) -> StreamFn:
+    """Generic stream-tier `limit(n; f)` (jq `def first(f): limit(1; f)`;
+    reference burst-position machinery entry.rs:50-86): evaluate `n`
+    row-locally against the input, run `f` through the stream tier,
+    then keep the first n burst rows per input entry — one row_number
+    over the lexicographic `ord` path, partitioned by the entry
+    identity captured BEFORE `f` fans out. Interp parity: error
+    entries emitted by `f` count toward the limit; an error evaluating
+    `n` yields one error row; n <= 0 is an empty stream (the row
+    disappears)."""
+    if is_multivalued(narg):
+        raise NotImplementedError("limit: count must be single-valued")
+    ff = compile_stream(fexpr)
+
+    def run(df: DataFrame) -> DataFrame:
+        g, nn = _fresh("g"), _fresh("ln")
+        cnt, pre, rn = _fresh("lc"), _fresh("lp"), _fresh("lr")
+        base = df.withColumn(g, F.struct("seq", "ord"))
+        base, ncv = _stage_cv(base, narg, nn)
+        tn = V.vtype(ncv.v)
+        nerr = _merge_err(
+            ncv.err,
+            F.when(tn != "int", F.concat(F.lit("limit count on "), tn)),
+        )
+        base = base.withColumns({
+            cnt: F.when(
+                F.col("err").isNull()
+                & (nerr.isNull() if nerr is not None else F.lit(True)),
+                F.greatest(V.as_long(ncv.v), F.lit(0).cast("long")),
+            ),
+            "err": F.coalesce(F.col("err"), nerr)
+            if nerr is not None else F.col("err"),
+        })
+        # pre-existing errors (incl. a bad count) pass through f as one
+        # row and must survive the take-n filter
+        base = base.withColumn(pre, F.col("err").isNotNull())
+        base = base.drop(f"{nn}_v", f"{nn}_e")
+        out = ff(base)
+        w = Window.partitionBy(g).orderBy("ord")
+        out = out.withColumn(rn, F.row_number().over(w))
+        out = out.where(F.col(pre) | (F.col(rn) <= F.col(cnt)))
+        return out.drop(g, cnt, pre, rn)
+
+    return run
 
 
 def _stream_iter(items: tuple[ast.Node, ...]) -> StreamFn:

@@ -868,7 +868,10 @@ class Parser:
         if name in ast.BUILTIN_ARITY:
             arity = ast.BUILTIN_ARITY[name]
             arities = (arity,) if isinstance(arity, int) else arity
-            if arities == (0,):
+            if 0 in arities and not self.at("("):
+                # zero-arg form of a builtin that may also take args
+                # (e.g. bare `first` vs `first(f)`): take the no-paren
+                # path whenever 0 is an accepted arity
                 return ast.Builtin(name, ())
             self.expect("(")
             args = [self.parse_expr()]
@@ -886,6 +889,85 @@ class Parser:
             if name == "first" and len(args) == 1:
                 # jq: def first(f): limit(1; f);
                 return ast.Builtin("limit", (ast.Literal("1"), args[0]))
+            if name == "last" and len(args) == 1:
+                # jq: def last(f): reduce f as $x (null; $x);
+                # == [f] | if length == 0 then null else .[-1] end
+                # (the explicit guard matches reduce's null init on an
+                # empty stream — bare .[-1] on [] is out-of-bounds in
+                # this dialect, util.rs:25-29 neg-wrap)
+                return ast.Pipe(
+                    ast.ListCons(args[0]),
+                    ast.If(
+                        (
+                            (
+                                ast.Binary(
+                                    "==",
+                                    ast.Builtin("length", ()),
+                                    ast.Literal("0"),
+                                ),
+                                ast.Literal("null"),
+                            ),
+                        ),
+                        ast.Index(-1),
+                    ),
+                )
+            if name == "nth" and len(args) == 1:
+                # jq: def nth($n): .[$n]; (dynamic index via getpath)
+                return ast.Builtin("getpath", (ast.ListCons(args[0]),))
+            if name == "nth" and len(args) == 2:
+                # jq: def nth($n; g): if $n < 0 then error
+                #     else last(limit($n + 1; g)) end;
+                # (jq quirk preserved: a stream shorter than n+1
+                # yields its LAST element, not an error)
+                var = "__nth"
+                return ast.BindAs(
+                    args[0],
+                    var,
+                    ast.If(
+                        (
+                            (
+                                ast.Binary(
+                                    "<", ast.Var(var), ast.Literal("0")
+                                ),
+                                ast.Builtin(
+                                    "error",
+                                    (ast.Literal(
+                                        '"nth doesn\'t support negative'
+                                        ' indices"'
+                                    ),),
+                                ),
+                            ),
+                        ),
+                        ast.Pipe(
+                            ast.ListCons(
+                                ast.Builtin(
+                                    "limit",
+                                    (
+                                        ast.Binary(
+                                            "+",
+                                            ast.Var(var),
+                                            ast.Literal("1"),
+                                        ),
+                                        args[1],
+                                    ),
+                                )
+                            ),
+                            ast.If(
+                                (
+                                    (
+                                        ast.Binary(
+                                            "==",
+                                            ast.Builtin("length", ()),
+                                            ast.Literal("0"),
+                                        ),
+                                        ast.Literal("null"),
+                                    ),
+                                ),
+                                ast.Index(-1),
+                            ),
+                        ),
+                    ),
+                )
             if name == "range" and len(args) == 2:
                 # normalize range(a; b) -> range(a; b; 1); range(n)
                 # keeps its dedicated 1-arg path

@@ -1,25 +1,32 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a FINAL
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "file": "bench_results.json"}.
 
-Each query is executed as a full action (count of the result) after a
-warm-up of the session; per-query wall time includes planning +
-execution, which is what a user sees.
+Driver-contract constraints (VERDICT r5 wrong #2 — the consuming
+driver keeps only the LAST ~2000 chars of stdout and parses the last
+line found there):
+- the final line is kept compact (gate-query warm timings only,
+  2-decimal rounding, compact separators) so it always fits the tail;
+- EXTRA/bench-only warm timings and all cold timings are printed as
+  separate, earlier stdout lines;
+- the COMPLETE record (warm + cold for every query, 3-decimal) is
+  also written to ``bench_results.json`` at the repo root, which is
+  committed per round — nothing is lost to tail truncation again.
+
+Evaluation-forcing action (VERDICT r5 wrong #3): ``df.count()`` lets
+Catalyst prune unreferenced projections, so pure-projection queries
+were timed as parquet scans. Each query now runs through ``_force``:
+one aggregate over a string rendering of EVERY output column, which
+provably evaluates the whole result (tests/test_plans.py asserts the
+optimized plan keeps all columns).
 
 Noise isolation (VERDICT r3 #5): each query runs
 $SPARK_GRAFT_BENCH_RUNS times (default 2) and reports the per-query
-MINIMUM — one shared-JVM run per query was observed doubling
-untouched queries' times (GC/codegen-cache ordering effects), making
-real regressions indistinguishable from noise.
-
-Cold-run visibility (VERDICT r4 wrong #3a): min-of-N composes with
-the JsonQ compiled-plan cache, hiding first-run plan-build cost. The
-output therefore also carries ``queries_cold`` — each query's FIRST
-run (plan build + execution, what a fresh session pays once) — so a
-plan-build regression can't hide behind the warm minimum.
+MINIMUM. Cold visibility (VERDICT r4 wrong #3a): each query's FIRST
+run is recorded separately as its cold time.
 """
 
 from __future__ import annotations
@@ -31,9 +38,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
 from __spark_entry__ import queries  # noqa: E402
 from bd_spark.queries.registry import bench_only_queries, extra_queries  # noqa: E402
 from bd_spark.session import get_spark  # noqa: E402
+
+
+def _force(df: DataFrame) -> None:
+    """Evaluate EVERY output column of df with one aggregate action.
+
+    cast-to-string covers all output types the queries produce
+    (numeric, string, array, struct, map, variant-as-json, binary);
+    concat_ws + length + max reduces to a single driver-side long, so
+    nothing but the aggregate crosses the JVM boundary. Referencing
+    every column defeats Catalyst's column pruning — this is the
+    "materialize the result" cost a user actually pays.
+    """
+    cols = [F.col(c).cast("string") for c in df.columns]
+    df.select(
+        F.max(F.length(F.concat_ws("\x00", *cols))).alias("__force")
+    ).collect()
 
 
 def main() -> None:
@@ -46,7 +72,8 @@ def main() -> None:
     # gate queries plus the pytest-gated EXTRA tranche plus the
     # bench-only sketch queries — timing continuity for every
     # implemented query across rounds
-    qs = dict(queries())
+    gate = dict(queries())
+    qs = dict(gate)
     qs.update(extra_queries())
     qs.update(bench_only_queries())
     # warm up the JVM + parquet footer caches with a trivial action
@@ -59,8 +86,7 @@ def main() -> None:
         for i in range(runs):
             t0 = time.perf_counter()
             try:
-                df = fn(spark, sf_dir)
-                df.count()
+                _force(fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
                 if i == 0:
                     cold[name] = round(dt, 3)
@@ -72,14 +98,46 @@ def main() -> None:
                 break
         timings[name] = round(best, 3)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(json.dumps({
+
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
         "sf": sf,
-    }))
+        "runs": runs,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_results.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    compact = {"separators": (",", ":")}
+    # earlier lines: cold + non-gate warm (informational; may be cut
+    # by the driver's tail buffer — the file above is authoritative)
+    print(json.dumps({"queries_cold": cold}, **compact))
+    extra_warm = {n: round(t, 2) for n, t in timings.items() if n not in gate}
+    print(json.dumps({"queries_extra": extra_warm}, **compact))
+    # LAST line: the driver-parsed record — gate warm timings only,
+    # 2-decimal, compact — must stay well under the ~2000-char tail
+    line = json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(timings[n], 2) for n in gate},
+        "sf": sf,
+        "file": "bench_results.json",
+    }, **compact)
+    if len(line) > 1900:  # hard driver-contract guard
+        line = json.dumps({
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {},
+            "sf": sf,
+            "file": "bench_results.json",
+        }, **compact)
+    print(line)
     spark.stop()
 
 

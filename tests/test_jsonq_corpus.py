@@ -511,6 +511,22 @@ CORPUS = [
     ("until(false; .)", "1", []),                # cap -> err
     ("first(.[] | select(. > 2))", "[1, 3, 5]", [3]),
     ('[first(scan("[a-z]+"))]', '"ab cd"', [["ab"]]),
+    # generic stream-tier limit (r6): piped/nested generators
+    ("[limit(2; .[] | select(. > 1))]", "[1, 2, 3, 4]", [[2, 3]]),
+    ("[limit(3; .[] | .[])]", "[[1, 2], [3, 4], [5]]", [[1, 2, 3]]),
+    ("[limit(0; .[])]", "[1, 2, 3]", [[]]),
+    ("[limit(-1; .[])]", "[1, 2, 3]", [[]]),
+    ("[limit(10; .[] | select(. > 1))]", "[1, 2, 3]", [[2, 3]]),
+    ("first(.[] | .x)", '[{"x": 7}, {"x": 8}]', [7]),
+    # last(f) / nth(n; f) / nth(n) desugars (r6)
+    ("last(.[])", "[1, 2, 3]", [3]),
+    ("last(.[] | select(. < 3))", "[1, 2, 3]", [2]),
+    ("last(.[])", "[]", [None]),
+    ("nth(1; .[])", "[10, 20, 30]", [20]),
+    ("nth(5; .[])", "[10, 20, 30]", [30]),   # jq quirk: short stream
+    ("nth(1)", "[10, 20, 30]", [20]),
+    ("nth(2; .[] | select(. > 1))", "[1, 2, 3, 4, 5]", [4]),
+    ("nth(0; empty)", "null", [None]),
     # map(select(f)) filters (r5: the drop flag was ignored in map)
     ("map(select(. > 2))", "[1, 3, 5]", [[3, 5]]),
     ("map(select(.ok) | .n)", '[{"ok": true, "n": 1}, {"ok": false, "n": 2}]',

