@@ -249,3 +249,87 @@ def test_cli_cbor_and_msgpack_files(spark, tmp_path, capsys):
     pm.write_bytes(msgpack.encode({"x": [1, 2, 3]}) + msgpack.encode({"x": []}))
     assert main(["--format", "msgpack", ".x | length", str(pm)]) == 0
     assert capsys.readouterr().out == "3\n0\n"
+
+
+def test_canon_jvm_differential(spark):
+    """The all-Catalyst canonicalizer (_canon_jvm) must byte-match the
+    Python canonicalizer on every float/escape shape, or emit the
+    sentinel (>= 16 significant digits, where shortest-round-trip
+    needs repr — includes Java 17's non-shortest Double.toString
+    renderings like 1e23 -> 9.999999999999999E22)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from bd_spark.jsonq.canonical import canonicalize
+    from bd_spark.sources.jsons import _CANON_SENTINEL, _canon_jvm
+
+    docs = [
+        {"a": 10.2, "z": 1}, {"x": 0.2}, {"x": 100.0}, [1, 2, 3.5],
+        {"neg": -0.00345}, {"zero": 0.0}, {"nzero": -0.0},
+        {"tiny": 1e-5}, {"exact": 1234.625},
+        {"s": "has 1.5 inside and \x1f control"},
+        {"nested": {"q": [2.5, {"r": -7.125}]}},
+        {"mix": [1, "ab", 3.25, True, None]},
+        {"longint": 12345678901234567890},
+        {"halves": [0.5, 1.5, 2.5, 122.5]},
+        {"e": 2.718281828}, {"many": 0.1},
+        "plain string", 42, True, None, 3.14,
+        {"ctrl": "tab\there\nnewline \x01 unit"},
+    ]
+    sentinel_docs = [
+        {"big": 1e23},                    # Java 17 non-shortest double
+        {"long16": 0.1234567890123456},
+        {"long17": 0.12345678901234567},
+    ]
+    rows = [(i, _json.dumps(d)) for i, d in enumerate(docs + sentinel_docs)]
+    df = spark.createDataFrame(rows, "seq long, txt string").select(
+        "seq", F.to_json(F.parse_json(F.col("txt"))).alias("j"))
+    out = {r.seq: (r.j, r.line) for r in df.select(
+        "seq", "j", _canon_jvm(F.col("j")).alias("line")).collect()}
+    for i in range(len(docs)):
+        j, line = out[i]
+        assert _CANON_SENTINEL not in line, docs[i]
+        assert line == canonicalize(_json.loads(j, parse_float=float)), docs[i]
+    for i in range(len(docs), len(docs) + len(sentinel_docs)):
+        assert _CANON_SENTINEL in out[i][1], sentinel_docs[i - len(docs)]
+
+
+def test_canon_jvm_fuzz_floats(spark):
+    """Randomized float corpus: every <= 15-significant-digit mantissa
+    the JVM path rewrites must byte-match format_float; >= 16 must
+    sentinel out to Python."""
+    import json as _json
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bd_spark.jsonq.canonical import canonicalize
+    from bd_spark.sources.jsons import _CANON_SENTINEL, _canon_jvm
+
+    rng = random.Random(0xBD06)
+    vals = []
+    for _ in range(300):
+        kind = rng.randrange(4)
+        if kind == 0:
+            vals.append(round(rng.uniform(-1e6, 1e6), rng.randrange(1, 7)))
+        elif kind == 1:
+            vals.append(rng.randrange(1, 10**6) / 2 ** rng.randrange(1, 10))
+        elif kind == 2:
+            vals.append(float(f"{rng.randrange(1, 999)}e{rng.randrange(-20, 20)}"))
+        else:
+            vals.append(rng.random())  # 17ish digits -> often sentinel
+    rows = [(i, _json.dumps({"x": v})) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "seq long, txt string").select(
+        "seq", F.to_json(F.parse_json(F.col("txt"))).alias("j"))
+    out = {r.seq: (r.j, r.line) for r in df.select(
+        "seq", "j", _canon_jvm(F.col("j")).alias("line")).collect()}
+    n_sentinel = 0
+    for i, v in enumerate(vals):
+        j, line = out[i]
+        if _CANON_SENTINEL in line:
+            n_sentinel += 1
+            continue
+        assert line == canonicalize(_json.loads(j, parse_float=float)), (v, j)
+    # the random corpus must exercise BOTH paths
+    assert 0 < n_sentinel < len(vals)
