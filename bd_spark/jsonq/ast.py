@@ -227,6 +227,17 @@ class Foreach(Node):
 
 
 @dataclass(frozen=True)
+class DefCall(Node):
+    """Self-referential user-``def`` call placeholder, created ONLY
+    while parsing that def's own body; resolved by bounded expansion
+    at the end of ``Parser._parse_def`` (never reaches the compiler
+    or the interpreter)."""
+
+    name: str
+    args: tuple[Node, ...]
+
+
+@dataclass(frozen=True)
 class StrInterp(Node):
     """``"a \\(E) b"`` string interpolation (beyond-reference, jq).
     ``parts`` mixes literal str fragments and Nodes; node results
@@ -273,6 +284,7 @@ BUILTIN_ARITY = {
     "first": (0, 1),
     "last": (0, 1),
     "nth": (1, 2),
+    "map_values": 1,
     "tojson": 0,
     "fromjson": 0,
     "sort_by": 1,

@@ -4581,6 +4581,92 @@ def _stream_recurse() -> StreamFn:
     return run
 
 
+def _node_count(node: object) -> int:
+    """AST size (dataclass nodes, nested tuples included)."""
+    import dataclasses
+
+    n = 0
+    if dataclasses.is_dataclass(node):
+        n = 1
+        for f in dataclasses.fields(node):
+            n += _node_count(getattr(node, f.name))
+    elif isinstance(node, tuple):
+        for x in node:
+            n += _node_count(x)
+    return n
+
+
+# Above this AST size the staged compiler's Catalyst tree stops being
+# worth building: bounded-recursion def expansion (parser
+# _DEF_RECURSION_CAP_*) legitimately produces hundreds of body
+# copies (nested map lambdas 32 deep hang Catalyst analysis), while
+# every hand-written registered query measures <= ~25 nodes. Such
+# queries evaluate through the Arrow-batched whole-query interp tier
+# instead — row-local, lazily evaluated (only taken branches), same
+# semantics by construction (the interp is the differential twin).
+_INTERP_TIER_NODES = 300
+
+
+def _interp_tier(node: ast.Node) -> StreamFn:
+    """Whole-query Arrow-batched interp evaluation: ship the AST into
+    one mapInPandas; each input's output burst fans out with
+    `.[]`-style ord bookkeeping; upstream error rows pass through.
+    100 TB shape: row-local (no shuffle), Arrow both ways; floats
+    survive the parse_json boundary via interp.dumps_tagged."""
+
+    def run(df: DataFrame) -> DataFrame:
+        if _carries(df):
+            raise NotImplementedError(
+                "interp tier supports core-column streams only"
+            )
+
+        def batches(it):
+            import json as _j
+
+            import pandas as pd
+
+            from bd_spark.jsonq import interp
+
+            for pdf in it:
+                rows = {"seq": [], "ord": [], "j": [], "err": []}
+                for seq, ordv, vj, err in zip(
+                    pdf["seq"], pdf["ord"], pdf["vj"], pdf["err"]
+                ):
+                    base = list(ordv)
+                    if err is not None:
+                        rows["seq"].append(seq)
+                        rows["ord"].append(base)
+                        rows["j"].append("null")
+                        rows["err"].append(err)
+                        continue
+                    outs = interp.run(node, _j.loads(vj))
+                    for pos, (ov, oe) in enumerate(outs):
+                        rows["seq"].append(seq)
+                        rows["ord"].append(base + [pos])
+                        rows["j"].append(
+                            "null" if oe is not None
+                            else interp.dumps_tagged(ov)
+                        )
+                        rows["err"].append(oe)
+                yield pd.DataFrame(rows)
+
+        src = df.select(
+            "seq", "ord", V.vjson(F.col("v")).alias("vj"), "err"
+        )
+        out = src.mapInPandas(
+            batches, "seq long, ord array<bigint>, j string, err string"
+        )
+        return out.select(
+            "seq", "ord", F.parse_json("j").alias("v"), "err"
+        )
+
+    return run
+
+
 def compile_query(node: ast.Node) -> StreamFn:
-    """Top-level compile entry point."""
+    """Top-level compile entry point: staged Catalyst compilation,
+    except for very large trees (bounded-recursion def expansion),
+    which evaluate through the Arrow-batched interp tier."""
+    if _node_count(node) > _INTERP_TIER_NODES:
+        return _interp_tier(node)
     return compile_stream(node)

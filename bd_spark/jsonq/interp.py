@@ -40,6 +40,32 @@ def run_values(node: ast.Node, doc: object) -> list[object]:
     return [v for v, err in run(node, doc) if err is None]
 
 
+def dumps_tagged(v: object) -> str:
+    """JSON text whose numeric tower SURVIVES a parse_json round-trip:
+    plain json.dumps renders the float 4.0 as "4.0", which parse_json
+    normalizes into the INT tower (DECIMAL) — appending E0 keeps it
+    DOUBLE (same trick as vexpr.vjson). Non-float values dump
+    compactly; NaN/Inf cannot occur (dialect arithmetic yields null
+    for ÷0, json input has no literals for them)."""
+    import json as _j
+
+    if isinstance(v, float):
+        s = repr(v)
+        return s if ("e" in s or "E" in s) else s + "E0"
+    if isinstance(v, (dict, list)):
+        if isinstance(v, dict):
+            return (
+                "{"
+                + ",".join(
+                    f"{_j.dumps(k, ensure_ascii=False)}:{dumps_tagged(x)}"
+                    for k, x in v.items()
+                )
+                + "}"
+            )
+        return "[" + ",".join(dumps_tagged(x) for x in v) + "]"
+    return _j.dumps(v, ensure_ascii=False, separators=(",", ":"))
+
+
 def _eval_stream(node: ast.Node, entries: Iterable[Entry]) -> Iterable[Entry]:
     for v, err in entries:
         if err is not None:

@@ -119,20 +119,57 @@ def _subst(node: object, env: dict) -> object:
     changes = {}
     for f in dataclasses.fields(node):
         v = getattr(node, f.name)
-        if dataclasses.is_dataclass(v):
-            nv = _subst(v, env)
-        elif isinstance(v, tuple):
-            nv = tuple(
-                _subst(x, env) if dataclasses.is_dataclass(x) else x
-                for x in v
-            )
-            if all(a is b for a, b in zip(nv, v)):
-                nv = v
-        else:
-            nv = v
+        nv = _subst_field(v, env)
         if nv is not v:
             changes[f.name] = nv
     return dataclasses.replace(node, **changes) if changes else node
+
+
+def _subst_field(v: object, env: dict) -> object:
+    """One field's worth of _subst: recurse into dataclasses and into
+    (possibly nested) tuples — If.branches is a tuple of (cond, body)
+    TUPLES, which a flat isinstance(x, dataclass) scan would skip."""
+    import dataclasses
+
+    if dataclasses.is_dataclass(v):
+        return _subst(v, env)
+    if isinstance(v, tuple):
+        nv = tuple(_subst_field(x, env) for x in v)
+        return v if all(a is b for a, b in zip(nv, v)) else nv
+    return v
+
+
+# self-recursive `def` expansion depth: each level inlines the body
+# once per call SITE, so a walk()-style def (2 self-calls) costs
+# sites^CAP body copies at the cap — branching defs get a small cap
+# (8: walk covers nesting depth 8, tree stays <= 2^8 copies) while
+# single-self-call defs (fact-style linear recursion) can afford a
+# deeper one (32 copies, linear). Beyond-cap evaluation yields an
+# in-band error (mirrors the interp's _ITER_CAP philosophy:
+# bounded, loud).
+_DEF_RECURSION_CAP_BRANCHING = 8
+_DEF_RECURSION_CAP_LINEAR = 32
+
+
+def _count_defcalls(node: object, name: str, nargs: int) -> int:
+    """Number of self-call SITES in a def body (nested tuples like
+    If.branches included)."""
+    import dataclasses
+
+    n = 0
+    if (
+        isinstance(node, ast.DefCall)
+        and node.name == name
+        and len(node.args) == nargs
+    ):
+        n += 1
+    if dataclasses.is_dataclass(node):
+        for f in dataclasses.fields(node):
+            n += _count_defcalls(getattr(node, f.name), name, nargs)
+    elif isinstance(node, tuple):
+        for x in node:
+            n += _count_defcalls(x, name, nargs)
+    return n
 
 
 def static_path(node: ast.Node) -> tuple | None:
@@ -240,23 +277,24 @@ class Parser:
         self.expect(":")
         key = (name, len(params))
         snapshot = dict(self.defs)
-        self.defs[key] = None  # recursion guard while body parses
+        self.defs[key] = None  # placeholder marker while body parses
         body = self.parse_defs_then_expr()  # nested defs scope to body
         self.expect(";")
         self.defs = snapshot  # nested defs fall out of scope
+        if _count_defcalls(body, name, len(params)):
+            # self-recursive def (jq `def walk(f): ...walk(f)...;`):
+            # bounded macro expansion — inline the body CAP levels
+            # deep, with an in-band error beyond the cap
+            body = self._expand_recursion(name, tuple(params), body)
         self.defs[key] = (tuple(params), body)
 
-    def _expand_def(self, name: str, args: list[ast.Node]) -> ast.Node:
-        key = (name, len(args))
-        entry = self.defs.get(key)
-        if key in self.defs and entry is None:
-            raise ParseError(f"recursive def {name} is not supported")
-        if entry is None:
-            arities = sorted(k[1] for k in self.defs if k[0] == name)
-            raise ParseError(
-                f"{name}/{len(args)} is not defined (have arities {arities})"
-            )
-        params, body = entry
+    @staticmethod
+    def _apply_def(
+        params: tuple[str, ...], body: ast.Node, args: tuple
+    ) -> ast.Node:
+        """Bind one call: filter params by substitution
+        (call-by-name, like jq); `$value` params via `as`-bindings,
+        so they evaluate ONCE against the call-site input."""
         fenv: dict[str, ast.Node] = {}
         binds: list[tuple[str, ast.Node]] = []
         for p, a in zip(params, args):
@@ -268,6 +306,75 @@ class Parser:
         for vname, a in reversed(binds):
             out = ast.BindAs(a, vname, out)
         return out
+
+    def _expand_recursion(
+        self, name: str, params: tuple[str, ...], body: ast.Node
+    ) -> ast.Node:
+        import dataclasses
+
+        sites = _count_defcalls(body, name, len(params))
+        cap = (
+            _DEF_RECURSION_CAP_LINEAR
+            if sites == 1
+            else _DEF_RECURSION_CAP_BRANCHING
+        )
+        err_node = ast.Builtin(
+            "error",
+            (ast.Literal(
+                f'"{name}: recursion depth limit {cap} exceeded"'
+            ),),
+        )
+
+        def expand(node: object, depth: int) -> object:
+            if (
+                isinstance(node, ast.DefCall)
+                and node.name == name
+                and len(node.args) == len(params)
+            ):
+                if depth <= 0:
+                    return err_node
+                # inline one level; DefCalls inside the inlined copy
+                # (from the body template AND the call's args) expand
+                # at depth-1, so this terminates
+                return expand(
+                    self._apply_def(params, body, node.args), depth - 1
+                )
+            if not dataclasses.is_dataclass(node):
+                return node
+            changes = {}
+            for f in dataclasses.fields(node):
+                v = getattr(node, f.name)
+                nv = expand_field(v, depth)
+                if nv is not v:
+                    changes[f.name] = nv
+            return dataclasses.replace(node, **changes) if changes else node
+
+        def expand_field(v: object, depth: int) -> object:
+            # nested tuples (If.branches) recursed like _subst_field
+            if dataclasses.is_dataclass(v):
+                return expand(v, depth)
+            if isinstance(v, tuple):
+                nv = tuple(expand_field(x, depth) for x in v)
+                return v if all(a is b for a, b in zip(nv, v)) else nv
+            return v
+
+        return expand(body, cap)
+
+    def _expand_def(self, name: str, args: list[ast.Node]) -> ast.Node:
+        key = (name, len(args))
+        entry = self.defs.get(key)
+        if key in self.defs and entry is None:
+            # call to a def whose body is still being parsed — a
+            # self-recursive call site; leave a placeholder for the
+            # bounded expansion at the end of _parse_def
+            return ast.DefCall(name, tuple(args))
+        if entry is None:
+            arities = sorted(k[1] for k in self.defs if k[0] == name)
+            raise ParseError(
+                f"{name}/{len(args)} is not defined (have arities {arities})"
+            )
+        params, body = entry
+        return self._apply_def(params, body, tuple(args))
 
     _PIPE_STARTERS = frozenset(
         ["(", "[", "{", ".", "!", "-"]
@@ -302,7 +409,8 @@ class Parser:
         node = self.parse_alt()
         while (
             self.peek()[1] in self._PIPE_STARTERS
-            or (self.at_kind("ident") and self.peek()[1] != "as")
+            or (self.at_kind("ident")
+                and self.peek()[1] not in ("as", "and", "or"))
             or self.at_kind("dotdot")
         ) and not self.at_kind("eof"):
             node = ast.Pipe(node, self.parse_alt())
@@ -369,14 +477,16 @@ class Parser:
 
     def parse_or(self) -> ast.Node:
         node = self.parse_and()
-        while self.at("||"):
+        # `or` is the jq keyword form (contextual: excluded from
+        # juxtaposition in parse_segment, `.or` still parses as Index)
+        while self.at("||") or self.at_kw("or"):
             self.take()
             node = ast.Binary("||", node, self.parse_and())
         return node
 
     def parse_and(self) -> ast.Node:
         node = self.parse_compar()
-        while self.at("&&"):
+        while self.at("&&") or self.at_kw("and"):
             self.take()
             node = ast.Binary("&&", node, self.parse_compar())
         return node
@@ -668,7 +778,8 @@ class Parser:
                 seg = self.parse_or()
             elif (
                 self.peek()[1] in self._PIPE_STARTERS
-                or (self.at_kind("ident") and self.peek()[1] != "as")
+                or (self.at_kind("ident")
+                and self.peek()[1] not in ("as", "and", "or"))
                 or self.at_kind("dotdot")
             ):
                 seg = ast.Pipe(seg, self.parse_or())
@@ -889,6 +1000,11 @@ class Parser:
             if name == "first" and len(args) == 1:
                 # jq: def first(f): limit(1; f);
                 return ast.Builtin("limit", (ast.Literal("1"), args[0]))
+            if name == "map_values":
+                # this dialect's map (ops.rs:1631) already applies the
+                # body value-wise on OBJECTS keeping keys, which is
+                # exactly jq's map_values; alias for jq parity
+                return ast.Builtin("map", tuple(args))
             if name == "last" and len(args) == 1:
                 # jq: def last(f): reduce f as $x (null; $x);
                 # == [f] | if length == 0 then null else .[-1] end

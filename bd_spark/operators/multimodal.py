@@ -389,7 +389,7 @@ def dhash_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
     return assets.mapInPandas(real_batches, schema=PHASH_SCHEMA)
 
 
-def audio_fingerprints(assets: DataFrame) -> DataFrame:
+def audio_fingerprints(assets: DataFrame, fake: bool = False) -> DataFrame:
     """60-bit audio fingerprint per asset (a time-domain
     simplification of the Haitsma-Kalker scheme): decode WAV, mono-
     mix, split into 61 equal frames, take per-frame log energy, and
@@ -397,6 +397,13 @@ def audio_fingerprints(assets: DataFrame) -> DataFrame:
     (energy RATIO ordering survives scaling) and to small noise; the
     generic Hamming pigeonhole join (dedup.hamming_near_dupes) then
     finds near-duplicate recordings with one uniform-key shuffle.
+
+    fake=True (the oracle-able gate path): the payload BYTES are the
+    waveform — frame i's "energy" is the plain sum of the byte slice
+    [(i*n)//61, ((i+1)*n)//61), same frame-edge rule as the real
+    path, same integer-exact adjacent-compare bit rule — so the
+    whole pipeline is reproducible in DuckDB SQL (like
+    dhash_assets(fake=True)).
 
     Per-row in-band errors (undecodable / too-short payloads) — one
     bad asset never fails the task.  Output is 16 bytes/asset; the
@@ -408,6 +415,28 @@ def audio_fingerprints(assets: DataFrame) -> DataFrame:
     from bd_spark.operators import codecs
 
     frames = 61  # 60 adjacent-frame compares = 60 bits
+
+    if fake:
+
+        def fake_batches(it):
+            for pdf in it:
+                out = {"asset_id": [], "phash": [], "err": []}
+                for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                    b = bytes(payload)
+                    n = len(b)
+                    edges = [(i * n) // frames for i in range(frames + 1)]
+                    e = [sum(b[edges[i]:edges[i + 1]])
+                         for i in range(frames)]
+                    h = 0
+                    for i in range(frames - 1):
+                        if e[i + 1] > e[i]:
+                            h |= 1 << i
+                    out["asset_id"].append(aid)
+                    out["phash"].append(h)
+                    out["err"].append(None)
+                yield pd.DataFrame(out)
+
+        return assets.mapInPandas(fake_batches, schema=PHASH_SCHEMA)
 
     def batches(it):
         for pdf in it:

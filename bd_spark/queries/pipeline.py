@@ -1738,6 +1738,63 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
 
 
+def pipe_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dup (Haitsma-Kalker-style energy-delta
+    hash, multimodal.audio_fingerprints) + the generic Hamming
+    pigeonhole join. Fake-decode path (payload bytes ARE the
+    waveform; frame energy = byte-slice sum with the real path's
+    frame-edge rule) so the integer pipeline has a full DuckDB
+    oracle; the real WAV decode path is pytest-gated
+    (tests/test_codecs.py). 16 bytes/asset shuffle; payloads never
+    do."""
+    assets = multimodal.assets_from_documents(
+        table(spark, "documents", sf_dir)
+    )
+    hashed = multimodal.audio_fingerprints(assets, fake=True).persist()
+    return dedup.hamming_near_dupes(
+        hashed, "asset_id", "phash", max_hamming=3
+    )
+
+
+PIPE_AUDIO_NEARDUP_SQL = """
+WITH c AS (
+  SELECT doc_id, [unicode(ch) for ch in str_split(text, '')] AS codes
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         [coalesce(list_sum(
+            codes[((i * len(codes)) // 61) + 1
+                  : ((i + 1) * len(codes)) // 61]), 0)
+          for i in range(61)] AS en
+  FROM c
+),
+p AS (
+  SELECT doc_id,
+         coalesce(list_sum(
+           [CASE WHEN en[i + 2] > en[i + 1]
+                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+            for i in range(60)]), 0) AS phash
+  FROM e
+),
+ch AS (
+  SELECT doc_id, phash,
+         unnest([0, 1, 2, 3]) AS ci,
+         unnest([(phash >> 0) & 32767, (phash >> 15) & 32767,
+                 (phash >> 30) & 32767, (phash >> 45) & 32767]) AS cv
+  FROM p
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                  l.phash AS ha, r.phash AS hb
+  FROM ch l JOIN ch r
+    ON l.ci = r.ci AND l.cv = r.cv AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
 def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators.text.dsir_select):
     target = 'en' docs, source = whole corpus; hashed unigram+bigram
@@ -1821,6 +1878,7 @@ QUERIES = {
     "pipe_dsir_select": pipe_dsir_select,
     "pipe_dedup_substring": pipe_dedup_substring,
     "pipe_image_neardup": pipe_image_neardup,
+    "pipe_audio_neardup": pipe_audio_neardup,
 }
 
 ORACLES = {
@@ -1862,4 +1920,5 @@ ORACLES = {
     "pipe_dsir_select": PIPE_DSIR_SELECT_SQL,
     "pipe_dedup_substring": PIPE_DEDUP_SUBSTRING_SQL,
     "pipe_image_neardup": PIPE_IMAGE_NEARDUP_SQL,
+    "pipe_audio_neardup": PIPE_AUDIO_NEARDUP_SQL,
 }

@@ -527,6 +527,20 @@ CORPUS = [
     ("nth(1)", "[10, 20, 30]", [20]),
     ("nth(2; .[] | select(. > 1))", "[1, 2, 3, 4, 5]", [4]),
     ("nth(0; empty)", "null", [None]),
+    # bounded-recursion defs (r6) + and/or keywords + map_values
+    ('def walk(f): if type == "object" or type == "array" '
+     "then map_values(walk(f)) else . end | f; "
+     'walk(if type == "number" then . + 1 else . end)',
+     '{"a": 1, "b": {"c": 2, "d": [3, 4]}}',
+     [{"a": 2, "b": {"c": 3, "d": [4, 5]}}]),
+    ("def fact: if . <= 1 then 1 else . * (. - 1 | fact) end; fact",
+     "5", [120]),
+    ('def depth: if type == "array" then (map(depth) | max // 0) + 1 '
+     "else 0 end; depth", "[[[1]], [2]]", [3]),
+    ("true and false", "null", [False]),
+    ("false or true", "null", [True]),
+    (".a and .b", '{"a": 1, "b": null}', [False]),
+    ("map_values(. * 2)", '{"a": 1, "b": 2}', [{"a": 2, "b": 4}]),
     # map(select(f)) filters (r5: the drop flag was ignored in map)
     ("map(select(. > 2))", "[1, 3, 5]", [[3, 5]]),
     ("map(select(.ok) | .n)", '[{"ok": true, "n": 1}, {"ok": false, "n": 2}]',
