@@ -227,6 +227,17 @@ class Foreach(Node):
 
 
 @dataclass(frozen=True)
+class InterpOnly(Node):
+    """Top-level wrapper marking a program that must evaluate through
+    the Arrow-batched interp tier (compiler._interp_tier) regardless
+    of size: bounded-recursion def expansion can nest STREAM
+    operators (Iter fan-outs) dozens of levels deep, whose compiled
+    plan grows exponentially even when the AST is small."""
+
+    expr: Node
+
+
+@dataclass(frozen=True)
 class DefCall(Node):
     """Self-referential user-``def`` call placeholder, created ONLY
     while parsing that def's own body; resolved by bounded expansion

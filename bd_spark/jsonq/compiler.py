@@ -2334,7 +2334,30 @@ def _col_dict_static(parts: list[tuple[str, CV]]) -> CV:
 # execute synchronously while the DataFrame plan is being assembled,
 # so a push/pop stack gives correct lexical scoping (incl. shadowing)
 # with zero per-row cost — a bound variable is just a Column ref.
-_ENV: list[tuple[str, Column]] = []
+# THREAD-LOCAL: concurrent plan builds (threaded test harness, any
+# multi-threaded driver) each get their own stack — a shared list
+# would interleave push/pops across unrelated compiles.
+import threading as _threading
+
+
+class _EnvStack(_threading.local):
+    def __init__(self) -> None:
+        self.items: list[tuple[str, Column]] = []
+
+    def append(self, x: tuple[str, Column]) -> None:
+        self.items.append(x)
+
+    def pop(self) -> tuple[str, Column]:
+        return self.items.pop()
+
+    def __reversed__(self):
+        return reversed(self.items)
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+
+_ENV = _EnvStack()
 
 
 def _env_lookup(name: str) -> Column:
@@ -4665,8 +4688,11 @@ def _interp_tier(node: ast.Node) -> StreamFn:
 
 def compile_query(node: ast.Node) -> StreamFn:
     """Top-level compile entry point: staged Catalyst compilation,
-    except for very large trees (bounded-recursion def expansion),
-    which evaluate through the Arrow-batched interp tier."""
+    except for programs marked InterpOnly (bounded-recursion def
+    expansion — may nest stream ops exponentially) and very large
+    trees, which evaluate through the Arrow-batched interp tier."""
+    if isinstance(node, ast.InterpOnly):
+        return _interp_tier(node.expr)
     if _node_count(node) > _INTERP_TIER_NODES:
         return _interp_tier(node)
     return compile_stream(node)

@@ -33,6 +33,8 @@ Entry = tuple[object, str | None]
 
 def run(node: ast.Node, doc: object) -> list[Entry]:
     """Evaluate a compiled AST against one document."""
+    if isinstance(node, ast.InterpOnly):
+        node = node.expr
     return list(_eval_stream(node, [(doc, None)]))
 
 

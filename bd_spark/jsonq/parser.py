@@ -189,14 +189,44 @@ def static_path(node: ast.Node) -> tuple | None:
     return None
 
 
+# jq standard-library defs not worth native engine surface: parsed
+# once, preloaded into every Parser (user defs shadow them, like jq).
+# walk uses the bounded-recursion expansion, so queries calling it
+# evaluate through the interp tier (compiler._INTERP_TIER_NODES).
+_PRELUDE_SRC = """
+def values: select(. != null);
+def trimstr(s): ltrimstr(s) | rtrimstr(s);
+def keys_unsorted: keys;
+def walk(f): if type == "object" or type == "array"
+             then map_values(walk(f)) else . end | f;
+def recurse(f): .[., (f | recurse(f))];
+def paths(f): . as $in
+              | paths
+              | select(. as $p | $in | getpath($p) | f);
+.
+"""
+_PRELUDE_CACHE: list[dict] = []
+
+
+def _prelude_defs() -> dict:
+    if not _PRELUDE_CACHE:
+        p = Parser(_PRELUDE_SRC, prelude=False)
+        p.parse_program()
+        _PRELUDE_CACHE.append(dict(p.defs))
+    return _PRELUDE_CACHE[0]
+
+
 class Parser:
-    def __init__(self, src: str):
+    def __init__(self, src: str, prelude: bool = True):
         self.toks = tokenize(src)
         self.i = 0
         self._in_if = 0
+        self._used_recursion = False
         # (name, arity) -> (params, body) for jq `def`; None marks a
         # def whose body is still being parsed (recursion guard)
-        self.defs: dict[tuple[str, int], tuple | None] = {}
+        self.defs: dict[tuple[str, int], tuple | None] = (
+            dict(_prelude_defs()) if prelude else {}
+        )
 
     # -- token helpers -------------------------------------------------
     def peek(self, k: int = 0) -> tuple[str, str]:
@@ -231,6 +261,8 @@ class Parser:
         node = self.parse_defs_then_expr()
         if not self.at_kind("eof"):
             raise ParseError(f"trailing input at {self.peek()[1]!r}")
+        if self._used_recursion:
+            return ast.InterpOnly(node)
         return node
 
     # -- jq `def` (beyond-reference): parse-time macro expansion ------
@@ -281,12 +313,13 @@ class Parser:
         body = self.parse_defs_then_expr()  # nested defs scope to body
         self.expect(";")
         self.defs = snapshot  # nested defs fall out of scope
-        if _count_defcalls(body, name, len(params)):
+        recursive = bool(_count_defcalls(body, name, len(params)))
+        if recursive:
             # self-recursive def (jq `def walk(f): ...walk(f)...;`):
             # bounded macro expansion — inline the body CAP levels
             # deep, with an in-band error beyond the cap
             body = self._expand_recursion(name, tuple(params), body)
-        self.defs[key] = (tuple(params), body)
+        self.defs[key] = (tuple(params), body, recursive)
 
     @staticmethod
     def _apply_def(
@@ -373,7 +406,11 @@ class Parser:
             raise ParseError(
                 f"{name}/{len(args)} is not defined (have arities {arities})"
             )
-        params, body = entry
+        params, body, recursive = entry
+        if recursive:
+            # the expansion may nest STREAM ops arbitrarily deep —
+            # route the whole program through the interp tier
+            self._used_recursion = True
         return self._apply_def(params, body, tuple(args))
 
     _PIPE_STARTERS = frozenset(
@@ -953,6 +990,12 @@ class Parser:
                     self.take()
                     args.append(self.parse_expr())
                 self.expect(")")
+            if (name, len(args)) not in self.defs and self._builtin_accepts(
+                name, len(args)
+            ):
+                # a def exists at another arity only — fall back to
+                # the builtin (e.g. prelude paths/1 vs builtin paths/0)
+                return self._finish_builtin(name, tuple(args))
             return self._expand_def(name, args)
         if name in ("reduce", "foreach"):
             source = self.parse_segment()
@@ -991,124 +1034,142 @@ class Parser:
                 self.take()
                 args.append(self.parse_expr())
             self.expect(")")
-            if len(args) not in arities:
-                raise ParseError(
-                    f"{name} takes {'/'.join(map(str, arities))} arg(s)"
-                )
-            if name in self._FLAGGABLE:
-                name, args = self._regex_flags_desugar(name, args)
-            if name == "first" and len(args) == 1:
-                # jq: def first(f): limit(1; f);
-                return ast.Builtin("limit", (ast.Literal("1"), args[0]))
-            if name == "map_values":
-                # this dialect's map (ops.rs:1631) already applies the
-                # body value-wise on OBJECTS keeping keys, which is
-                # exactly jq's map_values; alias for jq parity
-                return ast.Builtin("map", tuple(args))
-            if name == "last" and len(args) == 1:
-                # jq: def last(f): reduce f as $x (null; $x);
-                # == [f] | if length == 0 then null else .[-1] end
-                # (the explicit guard matches reduce's null init on an
-                # empty stream — bare .[-1] on [] is out-of-bounds in
-                # this dialect, util.rs:25-29 neg-wrap)
-                return ast.Pipe(
-                    ast.ListCons(args[0]),
-                    ast.If(
+            return self._finish_builtin(name, tuple(args))
+        return self.parse_ident_fallback(name)
+
+    @staticmethod
+    def _builtin_accepts(name: str, nargs: int) -> bool:
+        arity = ast.BUILTIN_ARITY.get(name)
+        if arity is None:
+            return False
+        arities = (arity,) if isinstance(arity, int) else arity
+        return nargs in arities
+
+    def _finish_builtin(self, name: str, args_t: tuple) -> ast.Node:
+        """Arity check + parse-time desugars, shared by the direct
+        builtin path and the def-arity-mismatch fallback."""
+        args = list(args_t)
+        arity = ast.BUILTIN_ARITY[name]
+        arities = (arity,) if isinstance(arity, int) else arity
+        if len(args) not in arities:
+            raise ParseError(
+                f"{name} takes {'/'.join(map(str, arities))} arg(s)"
+            )
+        if name in self._FLAGGABLE:
+            name, args = self._regex_flags_desugar(name, args)
+        if name == "first" and len(args) == 1:
+            # jq: def first(f): limit(1; f);
+            return ast.Builtin("limit", (ast.Literal("1"), args[0]))
+        if name == "map_values":
+            # this dialect's map (ops.rs:1631) already applies the
+            # body value-wise on OBJECTS keeping keys, which is
+            # exactly jq's map_values; alias for jq parity
+            return ast.Builtin("map", tuple(args))
+        if name == "last" and len(args) == 1:
+            # jq: def last(f): reduce f as $x (null; $x);
+            # == [f] | if length == 0 then null else .[-1] end
+            # (the explicit guard matches reduce's null init on an
+            # empty stream — bare .[-1] on [] is out-of-bounds in
+            # this dialect, util.rs:25-29 neg-wrap)
+            return ast.Pipe(
+                ast.ListCons(args[0]),
+                ast.If(
+                    (
                         (
-                            (
-                                ast.Binary(
-                                    "==",
-                                    ast.Builtin("length", ()),
-                                    ast.Literal("0"),
-                                ),
-                                ast.Literal("null"),
+                            ast.Binary(
+                                "==",
+                                ast.Builtin("length", ()),
+                                ast.Literal("0"),
                             ),
+                            ast.Literal("null"),
                         ),
-                        ast.Index(-1),
                     ),
-                )
-            if name == "nth" and len(args) == 1:
-                # jq: def nth($n): .[$n]; (dynamic index via getpath)
-                return ast.Builtin("getpath", (ast.ListCons(args[0]),))
-            if name == "nth" and len(args) == 2:
-                # jq: def nth($n; g): if $n < 0 then error
-                #     else last(limit($n + 1; g)) end;
-                # (jq quirk preserved: a stream shorter than n+1
-                # yields its LAST element, not an error)
-                var = "__nth"
-                return ast.BindAs(
-                    args[0],
-                    var,
-                    ast.If(
+                    ast.Index(-1),
+                ),
+            )
+        if name == "nth" and len(args) == 1:
+            # jq: def nth($n): .[$n]; (dynamic index via getpath)
+            return ast.Builtin("getpath", (ast.ListCons(args[0]),))
+        if name == "nth" and len(args) == 2:
+            # jq: def nth($n; g): if $n < 0 then error
+            #     else last(limit($n + 1; g)) end;
+            # (jq quirk preserved: a stream shorter than n+1
+            # yields its LAST element, not an error)
+            var = "__nth"
+            return ast.BindAs(
+                args[0],
+                var,
+                ast.If(
+                    (
                         (
-                            (
-                                ast.Binary(
-                                    "<", ast.Var(var), ast.Literal("0")
-                                ),
-                                ast.Builtin(
-                                    "error",
-                                    (ast.Literal(
-                                        '"nth doesn\'t support negative'
-                                        ' indices"'
-                                    ),),
-                                ),
+                            ast.Binary(
+                                "<", ast.Var(var), ast.Literal("0")
+                            ),
+                            ast.Builtin(
+                                "error",
+                                (ast.Literal(
+                                    '"nth doesn\'t support negative'
+                                    ' indices"'
+                                ),),
                             ),
                         ),
-                        ast.Pipe(
-                            ast.ListCons(
-                                ast.Builtin(
-                                    "limit",
-                                    (
-                                        ast.Binary(
-                                            "+",
-                                            ast.Var(var),
-                                            ast.Literal("1"),
-                                        ),
-                                        args[1],
-                                    ),
-                                )
-                            ),
-                            ast.If(
+                    ),
+                    ast.Pipe(
+                        ast.ListCons(
+                            ast.Builtin(
+                                "limit",
                                 (
-                                    (
-                                        ast.Binary(
-                                            "==",
-                                            ast.Builtin("length", ()),
-                                            ast.Literal("0"),
-                                        ),
-                                        ast.Literal("null"),
+                                    ast.Binary(
+                                        "+",
+                                        ast.Var(var),
+                                        ast.Literal("1"),
                                     ),
+                                    args[1],
                                 ),
-                                ast.Index(-1),
+                            )
+                        ),
+                        ast.If(
+                            (
+                                (
+                                    ast.Binary(
+                                        "==",
+                                        ast.Builtin("length", ()),
+                                        ast.Literal("0"),
+                                    ),
+                                    ast.Literal("null"),
+                                ),
                             ),
+                            ast.Index(-1),
                         ),
                     ),
-                )
-            if name == "range" and len(args) == 2:
-                # normalize range(a; b) -> range(a; b; 1); range(n)
-                # keeps its dedicated 1-arg path
-                args = [args[0], args[1], ast.Literal("1")]
-            if name == "inside":
-                # jq: def inside(xs): . as $x | xs | contains($x);
-                return ast.BindAs(
-                    ast.Identity(),
-                    "__inside",
-                    ast.Pipe(
-                        args[0],
-                        ast.Builtin("contains", (ast.Var("__inside"),)),
-                    ),
-                )
-            if name == "with_entries":
-                # jq defines with_entries(f) as the pipeline below;
-                # desugaring here means zero engine-side surface
-                return ast.Pipe(
-                    ast.Builtin("to_entries", ()),
-                    ast.Pipe(
-                        ast.Builtin("map", (args[0],)),
-                        ast.Builtin("from_entries", ()),
-                    ),
-                )
-            return ast.Builtin(name, tuple(args))
+                ),
+            )
+        if name == "range" and len(args) == 2:
+            # normalize range(a; b) -> range(a; b; 1); range(n)
+            # keeps its dedicated 1-arg path
+            args = [args[0], args[1], ast.Literal("1")]
+        if name == "inside":
+            # jq: def inside(xs): . as $x | xs | contains($x);
+            return ast.BindAs(
+                ast.Identity(),
+                "__inside",
+                ast.Pipe(
+                    args[0],
+                    ast.Builtin("contains", (ast.Var("__inside"),)),
+                ),
+            )
+        if name == "with_entries":
+            # jq defines with_entries(f) as the pipeline below;
+            # desugaring here means zero engine-side surface
+            return ast.Pipe(
+                ast.Builtin("to_entries", ()),
+                ast.Pipe(
+                    ast.Builtin("map", (args[0],)),
+                    ast.Builtin("from_entries", ()),
+                ),
+            )
+        return ast.Builtin(name, tuple(args))
+    def parse_ident_fallback(self, name: str) -> ast.Node:
         # bare identifier ≡ `.name` with int fallback (ops.rs:320-368)
         return ast.Identifier(name, self.opt_flag())
 

@@ -50,17 +50,41 @@ def duck(sf_dir):
     con.close()
 
 
+@pytest.fixture(scope="module")
+def spark_results(spark, sf_dir):
+    """Run every EXTRA query's Spark side ONCE, 8 in flight (plan
+    build + collect release the GIL; compiler._ENV is thread-local).
+    The DuckDB side stays serial in the per-name test — duckdb
+    connections are not thread-safe and the SQL is cheap at sf0.001
+    (VERDICT r5 next #8)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    qs = registry.extra_queries()
+
+    def run(name):
+        try:
+            sdf = qs[name](spark, sf_dir)
+            return (
+                sdf.columns,
+                _table_hash(sdf.columns, [tuple(r) for r in sdf.collect()]),
+            )
+        except Exception as e:  # noqa: BLE001 — asserted per-case
+            return ("__raised__", f"{type(e).__name__}: {e}")
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        return dict(zip(registry.EXTRA, ex.map(run, registry.EXTRA)))
+
+
 @pytest.mark.parametrize("name", registry.EXTRA)
-def test_extra_query_matches_oracle(spark, sf_dir, duck, name):
-    fn = registry.extra_queries()[name]
+def test_extra_query_matches_oracle(spark_results, duck, name):
+    scols, shash = spark_results[name]
+    assert scols != "__raised__", shash
     sql = registry.extra_oracles()[name]
-    sdf = fn(spark, sf_dir)
-    sn, sh = _table_hash(sdf.columns, [tuple(r) for r in sdf.collect()])
     res = duck.execute(sql)
     ocols = [d[0] for d in res.description]
     on, oh = _table_hash(ocols, res.fetchall())
-    assert sorted(sdf.columns) == sorted(ocols)
-    assert (sn, sh) == (on, oh)
+    assert sorted(scols) == sorted(ocols)
+    assert shash == (on, oh)
 
 
 def test_gate_is_exactly_fifty():

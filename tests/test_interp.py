@@ -136,10 +136,13 @@ def test_differential_seeded_fuzz(spark):
 
     from bd_spark.jsonq.runtime import JsonQ
 
+    from concurrent.futures import ThreadPoolExecutor
+
     rng = random.Random(20260813)
     docs = [json.dumps(_rand_json(rng)) for _ in range(30)]
     jq = JsonQ(spark)
-    for query in DIFF_QUERIES:
+
+    def check(query):
         ast_ = parser.parse(query)
         spark_out = jq.run_texts(query, docs)
         interp_out = [
@@ -150,3 +153,7 @@ def test_differential_seeded_fuzz(spark):
             assert (serr is None) == (ierr is None), f"{query}: err mismatch"
             if serr is None:
                 assert _norm(sv) == _norm(iv), f"{query}: {sv!r} != {iv!r}"
+
+    # 8 differential plans in flight (compiler._ENV is thread-local)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(check, DIFF_QUERIES))

@@ -541,6 +541,18 @@ CORPUS = [
     ("false or true", "null", [True]),
     (".a and .b", '{"a": 1, "b": null}', [False]),
     ("map_values(. * 2)", '{"a": 1, "b": 2}', [{"a": 2, "b": 4}]),
+    # prelude defs (jq stdlib re-expressed as bounded defs)
+    ("[.[] | values]", "[1, null, 2, null]", [[1, 2]]),
+    ('walk(if type == "number" then . * 10 else . end)',
+     '{"a": [1, {"b": 2}]}', [{"a": [10, {"b": 20}]}]),
+    ('trimstr("ab")', '"abxab"', ["x"]),
+    ("keys_unsorted", '{"b": 1, "a": 2}', [["a", "b"]]),
+    ("def values: 99; values", "1", [99]),  # user defs shadow prelude
+    ("[recurse(if . < 3 then . + 1 else empty end)]", "0", [[0, 1, 2, 3]]),
+    ("[recurse(.[]?)]", "[[1, 2], 3]",
+     [[[[1, 2], 3], [1, 2], 1, 2, 3]]),
+    ('[paths(type == "number")]', '{"a": 1, "b": {"c": 2, "d": "x"}}',
+     [[["a"], ["b", "c"]]]),
     # map(select(f)) filters (r5: the drop flag was ignored in map)
     ("map(select(. > 2))", "[1, 3, 5]", [[3, 5]]),
     ("map(select(.ok) | .n)", '[{"ok": true, "n": 1}, {"ok": false, "n": 2}]',
@@ -554,9 +566,32 @@ def jq(spark):
     return JsonQ(spark)
 
 
-@pytest.mark.parametrize("query,doc,expected", CORPUS, ids=[c[0][:40] for c in CORPUS])
-def test_corpus(jq, query, doc, expected):
-    got = jq.run_values(query, [doc])
+@pytest.fixture(scope="module")
+def corpus_results(jq):
+    """Evaluate every corpus case ONCE, 8 plan-builds in flight
+    (plan assembly is Py4J + driver-JVM work that releases the GIL;
+    compiler._ENV is thread-local). The parametrized tests below
+    assert against this cache, keeping per-case test nodes while the
+    wall clock drops ~4x (VERDICT r5 next #8)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(case):
+        query, doc, _ = case
+        try:
+            return jq.run_values(query, [doc])
+        except Exception as e:  # noqa: BLE001 — asserted per-case
+            return ("__raised__", f"{type(e).__name__}: {e}")
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        return list(ex.map(run, CORPUS))
+
+
+@pytest.mark.parametrize(
+    "idx", range(len(CORPUS)), ids=[c[0][:40] for c in CORPUS]
+)
+def test_corpus(corpus_results, idx):
+    query, doc, expected = CORPUS[idx]
+    got = corpus_results[idx]
     assert got == expected, f"{query} on {doc}: {got} != {expected}"
 
 
