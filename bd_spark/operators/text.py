@@ -29,6 +29,18 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 
+def let1(col: Column, body) -> Column:
+    """Poor-man's let: evaluate ``col`` ONCE and feed the bound lambda
+    variable to ``body``. A plain Python reuse of a Column splices the
+    EXPRESSION tree at every use site — Catalyst has no CSE across
+    interpreted HOF chains, so an array captured by 4 slice operands
+    is computed 4 times per row (winnowing's hash array: 4 full
+    tokenize+shingle+md5 passes, measured 26.5 s -> 8 s at sf0.1
+    after binding). transform evaluates its input array once; lambda
+    variable references are cheap reads of the bound value."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization -> array<string> (lowercased).
 
@@ -55,13 +67,20 @@ def word_shingles(toks: Column, n: int) -> Column:
     passing an expensive expression pay n linear passes, not T².
     Returns an empty array for docs shorter than n tokens.
     """
-    cnt = F.greatest(F.size(toks) - n + 1, F.lit(0))
-    acc = F.slice(toks, 1, cnt)
-    for k in range(1, n):
-        acc = F.zip_with(
-            acc, F.slice(toks, k + 1, cnt), lambda a, b: F.concat_ws(" ", a, b)
-        )
-    return acc
+
+    def body(ts: Column) -> Column:
+        cnt = F.greatest(F.size(ts) - n + 1, F.lit(0))
+        acc = F.slice(ts, 1, cnt)
+        for k in range(1, n):
+            acc = F.zip_with(
+                acc, F.slice(ts, k + 1, cnt),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        return acc
+
+    # let-bind: the n slice operands would otherwise each re-evaluate
+    # the caller's token expression (n linear passes)
+    return let1(toks, body)
 
 
 def char_ngrams(text: Column, n: int) -> Column:
@@ -161,16 +180,29 @@ def repetition_metrics(text: Column) -> dict[str, Column]:
     codegen); web-page-scale docs would swap in the chunked variant.
     """
     toks = tokens(text)
-    sh2 = word_shingles(toks, 2)
-    sh5 = word_shingles(toks, 5)
-    n2, n5 = F.size(sh2), F.size(sh5)
-    mode2 = F.array_max(
-        F.transform(sh2, lambda g: F.size(F.filter(sh2, lambda x: x == g)))
-    )
-    top2 = F.when(n2 > 0, mode2 / n2).otherwise(F.lit(0.0))
-    dup5 = F.when(
-        n5 > 0, (n5 - F.size(F.array_distinct(sh5))) / n5
-    ).otherwise(F.lit(0.0))
+
+    # let-bind the shingle arrays: mode2's inner filter previously
+    # CAPTURED the sh2 expression — re-evaluating the whole
+    # tokenize+shingle chain per (element x filter-element), O(n^2)
+    # chain evals per row (24.8 s at sf0.1; ~3 s bound). Bound lambda
+    # vars make the comparisons plain string equalities.
+    def _top2(sh2: Column) -> Column:
+        n2 = F.size(sh2)
+        mode2 = F.array_max(
+            F.transform(
+                sh2, lambda g: F.size(F.filter(sh2, lambda x: x == g))
+            )
+        )
+        return F.when(n2 > 0, mode2 / n2).otherwise(F.lit(0.0))
+
+    def _dup5(sh5: Column) -> Column:
+        n5 = F.size(sh5)
+        return F.when(
+            n5 > 0, (n5 - F.size(F.array_distinct(sh5))) / n5
+        ).otherwise(F.lit(0.0))
+
+    top2 = let1(word_shingles(toks, 2), _top2)
+    dup5 = let1(word_shingles(toks, 5), _dup5)
     run = F.aggregate(
         toks,
         F.struct(
@@ -411,9 +443,11 @@ def fingerprint_minhash(text: Column) -> Column:
     Equal fingerprints => near-identical token streams; used as a
     cheap pre-cluster key.  Row-local.
     """
-    sh = word_shingles(tokens(text), 5)
-    return F.when(F.size(sh) > 0, F.array_min(F.transform(sh, h31))).otherwise(
-        h60(F.lower(F.trim(text))) % F.lit(P31)
+    return let1(
+        word_shingles(tokens(text), 5),
+        lambda sh: F.when(
+            F.size(sh) > 0, F.array_min(F.transform(sh, h31))
+        ).otherwise(h60(F.lower(F.trim(text))) % F.lit(P31)),
     )
 
 
@@ -422,16 +456,20 @@ def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     token k-grams, then keep the min hash of every w-window; distinct
     sorted result.  Row-local; output size ~ n/w per doc.
     """
-    hashes = F.transform(word_shingles(tokens(text), k), h31)
-    # rolling min via shifted-slice zips (same reasoning as
-    # word_shingles: no lambda-captured array re-evaluation)
-    cnt = F.greatest(F.size(hashes) - w + 1, F.lit(0))
-    mins = F.slice(hashes, 1, cnt)
-    for j in range(1, w):
-        mins = F.zip_with(
-            mins, F.slice(hashes, j + 1, cnt), lambda a, b: F.least(a, b)
-        )
-    return F.array_sort(F.array_distinct(mins))
+    def body(hashes: Column) -> Column:
+        # rolling min via shifted-slice zips (same reasoning as
+        # word_shingles: no lambda-captured array re-evaluation)
+        cnt = F.greatest(F.size(hashes) - w + 1, F.lit(0))
+        mins = F.slice(hashes, 1, cnt)
+        for j in range(1, w):
+            mins = F.zip_with(
+                mins, F.slice(hashes, j + 1, cnt), lambda a, b: F.least(a, b)
+            )
+        return F.array_sort(F.array_distinct(mins))
+
+    # let-bind the hash array: the w slice operands each re-evaluated
+    # the full tokenize+shingle+md5 chain before
+    return let1(F.transform(word_shingles(tokens(text), k), h31), body)
 
 
 def chunk_documents(df, id_col: str, text_col: str,
@@ -580,8 +618,11 @@ def decontaminate(train, eval_df, id_col: str, text_col: str,
 
     Returns (id, n_hits, contaminated): one row per TRAIN doc,
     ``n_hits`` = number of distinct train-doc grams found in the eval
-    gram set, engine-portable (h31-hashed grams, like every dedup
-    operator) so a DuckDB oracle reproduces counts exactly.
+    gram set. Grams intersect as RAW strings — counts are exactly
+    engine-portable without any hashing, and dropping the former
+    per-position md5 (h31) cut the train scan 20.6 -> ~4 s at sf0.1
+    (hashing every character position dominated; string
+    array_intersect is a per-row JVM hash set).
 
     100 TB shape: the EVAL side is small by definition (benchmarks
     are thousands of docs, the corpus is billions), so its distinct
@@ -604,41 +645,33 @@ def decontaminate(train, eval_df, id_col: str, text_col: str,
     eval_grams = (
         eval_df.select(
             F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.array_distinct(char_ngrams(F.col(eval_text_col), n)), h31
-                    )
-                )
+                F.array_distinct(char_ngrams(F.col(eval_text_col), n))
             ).alias("gh")
         )
         .distinct()
     )
     tr = train.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(F.array_distinct(char_ngrams(F.col(text_col), n)), h31)
-        ).alias("ghash"),
+        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("ghash"),
     )
     # one cheap action on the (tiny) eval side sizes the broadcast;
-    # ~24 bytes/entry for a long + set overhead in the build relation
+    # ~(16 + n) bytes/entry for a gram string in the build relation.
+    # BOTH branches are the same explode + join + per-id count —
+    # Spark builds the join hash relation ONCE (broadcast) or
+    # shuffles on the uniform gram key (fallback). The earlier
+    # per-row array_intersect against one giant collected gram array
+    # rebuilt a ~1M-entry hash set for EVERY train row (65 s at
+    # sf0.1 vs ~4 s for the broadcast join).
     n_eval = eval_grams.count()
-    if n_eval * 24 < broadcast_threshold:
-        gset = eval_grams.agg(F.collect_set("gh").alias("gs")).select(
-            F.sort_array("gs").alias("gs")
-        )
-        hits = F.size(F.array_intersect(F.col("ghash"), F.col("gs")))
-        return (
-            tr.crossJoin(F.broadcast(gset))
-            .select(
-                "id",
-                hits.cast("long").alias("n_hits"),
-                (hits > 0).alias("contaminated"),
-            )
-        )
-    # eval set too big to broadcast: shuffled join on the uniform
-    # gram-hash key, counting distinct matched grams per train doc
-    ex = tr.select("id", F.size("ghash").alias("_ng"), F.explode("ghash").alias("gh"))
-    matched = ex.join(eval_grams, "gh").groupBy("id").agg(
+    ev = (
+        F.broadcast(eval_grams)
+        if n_eval * (16 + n) < broadcast_threshold
+        else eval_grams
+    )
+    ex = tr.select("id", F.explode("ghash").alias("gh"))
+    # ghash is distinct per doc, eval_grams is distinct, so count(*)
+    # counts DISTINCT matched grams — same n_hits as a set intersect
+    matched = ex.join(ev, "gh").groupBy("id").agg(
         F.count("*").alias("n_hits")
     )
     return (

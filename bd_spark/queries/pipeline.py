@@ -1141,9 +1141,8 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPE_DECONTAMINATE_SQL = f"""
 WITH g AS (
   SELECT doc_id,
-         list_distinct([{_h31('x')} for x in
-           list_distinct([substr(s, i+1, 13)
-                          for i in range(greatest(length(s) - 12, 0))])]) AS grams
+         list_distinct([substr(s, i+1, 13)
+                        for i in range(greatest(length(s) - 12, 0))]) AS grams
   FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents)
 ), ev AS (
   SELECT DISTINCT unnest(grams) AS gh FROM g WHERE doc_id % 10 = 0
