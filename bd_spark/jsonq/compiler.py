@@ -2063,10 +2063,11 @@ def _col_hof(name: str, f: ast.Node) -> ColFn:
 
             def apply_elem(x: Column) -> Column:
                 def fin(cv: CV) -> Column:
-                    r = V.vjson(cv.v)
+                    # native variant result (r6): no vjson text
+                    r = cv.v
                     if cv.err is not None:
                         r = F.when(
-                            cv.err.isNotNull(), F.lit("null")
+                            cv.err.isNotNull(), V.vnull()
                         ).otherwise(r)
                     # `map(select(f))` drops elements whose body `?`/
                     # select suppressed (jq: empty body output
@@ -2076,18 +2077,14 @@ def _col_hof(name: str, f: ast.Node) -> ColFn:
                         if cv.drop is not None
                         else F.lit(False)
                     )
-                    return F.struct(r.alias("j"), d.alias("d"))
+                    return F.struct(r.alias("r"), d.alias("d"))
 
                 return with_cv(x, fin)
 
             kept_arr = F.filter(
                 F.transform(V.as_array(v), apply_elem), lambda s: ~s["d"]
             )
-            arr_json = F.concat(
-                F.lit("["),
-                F.concat_ws(",", F.transform(kept_arr, lambda s: s["j"])),
-                F.lit("]"),
-            )
+            arr_out = V.varray(F.transform(kept_arr, lambda s: s["r"]))
             kept_obj = F.filter(
                 F.transform(
                     F.map_entries(V.as_map(v)),
@@ -2097,13 +2094,16 @@ def _col_hof(name: str, f: ast.Node) -> ColFn:
                 ),
                 lambda s: ~s["r"]["d"],
             )
-            obj_entries = F.transform(
-                kept_obj,
-                lambda s: F.struct(s["k"].alias("k"), s["r"]["j"].alias("j")),
-            )
-            out = F.when(t == "array", F.parse_json(arr_json)).otherwise(
-                F.parse_json(V.json_of_entries(obj_entries))
-            )
+            obj_out = F.to_variant_object(F.map_from_entries(F.filter(
+                F.transform(
+                    kept_obj,
+                    lambda s: F.struct(
+                        s["k"].alias("k"), s["r"]["r"].alias("v")
+                    ),
+                ),
+                lambda e: e["v"].isNotNull(),
+            )))
+            out = F.when(t == "array", arr_out).otherwise(obj_out)
             ok = t.isin("array", "object")
             return _guarded(ok, out, F.concat(F.lit("map on "), t), False)
 
@@ -2278,12 +2278,8 @@ def _col_list(node: ast.ListCons) -> ColFn | None:
             for cv in cvs:
                 err = _merge_err(err, cv.err)
                 drop = _merge_drop(drop, cv.drop)
-            arr_json = F.concat(
-                F.lit("["),
-                F.concat_ws(",", F.array(*[V.vjson(cv.v) for cv in cvs])),
-                F.lit("]"),
-            )
-            return CV(F.parse_json(arr_json), err, drop)
+            # native variant assembly (r6): no vjson/parse_json
+            return CV(V.varray(F.array(*[cv.v for cv in cvs])), err, drop)
 
         return fn
 
@@ -2296,21 +2292,24 @@ def _col_list(node: ast.ListCons) -> ColFn | None:
             err = _merge_err(err, cv.err)
             if many:
                 # burst CVs encode `?`-drop as an empty array already
-                segs.append(F.transform(cv.v, lambda x: V.vjson(x)))
+                segs.append(cv.v)
             else:
                 drop = _merge_drop(drop, cv.drop)
-                segs.append(F.array(V.vjson(cv.v)))
-        arr_json = F.concat(
-            F.lit("["),
-            F.concat_ws(",", F.flatten(F.array(*segs))),
-            F.lit("]"),
-        )
-        return CV(F.parse_json(arr_json), err, drop)
+                segs.append(F.array(cv.v))
+        # native variant assembly (r6)
+        return CV(V.varray(F.flatten(F.array(*segs))), err, drop)
 
     return fn_burst
 
 
 def _col_dict(parts: list[tuple[CV, CV]]) -> CV:
+    """Dict construction, computed keys: entry array -> map ->
+    to_variant_object. NATIVE variant assembly (r6): no per-value
+    vjson/to_json/parse_json text round-trip — values pass through as
+    variant binaries (numeric tower preserved by construction, so no
+    E0 retag either); the variant encoder key-sorts (json.rs:501-507)
+    and map_from_entries applies dup-last-wins (session
+    mapKeyDedupPolicy, set by catalog/get_spark)."""
     entries = []
     err = None
     drop = None
@@ -2320,9 +2319,12 @@ def _col_dict(parts: list[tuple[CV, CV]]) -> CV:
         # non-string keys are skipped entirely (ops.rs:693-697), not
         # coerced: null k falls to the isNotNull filter below
         k = F.when(V.vtype(kc.v) == "string", V.as_string(kc.v))
-        entries.append(F.struct(k.alias("k"), V.vjson(vc.v).alias("j")))
-    arr = F.filter(F.array(*entries), lambda e: e["k"].isNotNull())
-    out = F.parse_json(V.json_of_entries(V.dedup_last_wins(arr)))
+        entries.append(F.struct(k.alias("k"), vc.v.alias("v")))
+    arr = F.filter(
+        F.array(*entries),
+        lambda e: e["k"].isNotNull() & e["v"].isNotNull(),
+    )
+    out = F.to_variant_object(F.map_from_entries(arr))
     return CV(out, err, drop)
 
 
@@ -2342,18 +2344,20 @@ def _col_dict_static(parts: list[tuple[str, CV]]) -> CV:
     last: dict[str, CV] = {}
     for k, vc in parts:
         last[k] = vc  # insertion-ordered; later duplicate wins
-    pieces: list[Column] = []
-    for k, vc in last.items():
-        # entry -> NULL when the value variant is SQL NULL, and
-        # concat_ws skips it — same entry-dropping as the runtime path
-        pieces.append(
-            F.concat(
-                F.lit(_json.dumps(k, ensure_ascii=False) + ":"), V.vjson(vc.v)
-            )
-        )
-    out = F.parse_json(
-        F.concat(F.lit("{"), F.concat_ws(",", F.array(*pieces)), F.lit("}"))
-    )
+    if not last:
+        return CV(F.parse_json(F.lit("{}")), err, drop)
+    # NATIVE variant assembly (r6): values pass through as variant
+    # binaries — no per-value vjson text rendering, no parse_json,
+    # no E0 retag (the tower survives by construction). SQL-NULL
+    # values drop their entry (same as the old concat_ws skip); the
+    # variant encoder key-sorts.
+    entries = F.array(*[
+        F.struct(F.lit(k).alias("k"), vc.v.alias("v"))
+        for k, vc in last.items()
+    ])
+    out = F.to_variant_object(F.map_from_entries(
+        F.filter(entries, lambda e: e["v"].isNotNull())
+    ))
     return CV(out, err, drop)
 
 
@@ -3032,20 +3036,14 @@ def compile_packed(node: ast.Node) -> PFn | None:  # noqa: PLR0911, PLR0912
 
         def run_dict(p: Column) -> Column:
             def build(arr: Column) -> Column:
-                pieces = [
-                    F.concat(
-                        F.lit(_json.dumps(k, ensure_ascii=False) + ":"),
-                        V.vjson(arr[i]["v"]),
-                    )
+                # NATIVE variant assembly, like _col_dict_static
+                ents = F.array(*[
+                    F.struct(F.lit(k).alias("k"), arr[i]["v"].alias("v"))
                     for k, i in last.items()
-                ]
-                dv = F.parse_json(
-                    F.concat(
-                        F.lit("{"),
-                        F.concat_ws(",", F.array(*pieces)),
-                        F.lit("}"),
-                    )
-                )
+                ])
+                dv = F.to_variant_object(F.map_from_entries(
+                    F.filter(ents, lambda e: e["v"].isNotNull())
+                ))
                 firste = F.filter(arr, lambda t: t["e"].isNotNull())
                 anyd = F.exists(arr, lambda t: t["d"])
                 e = F.when(F.size(firste) > 0, firste[0]["e"])

@@ -203,8 +203,12 @@ def json_of_array(arr: Column) -> Column:
 
 
 def varray(arr: Column) -> Column:
-    """Variant array from ARRAY<VARIANT>."""
-    return F.parse_json(json_of_array(arr))
+    """Variant array from ARRAY<VARIANT> — native to_variant_object
+    (r6): elements pass through as variant binaries, no per-element
+    vjson text rendering / parse_json round trip (the numeric tower
+    survives by construction). SQL-NULL elements drop, matching the
+    old concat_ws skip."""
+    return F.to_variant_object(F.filter(arr, lambda x: x.isNotNull()))
 
 
 def json_of_entries(entries: Column) -> Column:
