@@ -941,13 +941,9 @@ def _binary_value(
 
 
 def _obj_union(a: Column, b: Column) -> Column:
-    """Shallow union, rhs wins — map_concat under LAST_WIN policy."""
-    m = F.map_concat(V.as_map(a), V.as_map(b))
-    entries = F.transform(
-        F.map_entries(m),
-        lambda e: F.struct(e["key"].alias("k"), F.to_json(e["value"]).alias("j")),
-    )
-    return F.parse_json(V.json_of_entries(entries))
+    """Shallow union, rhs wins — map_concat under LAST_WIN policy,
+    assembled natively (r6: no per-entry to_json/parse_json)."""
+    return F.to_variant_object(F.map_concat(V.as_map(a), V.as_map(b)))
 
 
 _DEEP_MERGE_UDF = None
@@ -4554,13 +4550,16 @@ def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
                         if skeys_all[i] is not None
                         else V.as_string(F.col(pair_cols[i]["k"][1]))
                     ).alias("k"),
-                    V.vjson(F.col(pair_cols[i]["v"][1])).alias("j"),
+                    F.col(pair_cols[i]["v"][1]).alias("v"),
                 )
                 for i in range(len(pairs))
             ]
         )
-        valid = F.filter(entries, lambda e: e["k"].isNotNull())
-        obj = F.parse_json(V.json_of_entries(V.dedup_last_wins(valid)))
+        valid = F.filter(
+            entries, lambda e: e["k"].isNotNull() & e["v"].isNotNull()
+        )
+        # native assembly (r6); map_from_entries dedups LAST_WIN
+        obj = F.to_variant_object(F.map_from_entries(valid))
         err = F.coalesce(*[F.col(ec) for _, _, ec in flat]) if flat else F.lit(None)
         newv = F.when(err.isNotNull(), V.vnull()).otherwise(obj)
         return joined.select(
