@@ -685,6 +685,99 @@ def decontaminate(train, eval_df, id_col: str, text_col: str,
     )
 
 
+def mix_sources(df, id_col: str, source_col: str,
+                frac: float = 0.3, n_buckets: int = 64):
+    """Mixture-weighted corpus subsampling (the Pile/DoReMi-style
+    data-mixing step): draw a deterministic sample of
+    ``frac * total`` documents whose per-source quotas follow
+    count^0.5 — sqrt-weighting upsamples small sources relative to
+    proportional sampling (the standard temperature-mixing move,
+    alpha fixed at 0.5 because IEEE sqrt is CORRECTLY ROUNDED and
+    therefore bit-identical across engines, unlike pow()).
+
+    Selection within a source is the smallest ``h31('mix:' || id)``
+    values — a deterministic uniform "random" sample, stable across
+    runs/partitionings/engines.
+
+    100 TB shape — same two-phase rank as pipe_token_budget (a
+    Window.partitionBy(source) rank would pull the biggest source
+    through ONE sort task): the sample key is uniform, so
+    ``key % n_buckets`` buckets are balanced; per-(source, bucket)
+    counts (tiny map-side agg) give cumulative offsets; buckets
+    wholly past the quota drop without sorting; the within-bucket
+    row_number window is keyed by (source, bucket) — one task never
+    holds more than ~1/n_buckets of a source. The per-source count
+    collect is #sources rows (tiny by definition).
+
+    Output: (id, source, samp_key, quota) for the selected docs.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).count().collect()
+    }
+    srcs = sorted(counts)
+    total = sum(counts.values())
+    target = int(math.floor(total * frac))
+    # fixed-order sum: left-to-right over source-sorted sqrt values,
+    # mirrored exactly by the oracle's ordered list_sum
+    s = 0.0
+    for name in srcs:
+        s += math.sqrt(counts[name])
+    quotas = [
+        (
+            name,
+            min(
+                counts[name],
+                int(math.floor(round(target * math.sqrt(counts[name]) / s, 6))),
+            ),
+        )
+        for name in srcs
+    ]
+    qdf = spark.createDataFrame(quotas, f"{source_col} string, quota long")
+
+    samp = h31(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
+    # RANGE buckets (div, not modulo): the cumulative-offset rank
+    # decomposition needs every key in bucket b to sort before every
+    # key in bucket b+1; the key is uniform on [0, P31), so range
+    # buckets are also balanced
+    width = -(-P31 // n_buckets)  # ceil
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        samp.alias("samp_key"),
+    ).withColumn(
+        "bucket", (F.col("samp_key") / width).cast("long")
+    )
+    bcounts = keyed.groupBy("source", "bucket").count()
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bcounts.select(
+            "source", "bucket",
+            F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("off"),
+        )
+        .join(qdf.withColumnRenamed(source_col, "source"), "source")
+        .where(F.col("off") < F.col("quota"))
+    )
+    w_in = Window.partitionBy("source", "bucket").orderBy(
+        "samp_key", "id"
+    )
+    return (
+        keyed.join(F.broadcast(offsets), ["source", "bucket"])
+        .withColumn("rk", F.col("off") + F.row_number().over(w_in))
+        .where(F.col("rk") <= F.col("quota"))
+        .select("id", "source", "samp_key", "quota")
+    )
+
+
 def assign_splits(df, id_col: str,
                   fractions: dict[str, float] | None = None,
                   denom: int = 1_000_000, salt: str = "split"):

@@ -1794,6 +1794,47 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
 
 
+def pipe_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted subsampling (operators.text.mix_sources):
+    30% of the corpus with per-language quotas ∝ sqrt(count) —
+    temperature mixing that upsamples small languages; deterministic
+    hash-minimum selection; two-phase rank, no whole-source
+    window."""
+    docs = table(spark, "documents", sf_dir)
+    out = T.mix_sources(docs, "doc_id", "lang", frac=0.3)
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("source").alias("lang"),
+        "samp_key", "quota",
+    )
+
+
+PIPE_MIX_SOURCES_SQL = f"""
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), tot AS (
+  SELECT sum(n) AS tn,
+         list_sum(list(sqrt(n) ORDER BY lang)) AS s
+  FROM c
+), q AS (
+  SELECT lang,
+         least(n, CAST(floor(round(floor(tn * 0.3) * sqrt(n) / s, 6))
+                       AS BIGINT)) AS quota
+  FROM c, tot
+), k AS (
+  SELECT doc_id, lang,
+         {_h31("'mix:' || CAST(doc_id AS VARCHAR)")} AS samp_key
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, samp_key,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY samp_key, doc_id) AS rk
+  FROM k
+)
+SELECT r.doc_id, r.lang, r.samp_key, q.quota
+FROM r JOIN q USING (lang) WHERE rk <= quota
+"""
+
+
 def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators.text.dsir_select):
     target = 'en' docs, source = whole corpus; hashed unigram+bigram
@@ -1878,6 +1919,7 @@ QUERIES = {
     "pipe_dedup_substring": pipe_dedup_substring,
     "pipe_image_neardup": pipe_image_neardup,
     "pipe_audio_neardup": pipe_audio_neardup,
+    "pipe_mix_sources": pipe_mix_sources,
 }
 
 ORACLES = {
@@ -1920,4 +1962,5 @@ ORACLES = {
     "pipe_dedup_substring": PIPE_DEDUP_SUBSTRING_SQL,
     "pipe_image_neardup": PIPE_IMAGE_NEARDUP_SQL,
     "pipe_audio_neardup": PIPE_AUDIO_NEARDUP_SQL,
+    "pipe_mix_sources": PIPE_MIX_SOURCES_SQL,
 }

@@ -168,6 +168,7 @@ EXTRA = [
     "pipe_dedup_substring",    # windowed-hash substring dedup (Lee et al.)
     "pipe_image_neardup",      # perceptual dHash + Hamming pigeonhole join
     "pipe_audio_neardup",      # energy-delta audio fingerprint + Hamming join
+    "pipe_mix_sources",        # sqrt-weighted mixture subsampling (two-phase rank)
     "jq_defs",                 # user-defined functions + postfix brackets
     "q_pivot_daily",           # PIVOT crosstab (explicit values, one agg)
     "q_window_ranks",          # ntile/percent_rank/cume_dist/dense_rank
