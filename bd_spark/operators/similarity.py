@@ -424,6 +424,17 @@ def _assign_cids(corpus: DataFrame, cents: list[list[float]],
     )
 
 
+def kmeans_assign(corpus: DataFrame, cents: list[list[float]],
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  ) -> DataFrame:
+    """(id, cid) for trained centroids — the public face of
+    _assign_cids (zero-shuffle map-side cosine argmax against
+    literal centroids; round-9, ties -> lowest cid)."""
+    return _assign_cids(corpus, cents, id_col, vec_col).select(
+        id_col, "cid"
+    )
+
+
 def semantic_dedup(corpus: DataFrame, k: int = 16, threshold: float = 0.95,
                    train_iters: int = 2,
                    id_col: str = "vec_id", vec_col: str = "embedding",

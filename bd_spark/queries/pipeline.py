@@ -1835,6 +1835,89 @@ FROM r JOIN q USING (lang) WHERE rk <= quota
 """
 
 
+def pipe_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic discovery over the corpus: deterministic spherical
+    k-means (8 clusters, 2 Lloyd iterations — similarity.kmeans_fit)
+    on the embeddings, then each cluster is labeled by its top-5
+    document-frequency terms from the JOINED documents table.
+
+    100 TB shape: training is map-side (cid, dim) aggs with one tiny
+    collect per iteration; assignment is a zero-shuffle argmax
+    against literal centroids; the docs join is on the uniform id
+    key; term counting aggregates (cid, term) map-side; the top-k
+    rank window runs over aggregated per-cluster term rows only."""
+    from pyspark.sql import Window
+
+    emb = table(spark, "embeddings", sf_dir)
+    docs = table(spark, "documents", sf_dir)
+    cents = similarity.kmeans_fit(emb, k=8, iters=2)
+    assigned = similarity.kmeans_assign(emb, cents)
+    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n_docs"))
+    terms = (
+        docs.join(assigned, docs.doc_id == assigned.vec_id)
+        .select("cid", "doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .distinct()
+        .groupBy("cid", "term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("doc_freq"), F.asc("term"))
+    return (
+        terms.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .join(F.broadcast(sizes), "cid")
+        .select(
+            "cid", "n_docs", "term", "doc_freq",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+PIPE_TOPIC_CLUSTERS_SQL = (
+    """
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         v AS cv
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
+)"""
+    + _IVF_ASSIGN.format(o=0, i=0, n=1)
+    + _IVF_ASSIGN.format(o=1, i=1, n=2)
+    + f"""
+, vcf AS (
+  SELECT v.vec_id, c.cid,
+         round(list_sum([v.v[i+1] * c.cv[i+1] for i in range(64)])
+               / (sqrt(list_sum([x*x for x in v.v]))
+                  * sqrt(list_sum([x*x for x in c.cv]))), 9) AS ccos
+  FROM v CROSS JOIN c2 c
+), af AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM vcf
+  ) WHERE rn = 1
+), sizes AS (
+  SELECT cid, count(*) AS n_docs FROM af GROUP BY cid
+), toks AS (
+  SELECT af.cid, d.doc_id, unnest(list_distinct({_TOKS})) AS term
+  FROM documents d JOIN af ON d.doc_id = af.vec_id
+), tf AS (
+  SELECT cid, term, count(*) AS doc_freq
+  FROM (SELECT DISTINCT cid, doc_id, term FROM toks)
+  GROUP BY cid, term
+), rk AS (
+  SELECT cid, term, doc_freq,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY doc_freq DESC, term) AS rank
+  FROM tf
+)
+SELECT rk.cid, sizes.n_docs, rk.term, rk.doc_freq,
+       CAST(rank AS BIGINT) AS rank
+FROM rk JOIN sizes USING (cid) WHERE rank <= 5
+"""
+)
+
+
 def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators.text.dsir_select):
     target = 'en' docs, source = whole corpus; hashed unigram+bigram
@@ -1920,6 +2003,7 @@ QUERIES = {
     "pipe_image_neardup": pipe_image_neardup,
     "pipe_audio_neardup": pipe_audio_neardup,
     "pipe_mix_sources": pipe_mix_sources,
+    "pipe_topic_clusters": pipe_topic_clusters,
 }
 
 ORACLES = {
@@ -1963,4 +2047,5 @@ ORACLES = {
     "pipe_image_neardup": PIPE_IMAGE_NEARDUP_SQL,
     "pipe_audio_neardup": PIPE_AUDIO_NEARDUP_SQL,
     "pipe_mix_sources": PIPE_MIX_SOURCES_SQL,
+    "pipe_topic_clusters": PIPE_TOPIC_CLUSTERS_SQL,
 }

@@ -169,6 +169,8 @@ EXTRA = [
     "pipe_image_neardup",      # perceptual dHash + Hamming pigeonhole join
     "pipe_audio_neardup",      # energy-delta audio fingerprint + Hamming join
     "pipe_mix_sources",        # sqrt-weighted mixture subsampling (two-phase rank)
+    "q_stream_dedup",          # watermark-bounded streaming dropDuplicates guard
+    "pipe_topic_clusters",     # k-means topics labeled by per-cluster top terms
     "jq_defs",                 # user-defined functions + postfix brackets
     "q_pivot_daily",           # PIVOT crosstab (explicit values, one agg)
     "q_window_ranks",          # ntile/percent_rank/cume_dist/dense_rank

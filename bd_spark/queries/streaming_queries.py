@@ -156,12 +156,36 @@ JOIN events v
 """
 
 
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming.ops.dedup_stream — the
+    watermark-bounded dropDuplicates ingest guard): retain the FIRST
+    event per (user_id, event_type) key. Which physical row wins a
+    key is micro-batch-order dependent, so the gate projects to the
+    KEY COLUMNS — exactly one row per distinct key is the operator's
+    deterministic contract (oracle: SELECT DISTINCT)."""
+    from bd_spark.streaming.ops import dedup_stream, read_events_stream, run_to_memory
+
+    deduped = dedup_stream(
+        read_events_stream(spark, sf_dir),
+        ["user_id", "event_type"],
+        watermark=None,
+    ).select("user_id", "event_type")
+    return run_to_memory(deduped, "append", shuffle_partitions=8)
+
+
+Q_STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
 QUERIES = {
     "q_stream_windowed": q_stream_windowed,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_running_totals": q_stream_running_totals,
     "q_stream_enrich": q_stream_enrich,
     "q_stream_attribution": q_stream_attribution,
+    "q_stream_dedup": q_stream_dedup,
 }
 
 ORACLES = {
@@ -169,5 +193,6 @@ ORACLES = {
     "q_stream_sessions": Q_STREAM_SESSIONS_SQL,
     "q_stream_running_totals": Q_STREAM_RUNNING_TOTALS_SQL,
     "q_stream_enrich": Q_STREAM_ENRICH_SQL,
+    "q_stream_dedup": Q_STREAM_DEDUP_SQL,
     "q_stream_attribution": Q_STREAM_ATTRIBUTION_SQL,
 }
