@@ -2061,6 +2061,11 @@ def _col_hof(name: str, f: ast.Node) -> ColFn:
                 def fin(cv: CV) -> Column:
                     # native variant result (r6): no vjson text
                     r = cv.v
+                    e = (
+                        cv.err
+                        if cv.err is not None
+                        else F.lit(None).cast("string")
+                    )
                     if cv.err is not None:
                         r = F.when(
                             cv.err.isNotNull(), V.vnull()
@@ -2073,22 +2078,39 @@ def _col_hof(name: str, f: ast.Node) -> ColFn:
                         if cv.drop is not None
                         else F.lit(False)
                     )
-                    return F.struct(r.alias("r"), d.alias("d"))
+                    return F.struct(
+                        r.alias("r"), d.alias("d"), e.alias("e")
+                    )
 
                 return with_cv(x, fin)
 
-            kept_arr = F.filter(
-                F.transform(V.as_array(v), apply_elem), lambda s: ~s["d"]
-            )
+            # body errors PROPAGATE as the op's error (reference map is
+            # `thunk(value)?` — ops.rs:1640/1648; r7 ADVICE fix: the
+            # silent null-on-error lane let walk() truncate data past
+            # the recursion cap without surfacing the injected error)
+            mapped_arr = F.transform(V.as_array(v), apply_elem)
+            kept_arr = F.filter(mapped_arr, lambda s: ~s["d"])
             arr_out = V.varray(F.transform(kept_arr, lambda s: s["r"]))
-            kept_obj = F.filter(
-                F.transform(
-                    F.map_entries(V.as_map(v)),
-                    lambda e: F.struct(
-                        e["key"].alias("k"), apply_elem(e["value"]).alias("r")
-                    ),
+            arr_err = F.get(
+                F.filter(
+                    F.transform(mapped_arr, lambda s: s["e"]),
+                    lambda e: e.isNotNull(),
                 ),
-                lambda s: ~s["r"]["d"],
+                0,
+            )
+            mapped_obj = F.transform(
+                F.map_entries(V.as_map(v)),
+                lambda e: F.struct(
+                    e["key"].alias("k"), apply_elem(e["value"]).alias("r")
+                ),
+            )
+            kept_obj = F.filter(mapped_obj, lambda s: ~s["r"]["d"])
+            obj_err = F.get(
+                F.filter(
+                    F.transform(mapped_obj, lambda s: s["r"]["e"]),
+                    lambda e: e.isNotNull(),
+                ),
+                0,
             )
             obj_out = F.to_variant_object(F.map_from_entries(F.filter(
                 F.transform(
@@ -2100,8 +2122,16 @@ def _col_hof(name: str, f: ast.Node) -> ColFn:
                 lambda e: e["v"].isNotNull(),
             )))
             out = F.when(t == "array", arr_out).otherwise(obj_out)
+            body_err = F.when(t == "array", arr_err).otherwise(obj_err)
             ok = t.isin("array", "object")
-            return _guarded(ok, out, F.concat(F.lit("map on "), t), False)
+            base = _guarded(ok, out, F.concat(F.lit("map on "), t), False)
+            return CV(
+                F.when(ok & body_err.isNotNull(), V.vnull()).otherwise(
+                    base.v
+                ),
+                F.coalesce(base.err, body_err),
+                None,
+            )
 
         return fn
 
@@ -2371,13 +2401,21 @@ import threading as _threading
 
 
 class _EnvStack(_threading.local):
-    def __init__(self) -> None:
-        self.items: list[tuple[str, Column]] = []
+    """Entries are (name, column, meta); meta is an optional dict of
+    build-time static facts about the bound value (currently only
+    "elem": the statically-proven element kind of an array value,
+    feeding the typed fold lane). 2-tuple appends are normalized so
+    push sites that have no facts stay unchanged."""
 
-    def append(self, x: tuple[str, Column]) -> None:
+    def __init__(self) -> None:
+        self.items: list[tuple[str, Column, dict | None]] = []
+
+    def append(self, x: tuple) -> None:
+        if len(x) == 2:
+            x = (x[0], x[1], None)
         self.items.append(x)
 
-    def pop(self) -> tuple[str, Column]:
+    def pop(self) -> tuple:
         return self.items.pop()
 
     def __reversed__(self):
@@ -2391,10 +2429,19 @@ _ENV = _EnvStack()
 
 
 def _env_lookup(name: str) -> Column:
-    for n, c in reversed(_ENV):
+    for n, c, _m in reversed(_ENV):
         if n == name:
             return c
     raise ValueError(f"${name} is not defined")
+
+
+def _env_elem_kind(name: str) -> str | None:
+    """Statically-proven element kind of the array bound to $name,
+    if its `as`-binding recorded one (None otherwise)."""
+    for n, _c, m in reversed(_ENV):
+        if n == name:
+            return (m or {}).get("elem")
+    return None
 
 
 def _empty_varr() -> Column:

@@ -1461,17 +1461,34 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
     if name == "in":
         return _membership(_arg_value(args[0], v), v)
     if name == "map":
+        # body errors PROPAGATE as the op's error (reference map is
+        # `thunk(value)?` — ops.rs:1640/1648). r7 ADVICE fix: the old
+        # `if err is None` filter swallowed the recursion-cap error
+        # injected by _expand_recursion, so walk() on >cap-deep input
+        # SILENTLY truncated instead of erroring. Empty body output
+        # drops the element/key; multi-output takes the first — both
+        # matching the compiled tier (single-value CV + drop flag).
         f = args[0]
         if isinstance(v, list):
             mapped = []
             for x in v:
-                vals = [y for y, err in _eval(f, x) if err is None]
-                mapped.extend(vals)
+                outs = _eval(f, x)
+                for y, err in outs:
+                    if err is not None:
+                        return [(None, err)]
+                if outs:
+                    mapped.append(outs[0][0])
             return [(mapped, None)]
         if isinstance(v, dict):
-            return [(
-                {k: _first_value(f, v[k]) for k in sorted(v)}, None
-            )]
+            out: dict = {}
+            for k in sorted(v):
+                outs = _eval(f, v[k])
+                for y, err in outs:
+                    if err is not None:
+                        return [(None, err)]
+                if outs:
+                    out[k] = outs[0][0]
+            return [(out, None)]
         return [_err(f"cannot map {_tname(v)}")]
     if name in ("any", "all"):
         f = args[0]

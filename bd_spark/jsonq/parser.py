@@ -1061,9 +1061,13 @@ class Parser:
             # jq: def first(f): limit(1; f);
             return ast.Builtin("limit", (ast.Literal("1"), args[0]))
         if name == "map_values":
-            # this dialect's map (ops.rs:1631) already applies the
-            # body value-wise on OBJECTS keeping keys, which is
-            # exactly jq's map_values; alias for jq parity
+            # this dialect's map (ops.rs:1631) applies the body
+            # value-wise, taking the FIRST output per element and
+            # dropping the element/key on empty — jq's map_values
+            # (`.[] |= f`) semantics on both arrays and objects.
+            # Divergence from jq's bare `map` (which flattens
+            # multi-output bodies) is documented in COVERAGE.md;
+            # multi-output bodies are rejected at compile time.
             return ast.Builtin("map", tuple(args))
         if name == "last" and len(args) == 1:
             # jq: def last(f): reduce f as $x (null; $x);

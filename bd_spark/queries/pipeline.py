@@ -756,8 +756,11 @@ def pipe_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPE_MM_DECODE_SQL = """
 WITH c AS (
+  -- UTF-8 BYTE values, matching the engine's encoded payload (r7
+  -- ADVICE: codepoints only agreed on ASCII-only testdata)
   SELECT doc_id, text,
-         [unicode(ch) for ch in str_split(text, '')] AS codes
+         [CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS INT)
+          for i in range(octet_length(encode(text)))] AS codes
   FROM documents
 )
 SELECT doc_id AS asset_id, 'image' AS media_type,
@@ -778,22 +781,29 @@ def pipe_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPE_MM_FRAMES_SQL = """
 WITH c AS (
-  SELECT doc_id, text, length(text) AS n FROM documents
+  -- frames are 256 PAYLOAD BYTES (512 hex chars of the UTF-8
+  -- encoding), matching the engine's byte chunking (r7 ADVICE:
+  -- character chunks only agreed on ASCII-only testdata)
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
 ), f AS (
   SELECT doc_id,
          unnest([i*2 for i in range(CAST(ceil(ceil(n/256.0)/2.0) AS BIGINT))])
            AS frame_idx,
-         text
+         hx
   FROM c
 ), g AS (
   SELECT doc_id, frame_idx,
-         substr(text, CAST(frame_idx*256+1 AS BIGINT), 256) AS chunk
+         substr(hx, CAST(frame_idx*512+1 AS BIGINT), 512) AS chunk
   FROM f
 )
 SELECT doc_id AS asset_id,
        CAST(frame_idx AS BIGINT) AS frame_idx,
-       CAST(length(chunk) AS BIGINT) AS frame_bytes,
-       CAST(coalesce(list_sum([unicode(x) for x in str_split(chunk, '')]), 0) AS BIGINT)
+       CAST(length(chunk) // 2 AS BIGINT) AS frame_bytes,
+       CAST(coalesce(list_sum(
+         [CAST(('0x' || substr(chunk, 2*i+1, 2)) AS INT)
+          for i in range(length(chunk) // 2)]), 0) AS BIGINT)
          AS frame_sum
 FROM g
 """
@@ -1703,7 +1713,11 @@ def pipe_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPE_IMAGE_NEARDUP_SQL = """
 WITH c AS (
-  SELECT doc_id, [unicode(ch) for ch in str_split(text, '')] AS codes
+  -- UTF-8 BYTE values, matching the engine's encoded payload (r7
+  -- ADVICE: codepoints only agreed on ASCII-only testdata)
+  SELECT doc_id,
+         [CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS INT)
+          for i in range(octet_length(encode(text)))] AS codes
   FROM documents
 ),
 p AS (
@@ -1757,7 +1771,13 @@ def pipe_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPE_AUDIO_NEARDUP_SQL = """
 WITH c AS (
-  SELECT doc_id, [unicode(ch) for ch in str_split(text, '')] AS codes
+  -- UTF-8 BYTE values (hex(encode()) pair parse), matching the
+  -- engine fake path's encoded-payload bytes exactly — the previous
+  -- unicode(ch) codepoint sum agreed only on ASCII-only testdata
+  -- (r7 ADVICE fix)
+  SELECT doc_id,
+         [CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS INT)
+          for i in range(octet_length(encode(text)))] AS codes
   FROM documents
 ),
 e AS (

@@ -168,7 +168,8 @@ def _canon_float(t):
     sig = F.regexp_replace(nolead, r"0+$", "")  # significant digits
     lead0 = F.length(digs) - F.length(nolead)
     nsig = F.length(sig)
-    nexp = (F.length(ip) - F.lit(1) - lead0 + sexp).cast("string")
+    nexp_l = F.length(ip) - F.lit(1) - lead0 + sexp
+    nexp = nexp_l.cast("string")
     mant = F.when(nsig <= 1, sig).otherwise(
         F.concat(
             F.substring(sig, 1, 1), F.lit("."),
@@ -180,6 +181,16 @@ def _canon_float(t):
         # golden corpus testdata/test_simple.jsons.ref.jsons:31,35)
         F.when(nsig == 0, F.lit("0e0"))
         .when(nsig >= 16, F.lit(_CANON_SENTINEL))
+        # the <=15-digit exactness proof assumes NORMAL doubles:
+        # subnormals (below ~1e-308) have reduced precision, so
+        # distinct short decimals can collapse (3e-324 parses to the
+        # double whose shortest repr is 5e-324), and overflowing
+        # exponents (1e999 -> inf) bypass the digit count entirely.
+        # |exponent| > 290 leaves a wide safety margin on both sides
+        # (normal range is ~1e-308..1.8e308; 15 digits keeps the
+        # product well inside it) — those rare rows take the Python
+        # repr path (r7 ADVICE fix).
+        .when(F.abs(nexp_l) > 290, F.lit(_CANON_SENTINEL))
         .otherwise(F.concat(
             F.when(neg, F.lit("-")).otherwise(F.lit("")),
             mant, F.lit("e"), nexp,

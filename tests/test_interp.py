@@ -26,6 +26,45 @@ def test_interp_error_entries():
     assert len(out) == 1 and out[0][0] is None and out[0][1] is not None
 
 
+def test_walk_past_recursion_cap_errors_loudly():
+    """r7 ADVICE (high): walk() on input nested past the bounded-
+    recursion cap must surface the injected recursion-limit error,
+    not silently return a truncated structure (the interp's map used
+    to filter body errors, swallowing the cap sentinel)."""
+    doc: object = 0
+    for _ in range(40):
+        doc = [doc]
+    out = interp.run(parser.parse("walk(.)"), doc)
+    assert len(out) == 1
+    v, err = out[0]
+    assert v is None
+    assert err is not None and "recursion depth limit" in err
+    # inside the cap: walk is the identity, NO error
+    doc2: object = {"k": 1}
+    for _ in range(5):
+        doc2 = [doc2]
+    out2 = interp.run(parser.parse("walk(.)"), doc2)
+    assert out2 == [(doc2, None)]
+
+
+def test_interp_map_error_propagation_and_empty_drop():
+    """map body errors propagate (reference `thunk(value)?`,
+    ops.rs:1640); empty body output drops the element/key; first
+    output wins — matching the compiled tier and jq's map_values."""
+    assert interp.run(parser.parse('map(error("boom"))'), [1, 2]) == [
+        (None, "boom")
+    ]
+    assert interp.run(
+        parser.parse('map_values(error("k"))'), {"a": 1}
+    ) == [(None, "k")]
+    assert interp.run(parser.parse("map(select(. > 1))"), [1, 2, 3]) == [
+        ([2, 3], None)
+    ]
+    assert interp.run(
+        parser.parse("map_values(select(. > 1))"), {"a": 1, "b": 2}
+    ) == [({"b": 2}, None)]
+
+
 # ------------------------------------------------------- differential
 
 DIFF_QUERIES = [

@@ -896,3 +896,53 @@ def test_substring_dup_stats_hand_check(spark):
     assert out[1].n_dup > 0 and out[2].n_dup > 0
     assert out[3].n_dup == 0 and out[3].flagged is False
     assert out[1].dup_frac == round(out[1].n_dup / out[1].n_windows, 6)
+
+
+def test_multimodal_oracles_non_ascii(spark, tmp_path):
+    """The mm/image/audio oracle SQL must track the ENGINE's UTF-8
+    payload BYTES, not codepoints (r7 ADVICE: the old unicode(ch)
+    oracles agreed only because sf* documents happen to be
+    ASCII-only). Differential on a deliberately non-ASCII corpus."""
+    import duckdb
+
+    from bd_spark.queries import pipeline as P
+    from bd_spark.queries import registry as R
+
+    texts = [
+        "héllo wörld " * 40,              # 2-byte UTF-8 seqs
+        "日本語のテキストです。" * 30,      # 3-byte seqs
+        "emoji 🎉 mix 🚀 " * 25,           # 4-byte seqs
+        "plain ascii only " * 30,
+        "héllo wörld " * 40,              # dup of 0 (near-dup pairs)
+    ]
+    rows = [
+        (i, t, "xx", "src", len(t)) for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    )
+    pq = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'"
+    )
+    import test_extra_oracle as teo
+
+    sqls = {**R.all_oracles(), **R.extra_oracles()}
+    for name in (
+        "pipe_mm_decode", "pipe_mm_frames",
+        "pipe_image_neardup", "pipe_audio_neardup",
+    ):
+        fn = {**R.all_queries(), **R.extra_queries()}[name]
+        df = fn(spark, str(tmp_path))
+        sh = teo._table_hash(
+            df.columns, [tuple(r) for r in df.collect()]
+        )
+        rel = con.sql(sqls[name])
+        oh = teo._table_hash(
+            [d[0] for d in rel.description], rel.fetchall()
+        )
+        assert sh == oh, f"{name}: spark {sh} != oracle {oh}"
+    con.close()

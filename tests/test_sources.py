@@ -281,6 +281,14 @@ def test_canon_jvm_differential(spark):
         {"big": 1e23},                    # Java 17 non-shortest double
         {"long16": 0.1234567890123456},
         {"long17": 0.12345678901234567},
+        # subnormal range: <=15-digit exactness proof fails below
+        # ~1e-308 (reduced precision — 3e-324 IS the double whose
+        # shortest repr is 5e-324), so |exp| > 290 must sentinel out
+        # to the Python repr path (r7 ADVICE fix)
+        {"sub": 3e-324},
+        {"sub2": 5e-324},
+        {"deep": 1.5e-300},
+        {"huge": 1.7e308},
     ]
     rows = [(i, _json.dumps(d)) for i, d in enumerate(docs + sentinel_docs)]
     df = spark.createDataFrame(rows, "seq long, txt string").select(
