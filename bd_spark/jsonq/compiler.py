@@ -267,6 +267,17 @@ def compile_col(node: ast.Node) -> ColFn | None:
                 return None
         if node.name == "del":
             return _compile_del(node)
+        if node.name == "getpath" and len(node.args) == 1:
+            # static-path fast lane (r6 VERDICT wrong #1): a literal
+            # all-string path compiles to a chain of element_at
+            # lookups instead of the dynamic struct<a,e> fold — the
+            # fold re-dispatches vtype over the accumulator per step
+            # and defeats per-projection subexpression elimination
+            from bd_spark.jsonq.parser import _literal_str_path
+
+            segs = _literal_str_path(node.args[0])
+            if segs:
+                return lambda v: _col_getpath_static(v, segs)
         if node.name in GENERATOR_BUILTINS:
             return None  # generators need stream fan-out
         if node.name == "capture":
@@ -465,26 +476,57 @@ def _set_json(v: Column, segs: tuple, leaf_json: Column) -> Column:
     ).otherwise(fresh)
 
 
-def _del_json(v: Column, segs: tuple) -> Column:
-    """JSON text of v with the field at segs removed; a missing key
-    anywhere on the path leaves v unchanged."""
+def _set_variant(v: Column, segs: tuple, leaf: Column) -> Column:
+    """VARIANT of v with v[segs] replaced by variant ``leaf``; missing
+    intermediates become fresh objects (jq setpath). Native object
+    assembly — to_variant_object over map_from_entries copies sibling
+    entries as variants (keys re-sorted by construction), where the
+    textual _set_json re-serialized every sibling via vjson and paid
+    a parse_json of the whole doc (r7: at sf0.1 the text form lost to
+    the Arrow setpath UDF 23 s vs 10 s; this form replaces both)."""
+    if not segs:
+        return leaf
     k = segs[0]
     m = V.as_map(v)
-    if len(segs) == 1:
-        others = F.filter(F.map_entries(m), lambda e: e["key"] != F.lit(k))
-        structs = F.transform(
+    inner = _set_variant(F.element_at(m, F.lit(k)), segs[1:], leaf)
+    others = F.filter(F.map_entries(m), lambda e: e["key"] != F.lit(k))
+    entries = F.concat(
+        F.transform(
             others,
-            lambda e: F.struct(
-                e["key"].alias("k"), V.vjson(e["value"]).alias("j")
-            ),
-        )
-        rebuilt = V.json_of_entries(structs)
+            lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v")),
+        ),
+        F.array(F.struct(F.lit(k).alias("k"), inner.alias("v"))),
+    )
+    fresh = F.array(F.struct(F.lit(k).alias("k"), inner.alias("v")))
+    return F.to_variant_object(F.map_from_entries(
+        F.when(V.vtype(v) == "object", entries).otherwise(fresh)
+    ))
+
+
+def _del_variant(v: Column, segs: tuple) -> Column:
+    """VARIANT of v with the field at segs removed; a missing key
+    anywhere on the path leaves v unchanged. Native object assembly,
+    same rationale as _set_variant (r7: the textual predecessor
+    re-serialized every sibling via vjson + a whole-doc parse_json)."""
+    k = segs[0]
+    m = V.as_map(v)
+    others = F.filter(F.map_entries(m), lambda e: e["key"] != F.lit(k))
+    other_structs = F.transform(
+        others,
+        lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v")),
+    )
+    if len(segs) == 1:
+        entries = other_structs
     else:
-        inner = _del_json(F.element_at(m, F.lit(k)), segs[1:])
-        rebuilt = _rebuilt_entries(m, k, inner)
+        inner = _del_variant(F.element_at(m, F.lit(k)), segs[1:])
+        entries = F.concat(
+            other_structs,
+            F.array(F.struct(F.lit(k).alias("k"), inner.alias("v"))),
+        )
+    rebuilt = F.to_variant_object(F.map_from_entries(entries))
     return F.when(
         (V.vtype(v) == "object") & F.map_contains_key(m, F.lit(k)), rebuilt
-    ).otherwise(V.vjson(v))
+    ).otherwise(v)
 
 
 def _compile_assign(node: ast.Assign) -> ColFn | None:
@@ -665,7 +707,7 @@ def _compile_del(node: ast.Builtin) -> ColFn:
     def fn(v: Column) -> CV:
         return _guarded(
             _path_ok(v, segs),
-            F.parse_json(_del_json(v, segs)),
+            _del_variant(v, segs),
             F.lit("cannot delete path ." + ".".join(segs)),
             False,
         )
@@ -842,16 +884,36 @@ def _binary_value(
     if op == "-":
         # arr-arr: each rhs element removes the FIRST remaining
         # occurrence from lhs (json.rs:1010-1013 remove_item) — keep
-        # lhs[i] iff its 1-based duplicate rank exceeds the rhs count
-        lhs_texts = F.transform(V.as_array(a), lambda y: F.to_json(y))
-        rhs_texts = F.transform(V.as_array(b), lambda y: F.to_json(y))
-        removed = F.filter(
-            V.as_array(a),
-            lambda x, i: F.size(
-                F.filter(F.slice(lhs_texts, 1, i + 1), lambda e: e == F.to_json(x))
-            )
-            > F.size(F.filter(rhs_texts, lambda e: e == F.to_json(x))),
+        # lhs[i] iff its 1-based duplicate rank exceeds the rhs count.
+        # The serialized forms are LET-BOUND (r7): captured in the
+        # filter lambda they re-ran the whole-array transform per
+        # OUTER element — O(n²) full-array serializes (the same trap
+        # as memory'd element_at(sorted, i); jq_overloads' dif pair
+        # paid it on every ~200-word doc).
+        both = F.struct(
+            V.as_array(a).alias("arr"),
+            F.transform(V.as_array(a), lambda y: F.to_json(y)).alias("lt"),
+            F.transform(V.as_array(b), lambda y: F.to_json(y)).alias("rt"),
         )
+
+        def _diff(t: Column) -> Column:
+            return F.filter(
+                t["arr"],
+                lambda x, i: F.size(
+                    F.filter(
+                        F.slice(t["lt"], 1, i + 1),
+                        lambda e: e == F.element_at(t["lt"], i + 1),
+                    )
+                )
+                > F.size(
+                    F.filter(
+                        t["rt"],
+                        lambda e: e == F.element_at(t["lt"], i + 1),
+                    )
+                ),
+            )
+
+        removed = F.transform(F.array(both), _diff)[0]
         return (
             F.when(
                 bothint, _int_arith(F.try_subtract(la, lb), F.try_subtract(deca, decb))
@@ -1052,6 +1114,37 @@ def _run_flags(sorted_arr: Column, kf) -> Column:
         )
     )
     return F.when(n == 0, F.slice(rest, 1, 0)).otherwise(F.concat(head, rest))
+
+
+def _col_getpath_static(v: Column, segs: tuple[str, ...]) -> CV:
+    """`getpath(["a", "b"])` with a literal all-string path: a static
+    chain of map lookups, error semantics identical to the dynamic
+    fold (_col_getpath) — null levels stay null, arrays reject string
+    keys, scalars reject indexing; the FIRST error wins (later levels
+    see vnull, which never errors, so plain coalesce keeps it)."""
+    cur = v
+    err = F.lit(None).cast("string")
+    for _k in segs:
+        t = V.vtype(cur)
+        step_err = F.when(
+            t == "array",
+            F.lit("getpath: cannot index array with string"),
+        ).when(
+            t.isin("bool", "int", "float", "string"),
+            F.concat(F.lit("getpath: cannot index "), t),
+        )
+        err = F.coalesce(err, step_err)
+        cur = F.when(
+            t == "object",
+            F.coalesce(
+                F.element_at(V.as_map(cur), F.lit(_k)), V.vnull()
+            ),
+        ).otherwise(V.vnull())
+    return CV(
+        F.when(err.isNotNull(), V.vnull()).otherwise(cur),
+        F.when(err.isNotNull(), err),
+        None,
+    )
 
 
 def _col_getpath(v: Column, p: CV) -> CV:
@@ -2461,7 +2554,9 @@ def _col_bind(node: ast.BindAs) -> ColFn | None:
 
     def fn(v: Column) -> CV:
         ecv = ef(v)
-        _ENV.append((name, ecv.v))
+        # record the statically-proven element kind (split products
+        # etc.) so folds over $name can take the typed lane
+        _ENV.append((name, ecv.v, {"elem": _static_elem_kind(node.source)}))
         try:
             bcv = bf(v)
         finally:
@@ -2994,7 +3089,9 @@ def compile_packed(node: ast.Node) -> PFn | None:  # noqa: PLR0911, PLR0912
 
         def run_bind(p: Column) -> Column:
             def inner(t: Column) -> Column:
-                _ENV.append((name, t["v"]))
+                _ENV.append(
+                    (name, t["v"], {"elem": _static_elem_kind(node.source)})
+                )
                 try:
                     out = bf(p)  # body input is the ORIGINAL value
                 finally:
@@ -3140,6 +3237,16 @@ def compile_packed(node: ast.Node) -> PFn | None:  # noqa: PLR0911, PLR0912
         if name == "del":
             cf = _compile_del(node)
             return lambda p: _pk_chain(p, cf)
+        if name == "getpath" and len(node.args) == 1:
+            # static-path fast lane (r7) — mirror of the compile_col
+            # hook; a literal path needs no dynamic fold
+            from bd_spark.jsonq.parser import _literal_str_path
+
+            segs = _literal_str_path(node.args[0])
+            if segs:
+                return lambda p: _pk_chain(
+                    p, lambda v: _col_getpath_static(v, segs)
+                )
         if name in GENERATOR_BUILTINS:
             return None  # generators
         if name == "capture":
@@ -3196,14 +3303,16 @@ def _packed_assign(node: ast.Assign) -> PFn | None:
             rp = rhspf(_pk(old if update else v))
 
             def with_r(r: Column) -> Column:
-                leaf = F.when(r["e"].isNotNull(), F.lit("null")).otherwise(
-                    V.vjson(r["v"])
+                leaf = F.when(r["e"].isNotNull(), V.vnull()).otherwise(
+                    # coalesce: a SQL-NULL map value would DROP the
+                    # entry in to_variant_object, not set jq null
+                    F.coalesce(r["v"], V.vnull())
                 )
 
                 def with_leaf(lf: Column) -> Column:
                     ok = _path_ok(v, segs)
                     resv = F.when(
-                        ok, F.parse_json(_set_json(v, segs, lf))
+                        ok, _set_variant(v, segs, lf)
                     ).otherwise(V.vnull())
                     oute = F.coalesce(
                         r["e"], F.when(~ok, F.lit(msg))
@@ -3239,6 +3348,303 @@ def _pk_chain2(t: Column, u: Column, name: str) -> Column:
     )
 
 
+def _static_elem_kind(node: ast.Node) -> str | None:
+    """ELEMENT kind of an array-valued expression, when statically
+    provable. Feeds the typed fold lane (r6 VERDICT wrong #2): a
+    `split` product is always array<string>, `chars`/`explode` always
+    array<int>. Var lookups consult the live _ENV binding metadata,
+    so this must run at plan-BUILD time (inside a ColFn), not at
+    compile time."""
+    if isinstance(node, ast.Pipe):
+        return _static_elem_kind(node.right)
+    if isinstance(node, ast.Try):
+        return _static_elem_kind(node.expr)
+    if isinstance(node, ast.Builtin):
+        if node.name == "split":
+            return "string"
+        if node.name in ("chars", "explode"):
+            return "int"
+        return None
+    if isinstance(node, ast.Binary) and node.op == "/":
+        # str / str is the dialect's split (json.rs:934-937)
+        if (
+            _static_kind(node.left) == "string"
+            and _static_kind(node.right) == "string"
+        ):
+            return "string"
+        return None
+    if isinstance(node, ast.Var):
+        return _env_elem_kind(node.name)
+    return None
+
+
+# Native column types backing each typed-lane kind. "int" uses
+# DECIMAL(38,0) — the same i128-parity tower the variant lane's
+# _int_arith falls back to, so +/-/* results (including >38-digit
+# overflow -> SQL NULL) are bit-identical without a per-step
+# long/decimal dual track.
+_TYPED_INT = "decimal(38,0)"
+
+
+def _typed_expr(node: ast.Node, kinds: dict[str, str]):
+    """Typed-lane expression compiler (r6 VERDICT next #1): compile
+    `node` over NATIVE columns when every subexpression's kind is
+    statically known and the operation is total (its variant-lane
+    twin can never produce an in-band error or a `?` drop).
+
+    Returns ``(kind, build)`` where ``build(env: dict[str, Column])
+    -> Column`` (env maps "." and variable names to native columns),
+    or None when the node falls outside the typed subset. Kinds:
+    "int" (DECIMAL(38,0) — i128-tower parity), "float" (DOUBLE),
+    "string", "bool".
+
+    Semantics parity notes (each mirrors the variant lane exactly):
+    - int/int + - * : decimal(38,0) arithmetic == _int_arith's
+      try-long-else-decimal (same values; overflow -> NULL).
+    - mixed numeric -> double (json.rs:900-905).
+    - comparisons on numbers via double (vexpr.compare_lt), string
+      compare/equality native (to_json text equality on strings IS
+      value equality).
+    - `length` of a string is BYTE length (json.rs:632).
+    - / and % are EXCLUDED (division by zero degrades to jq null,
+      which the typed domain cannot carry)."""
+    num = ("int", "float")
+    if isinstance(node, ast.Literal):
+        t = node.text.strip()
+        if t.startswith('"'):
+            try:
+                s = _json.loads(t)
+            except ValueError:
+                return None
+            return ("string", lambda env, s=s: F.lit(s))
+        if t in ("true", "false"):
+            return ("bool", lambda env, b=(t == "true"): F.lit(b))
+        try:
+            iv = int(t)
+            if abs(iv) > 2**63 - 1:
+                return None
+            return (
+                "int", lambda env, iv=iv: F.lit(iv).cast(_TYPED_INT)
+            )
+        except ValueError:
+            pass
+        try:
+            fv = float(t)
+            return ("float", lambda env, fv=fv: F.lit(fv))
+        except ValueError:
+            return None
+    if isinstance(node, ast.Identity):
+        k = kinds.get(".")
+        return (k, lambda env: env["."]) if k else None
+    if isinstance(node, ast.Var):
+        k = kinds.get(node.name)
+        return (k, lambda env, n=node.name: env[n]) if k else None
+    if isinstance(node, ast.Pipe):
+        lt = _typed_expr(node.left, kinds)
+        if lt is None:
+            return None
+        lk, lb = lt
+        rt = _typed_expr(node.right, {**kinds, ".": lk})
+        if rt is None:
+            return None
+        rk, rb = rt
+
+        def build_pipe(env, lb=lb, rb=rb):
+            return rb({**env, ".": lb(env)})
+
+        return (rk, build_pipe)
+    if isinstance(node, ast.BindAs):
+        if is_multivalued(node.source):
+            return None
+        st = _typed_expr(node.source, kinds)
+        if st is None:
+            return None
+        sk, sb = st
+        bt = _typed_expr(node.body, {**kinds, node.name: sk})
+        if bt is None:
+            return None
+        bk, bb = bt
+
+        def build_bind(env, sb=sb, bb=bb, n=node.name):
+            return bb({**env, n: sb(env)})
+
+        return (bk, build_bind)
+    if isinstance(node, ast.If):
+        bts = []
+        for cond, then in node.branches:
+            ct = _typed_expr(cond, kinds)
+            tt = _typed_expr(then, kinds)
+            if ct is None or tt is None or ct[0] != "bool":
+                return None
+            bts.append((ct[1], tt))
+        et = _typed_expr(node.orelse, kinds)
+        if et is None:
+            return None
+        rk = et[0]
+        if any(tt[0] != rk for _cb, tt in bts):
+            return None
+
+        def build_if(env, bts=bts, eb=et[1]):
+            out = None
+            for cb, (_tk, tb) in bts:
+                out = (
+                    F.when(cb(env), tb(env))
+                    if out is None
+                    else out.when(cb(env), tb(env))
+                )
+            return out.otherwise(eb(env))
+
+        return (rk, build_if)
+    if isinstance(node, ast.Unary):
+        et = _typed_expr(node.expr, kinds)
+        if et is None:
+            return None
+        ek, eb = et
+        if node.op == "-" and ek in num:
+            return (ek, lambda env, eb=eb: -eb(env))
+        if node.op == "!" and ek == "bool":
+            return ("bool", lambda env, eb=eb: ~eb(env))
+        return None
+    if isinstance(node, ast.Builtin):
+        if node.name == "length" and not node.args:
+            k = kinds.get(".")
+            if k == "string":
+                # byte length, reference parity (json.rs:632)
+                return (
+                    "int",
+                    lambda env: F.octet_length(env["."]).cast(
+                        _TYPED_INT
+                    ),
+                )
+            return None
+        if node.name == "not" and not node.args:
+            if kinds.get(".") == "bool":
+                return ("bool", lambda env: ~env["."])
+            return None
+        return None
+    if isinstance(node, ast.Binary):
+        lt = _typed_expr(node.left, kinds)
+        rt = _typed_expr(node.right, kinds)
+        if lt is None or rt is None:
+            return None
+        lk, lb = lt
+        rk, rb = rt
+        op = node.op
+        if op in ("+", "-", "*"):
+            if lk == "int" and rk == "int":
+                def build_ii(env, lb=lb, rb=rb, op=op):
+                    a, b = lb(env), rb(env)
+                    return (
+                        a + b if op == "+"
+                        else a - b if op == "-"
+                        else a * b
+                    ).cast(_TYPED_INT)
+
+                return ("int", build_ii)
+            if lk in num and rk in num:
+                def build_ff(env, lb=lb, rb=rb, op=op):
+                    a = lb(env).cast("double")
+                    b = rb(env).cast("double")
+                    return (
+                        a + b if op == "+"
+                        else a - b if op == "-"
+                        else a * b
+                    )
+
+                return ("float", build_ff)
+            if op == "+" and lk == rk == "string":
+                return (
+                    "string",
+                    lambda env, lb=lb, rb=rb: F.concat(lb(env), rb(env)),
+                )
+            return None
+        if op in ("<", "<=", ">", ">=", "==", "!="):
+            if lk in num and rk in num:
+                def build_cmp(env, lb=lb, rb=rb, op=op):
+                    a = lb(env).cast("double")
+                    b = rb(env).cast("double")
+                    return {
+                        "<": a < b, "<=": a <= b, ">": a > b,
+                        ">=": a >= b, "==": a == b, "!=": a != b,
+                    }[op]
+
+                return ("bool", build_cmp)
+            if lk == rk and lk in ("string", "bool"):
+                if op in ("==", "!="):
+                    def build_eq(env, lb=lb, rb=rb, op=op):
+                        a, b = lb(env), rb(env)
+                        return a == b if op == "==" else a != b
+
+                    return ("bool", build_eq)
+                if lk == "string":
+                    def build_scmp(env, lb=lb, rb=rb, op=op):
+                        a, b = lb(env), rb(env)
+                        return {
+                            "<": a < b, "<=": a <= b,
+                            ">": a > b, ">=": a >= b,
+                        }[op]
+
+                    return ("bool", build_scmp)
+            return None
+        if op in ("&&", "||", "and", "or"):
+            if lk == rk == "bool":
+                if op in ("&&", "and"):
+                    return (
+                        "bool",
+                        lambda env, lb=lb, rb=rb: lb(env) & rb(env),
+                    )
+                return (
+                    "bool",
+                    lambda env, lb=lb, rb=rb: lb(env) | rb(env),
+                )
+            return None
+        return None
+    return None
+
+
+def _typed_reduce_cv(node: ast.Reduce, v: Column) -> CV | None:
+    """Typed fold lane (r6 VERDICT next #1): when the fold source's
+    element kind is statically proven and init/update compile in the
+    typed domain, run F.aggregate over a NATIVE array with a native
+    accumulator and re-tag once at the end. The variant lane pays
+    parse_json(cast(string)) boxing + a 7-way type dispatch PER STEP;
+    this lane pays one cast per element and one parse_json per fold.
+    Must be called at plan-BUILD time (reads _ENV metadata)."""
+    src = node.source
+    if not (
+        isinstance(src, ast.Pipe)
+        and isinstance(src.right, ast.IterValues)
+    ):
+        return None
+    ek = _static_elem_kind(src.left)
+    if ek not in ("string", "int"):
+        return None
+    it = _typed_expr(node.init, {})
+    if it is None or it[0] not in ("int", "float"):
+        return None
+    ik, ib = it
+    ut = _typed_expr(node.update, {".": ik, node.name: ek})
+    if ut is None or ut[0] != ik:
+        return None
+    _uk, ub = ut
+    base = compile_col(src.left)
+    if base is None:
+        return None
+    bcv = base(v)
+    arr = V.as_array(bcv.v)
+    cast_elem = V.as_string if ek == "string" else V.as_dec
+    native = F.transform(arr, cast_elem)
+    zero = ib({}).cast(_TYPED_INT if ik == "int" else "double")
+    name = node.name
+    res = F.aggregate(
+        native, zero, lambda acc, x: ub({".": acc, name: x})
+    )
+    out = V.vlong(res) if ik == "int" else V.vdouble(res)
+    if bcv.err is not None:
+        out = F.when(bcv.err.isNotNull(), V.vnull()).otherwise(out)
+    return CV(out, bcv.err, bcv.drop)
+
+
 def _col_reduce(node: ast.Reduce) -> ColFn | None:
     """`reduce E as $x (I; U)` via F.aggregate over E's burst array.
     The accumulator is struct<a: VARIANT, e: STRING>: the first error
@@ -3257,6 +3663,9 @@ def _col_reduce(node: ast.Reduce) -> ColFn | None:
     name = node.name
 
     def fn(v: Column) -> CV:
+        tcv = _typed_reduce_cv(node, v)
+        if tcv is not None:
+            return tcv
         ecv = elems(v)
         icv = inf(v)
         zero = F.struct(
@@ -3606,7 +4015,9 @@ def _stream_bind(node: ast.BindAs) -> StreamFn:
         mid = mid.withColumns(
             {var_col: F.col("v"), "v": F.col(keep)}
         ).drop(keep)
-        _ENV.append((name, F.col(var_col)))
+        _ENV.append(
+            (name, F.col(var_col), {"elem": _static_elem_kind(node.source)})
+        )
         try:
             out = compile_stream(body)(mid)
         finally:
@@ -3904,6 +4315,15 @@ def _plan_direct_raw(
             acv, ad, _ = arg
             cv = _select_cv(inp.v, acv)
             return _pemit(plan, cv, inp.err, name, max(ad, in_depth))
+        if node.name == "getpath" and len(node.args) == 1:
+            # static-path fast lane (r7) — mirror of the compile_col
+            # hook; a literal path needs no dynamic fold
+            from bd_spark.jsonq.parser import _literal_str_path
+
+            psegs = _literal_str_path(node.args[0])
+            if psegs:
+                cv = _col_getpath_static(inp.v, psegs)
+                return _pemit(plan, cv, inp.err, name, in_depth)
         if node.name in ARG1_VALUE_BUILTINS:
             arg = _plan_direct(plan, node.args[0], None, inp, in_depth, cse)
             if arg is None:
@@ -4564,11 +4984,29 @@ def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
         skeys_all = [None] * len(pairs)
 
     def run(df: DataFrame) -> DataFrame:
+        # r7: SINGLE-VALUED static-keyed pairs stage as carried
+        # columns on the input — no per-pair stream, no join; only
+        # genuinely multi-valued parts pay the burst-join cartesian.
+        # (jq_paths' dict previously joined 4 streams for its 1
+        # multi-valued pair: 3 row-key shuffle joins for values that
+        # are plain projections. A staged single-valued pair is
+        # burst-position 0 in every product anyway, so dropping its
+        # ord component changes nothing observable.)
+        staged: dict[int, str] = {}
+        work = df
+        for pi, pair in enumerate(pairs):
+            if skeys_all[pi] is not None and not is_multivalued(pair.value):
+                n = _fresh("dsc")
+                work = _stage(work, pair.value, n)
+                staged[pi] = n
         g = _fresh("g")
-        base = df.withColumn(g, F.struct("seq", "ord"))
+        base = work.withColumn(g, F.struct("seq", "ord"))
         pair_cols: list[dict[str, tuple[str, str, str]]] = []
         joined: DataFrame | None = None
         for pi, pair in enumerate(pairs):
+            if pi in staged:
+                pair_cols.append({})
+                continue
             roles = (("k", pair.key), ("v", pair.value))
             if skeys_all[pi] is not None:
                 roles = (("v", pair.value),)
@@ -4582,11 +5020,13 @@ def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
                     F.col("__pos").alias(pc),
                     F.col("v").alias(vc),
                     F.col("err").alias(ec),
-                    *([] if joined is not None else _carries(df)),
+                    *([] if joined is not None else _carries(work)),
                 )
                 cols[role] = (pc, vc, ec)
                 joined = sel if joined is None else joined.join(sel, on=g)
             pair_cols.append(cols)
+        if joined is None:  # defensive: all pairs staged
+            joined = base
         flat = [t for cols in pair_cols for t in cols.values()]
         ordcol = F.concat(F.col(g)["ord"], F.array(*[F.col(pc) for pc, _, _ in flat]))
         entries = F.array(
@@ -4597,7 +5037,11 @@ def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
                         if skeys_all[i] is not None
                         else V.as_string(F.col(pair_cols[i]["k"][1]))
                     ).alias("k"),
-                    F.col(pair_cols[i]["v"][1]).alias("v"),
+                    (
+                        F.col(f"{staged[i]}_v")
+                        if i in staged
+                        else F.col(pair_cols[i]["v"][1])
+                    ).alias("v"),
                 )
                 for i in range(len(pairs))
             ]
@@ -4607,7 +5051,13 @@ def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
         )
         # native assembly (r6); map_from_entries dedups LAST_WIN
         obj = F.to_variant_object(F.map_from_entries(valid))
-        err = F.coalesce(*[F.col(ec) for _, _, ec in flat]) if flat else F.lit(None)
+        errs: list[Column] = []
+        for i in range(len(pairs)):
+            if i in staged:
+                errs.append(F.col(f"{staged[i]}_e"))
+            else:
+                errs.extend(F.col(ec) for _, _, ec in pair_cols[i].values())
+        err = F.coalesce(*errs) if errs else F.lit(None).cast("string")
         newv = F.when(err.isNotNull(), V.vnull()).otherwise(obj)
         return joined.select(
             F.col(g)["seq"].alias("seq"),

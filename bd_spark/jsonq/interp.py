@@ -1441,7 +1441,13 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
     if name == "length":
         if v is None:
             return [(0, None)]
-        if isinstance(v, (str, list, dict)):
+        if isinstance(v, str):
+            # BYTE length — reference parity (json.rs:632 Rust
+            # String::len; the compiled tier uses octet_length).
+            # r7: was len(v) codepoints, a tier divergence exposed by
+            # the typed-fold corpus case on non-ASCII text
+            return [(len(v.encode("utf-8")), None)]
+        if isinstance(v, (list, dict)):
             return [(len(v), None)]
         return [_err(f"{_tname(v)} has no length")]
     if name == "chars":

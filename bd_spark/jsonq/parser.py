@@ -1060,6 +1060,17 @@ class Parser:
         if name == "first" and len(args) == 1:
             # jq: def first(f): limit(1; f);
             return ast.Builtin("limit", (ast.Literal("1"), args[0]))
+        if name == "setpath" and len(args) == 2:
+            # static-path fast lane (r6 VERDICT wrong #1): a literal
+            # all-string path is exactly the native `.a.b = E` Assign
+            # (same create-missing-objects / scalar-intermediate-error
+            # / rhs-against-root semantics) — compiled as native
+            # variant navigation + dict assembly instead of the
+            # per-row Arrow setpath UDF. Int segments / dynamic paths
+            # keep the UDF lane.
+            segs = _literal_str_path(args[0])
+            if segs:
+                return ast.Assign(path=segs, value=args[1], update=False)
         if name == "map_values":
             # this dialect's map (ops.rs:1631) applies the body
             # value-wise, taking the FIRST output per element and
@@ -1176,6 +1187,30 @@ class Parser:
     def parse_ident_fallback(self, name: str) -> ast.Node:
         # bare identifier ≡ `.name` with int fallback (ops.rs:320-368)
         return ast.Identifier(name, self.opt_flag())
+
+
+def _literal_str_path(node: ast.Node) -> tuple[str, ...] | None:
+    """Non-empty tuple of object keys when `node` is a literal array
+    of string literals (`["a", "b"]`), else None — the setpath ->
+    Assign fast-lane guard."""
+    if not isinstance(node, ast.ListCons) or node.expr is None:
+        return None
+    items = (
+        list(node.expr.items)
+        if isinstance(node.expr, ast.Iter)
+        else [node.expr]
+    )
+    segs: list[str] = []
+    for it in items:
+        if not (
+            isinstance(it, ast.Literal) and it.text.lstrip().startswith('"')
+        ):
+            return None
+        try:
+            segs.append(json.loads(it.text))
+        except ValueError:
+            return None
+    return tuple(segs) or None
 
 
 def _parse_string_token(tok: str) -> ast.Node:

@@ -328,6 +328,34 @@ CORPUS = [
     ("reduce .[] as $x (0; if $x > . then $x else . end)", "[3, 9, 2]", [9]),
     ("{sum: reduce .xs.[] as $n (0; . + $n), t: .tag}",
      '{"xs": [1, 2], "tag": "t"}', [{"sum": 3, "t": "t"}]),
+    # typed fold lane (r7): split products prove array<string>, so
+    # these folds compile over native columns — values must match the
+    # generic variant lane exactly
+    ('(.t | split(" ")) as $ws | reduce $ws.[] as $w (0; . + ($w | length))',
+     '{"t": "ab c defg"}', [7]),
+    ('(.t | split(" ")) as $ws | reduce $ws.[] as $w'
+     " (0; ($w | length) as $l | if $l > . then $l else . end)",
+     '{"t": "ab c defg"}', [4]),
+    # byte (not codepoint) length parity inside the typed lane
+    ('(.t | split(" ")) as $ws | reduce $ws.[] as $w (0; . + ($w | length))',
+     '{"t": "wörld 日本"}', [12]),
+    # int-tower overflow: product exceeds int64, DECIMAL(38,0) lane
+    ('(.t | split(" ")) as $ws'
+     " | reduce $ws.[] as $w (1; . * (($w | length) * 111111111))",
+     '{"t": "abcdefghi abcdefghi abcdefghi"}', [999999999**3]),
+    # float accumulator stays float (0.5 init forces the double lane)
+    ('(.t | split(" ")) as $ws | reduce $ws.[] as $w (0.5; . + ($w | length))',
+     '{"t": "ab c"}', [3.5]),
+    # string comparison + bool logic in the typed update body
+    ('(.t | split(" ")) as $ws'
+     ' | reduce $ws.[] as $w (0; if $w > "m" then . + 1 else . end)',
+     '{"t": "apple zebra mango kiwi"}', [2]),
+    # empty split product: init passes through untouched
+    ('(.t | split(",")) as $ws | reduce $ws.[] as $w (0; . + ($w | length))',
+     '{"t": ""}', [0]),
+    # chars product proves array<int>
+    ('(.t | chars) as $cs | reduce $cs.[] as $c (0; . + $c)',
+     '{"t": "AB"}', [131]),
     # string interpolation "\(E)" — tostring semantics per part
     ('"v=\\(.a)!"', '{"a": 42}', ["v=42!"]),
     ('"\\(.a) and \\(.b // "none")"', '{"a": "x"}', ["x and none"]),

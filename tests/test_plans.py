@@ -329,3 +329,29 @@ def test_bench_force_evaluates_every_column(spark):
     assert "sha2" not in cplan
     # and the action itself works end-to-end
     bench._force(df)
+
+
+def test_literal_path_program_all_native(spark, sf_dir):
+    """setpath/getpath/del with LITERAL all-string paths (the common
+    case, incl. the jq_paths gate's own setpath(["k2"]; ...)) compile
+    to native variant navigation + native object assembly: no Python
+    stage, no join, no shuffle beyond the input rebalance (r6 VERDICT
+    wrong #1)."""
+    from bd_spark.catalog import table
+    from bd_spark.jsonq.runtime import JsonQ
+
+    ev = table(spark, "events", sf_dir).select("event_id", "props")
+    jq = JsonQ(spark)
+    stream = jq.stream_from_text_column(ev, "props", seq_col="event_id")
+    out = jq.run(
+        '{k2: getpath(["k"]),'
+        ' upd: (setpath(["k2"]; getpath(["k"]) * 2) | tojson),'
+        ' gone: (del(.k) | keys | join(","))}',
+        stream,
+        ordered=False,
+    )
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan and "mapInPandas" not in plan
+    assert "Join" not in plan
+    assert "hashpartitioning(" not in plan
