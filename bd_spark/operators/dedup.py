@@ -25,8 +25,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bd_spark.catalog import rebalance
-from bd_spark.operators.hashing import P31, h31, h60, lit_longs, minhash_coefficients
-from bd_spark.operators.text import char_ngrams, tokens, word_shingles
+from bd_spark.operators.hashing import (
+    P31, h31, h60, horner_window, lit_longs, minhash_coefficients,
+    poly_hashes_from_codes, str_codes,
+)
+from bd_spark.operators.text import char_ngrams, let1, tokens, word_shingles
 
 MINHASH_K = 32
 LSH_BANDS = 8
@@ -659,10 +662,12 @@ def substring_dup_stats(
     doc with at least one anchored window, flagged when more than
     half its windows are cross-doc duplicates.
 
-    100 TB shape: anchoring costs one md5 per char position (the
-    same per-position gram hashing the decontaminate operator
-    already pays) and emits ~len/stride windows per doc — a constant
-    factor, not a blow-up; the (window-hash, doc) distinct and the
+    100 TB shape: anchoring costs ``anchor_n`` linear int64 passes
+    (polynomial gram hash, hashing.poly_gram_hashes — r7: replaced
+    the md5-digest-per-char-position pass, the operator's named
+    throughput knob) and emits ~len/stride windows per doc — a
+    constant factor, not a blow-up; the (window-hash, doc) distinct
+    and the
     >1-doc filter are map-side-combinable aggregates on the UNIFORM
     md5-derived window-hash key (no skew by construction); the
     flag-back join is on that same key.  Nothing is all-pairs and no
@@ -671,37 +676,55 @@ def substring_dup_stats(
     """
     s = F.lower(F.trim(F.col(text_col)))
     n = F.length(s)
-    # anchor test per gram position i (0-based; gram = s[i+1 : i+1+8])
-    anch = F.transform(
-        char_ngrams(s, anchor_n),
-        lambda g, i: F.when(
-            (h31(F.concat(F.lit("anch:"), g)) % stride == 0)
-            & (i <= n - k),
-            i,
-        ),
-    )
-    hashes = F.transform(
-        F.filter(anch, lambda x: x.isNotNull()),
-        lambda i: h31(F.concat(F.lit("sub:"), s.substr(i + 1, F.lit(k)))),
-    )
+
+    # r7 (VERDICT wrong #4): ONE codepoint array feeds both hashes —
+    # the anchor test is a POLYNOMIAL gram hash (anchor_n
+    # shifted-slice zip passes of pure int64 arithmetic) and the
+    # window hash a Horner fold over the same codes (k int64 steps
+    # per anchor) — replacing an md5 digest per character position
+    # plus a 40-char substring copy + md5 per anchor (the operator's
+    # named throughput knob).
+    def _hashes(codes: Column) -> Column:
+        anch = F.transform(
+            poly_hashes_from_codes(codes, anchor_n),
+            lambda h, i: F.when(
+                (h % stride == 0) & (i <= n - k),
+                i,
+            ),
+        )
+        return F.transform(
+            F.filter(anch, lambda x: x.isNotNull()),
+            lambda i: horner_window(codes, i, k),
+        )
+
+    hashes = let1(str_codes(s), _hashes)
     win = docs.select(
         F.col(id_col), F.explode(hashes).alias("h")
     )
-    # windows present in >1 DISTINCT doc: (h, doc) distinct first so
-    # in-doc repeats don't fake cross-doc duplication
+    # ONE (h, doc) pre-aggregation that BOTH branches read: identical
+    # exchange subtrees let ReuseExchange evaluate the anchor+window
+    # hashing scan once (r7 — the old dropDuplicates/join pair keyed
+    # two DIFFERENT exchanges, re-running the whole hashing pass per
+    # branch). cnt preserves in-doc occurrence counts so n_dup still
+    # counts occurrences while dup-detection stays distinct-doc.
+    g = win.groupBy("h", id_col).agg(F.count("*").alias("cnt"))
+    # windows present in >1 DISTINCT doc: g rows are (h, doc) distinct
+    # by construction, so in-doc repeats don't fake cross-doc dup
     dup = (
-        win.dropDuplicates(["h", id_col])
-        .groupBy("h")
+        g.groupBy("h")
         .agg(F.count("*").alias("nd"))
         .where(F.col("nd") > 1)
         .select("h")
     )
     per = (
-        win.join(dup.withColumn("__dup", F.lit(1)), "h", "left")
+        g.join(dup.withColumn("__dup", F.lit(1)), "h", "left")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_windows"),
-            F.count("__dup").alias("n_dup"),
+            F.sum("cnt").alias("n_windows"),
+            F.coalesce(
+                F.sum(F.when(F.col("__dup").isNotNull(), F.col("cnt"))),
+                F.lit(0),
+            ).alias("n_dup"),
         )
     )
     return per.select(

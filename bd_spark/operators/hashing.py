@@ -67,5 +67,95 @@ def h31(col: Column) -> Column:
     return h60(col) % F.lit(P31)
 
 
+# Base of the per-position polynomial gram hash (poly_gram_hashes).
+_POLY_B = 263
+
+
+def poly_powers(n: int) -> list[int]:
+    """``B^(n-1-j) mod P31`` for j in 0..n-1 — shared by the Spark
+    and DuckDB twins so both compute the identical hash."""
+    return [pow(_POLY_B, n - 1 - j, P31) for j in range(n)]
+
+
+def str_codes(s: Column) -> Column:
+    """Codepoint array of ``s``. split('') yields exactly length(s)
+    single-char elements (verified: no trailing empty), so positions
+    line up with the DuckDB twin `[unicode(ch) for ch in
+    str_split(s, '')]`."""
+    return F.transform(F.split(s, ""), F.ascii)
+
+
+def poly_hashes_from_codes(codes: Column, n: int) -> Column:
+    """P31 polynomial hash of the n-gram at EVERY position, from a
+    LEAF-CHEAP codepoint array (lambda var / column — each of the n
+    shifted slices re-evaluates its operand once): n zip passes of
+    pure int64 arithmetic. Per-step mod keeps every intermediate
+    < P31 + 2^52, and mod distributes over the sum, so the single-mod
+    DuckDB twin (poly_gram_hash_duckdb) is bit-identical."""
+    pw = poly_powers(n)
+    cnt = F.greatest(F.size(codes) - n + 1, F.lit(0))
+    acc = F.transform(
+        F.slice(codes, 1, cnt),
+        lambda c: (c.cast("long") * F.lit(pw[0])) % P31,
+    )
+
+    def step(w: int):
+        # closure factory: a default arg would change the lambda's
+        # visible arity (zip_with introspects it)
+        return lambda a, c: (a + c.cast("long") * F.lit(w)) % P31
+
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(codes, j + 1, cnt), step(pw[j]))
+    return acc
+
+
+def poly_gram_hashes(s: Column, n: int) -> Column:
+    """P31 polynomial hash of the n-char gram at every position of
+    ``s`` — no regex gram extraction and no per-position md5 digest
+    (r6 VERDICT wrong #4: the md5-per-position anchor pass was
+    substring dedup's named throughput knob)."""
+    from bd_spark.operators.text import let1
+
+    return let1(str_codes(s), lambda c: poly_hashes_from_codes(c, n))
+
+
+# Base of the Horner window hash (decorrelated from _POLY_B).
+_WIN_B = 277
+
+
+def horner_window(codes: Column, i: Column, k: int) -> Column:
+    """P31 Horner hash of the k-codepoint window at 0-based position
+    ``i`` of a LEAF-CHEAP codepoint array: k int64 fold steps — no
+    substring copy, no md5 digest. Twin: horner_window_duckdb."""
+    return F.aggregate(
+        F.slice(codes, i + 1, k),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * _WIN_B + c.cast("long")) % P31,
+    )
+
+
+def horner_window_duckdb(codes_expr: str, start0: str, k: int) -> str:
+    """DuckDB twin of horner_window — ``start0`` is the 0-based
+    window position expression (inclusive 1-based slice)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"{codes_expr}[{start0} + 1 : {start0} + {k}]), "
+        f"(a, c) -> (a * {_WIN_B} + c) % {P31})"
+    )
+
+
+def poly_gram_hash_duckdb(codes_expr: str, n: int, ivar: str = "i") -> str:
+    """DuckDB twin of one poly_gram_hashes element: hash of the
+    n-gram at 0-based position ``ivar`` of the codepoint list
+    ``codes_expr`` (a `[unicode(ch) for ch in str_split(s, '')]`
+    list)."""
+    pw = poly_powers(n)
+    terms = " + ".join(
+        f"CAST({codes_expr}[{ivar} + {j + 1}] AS BIGINT) * {pw[j]}"
+        for j in range(n)
+    )
+    return f"(({terms}) % {P31})"
+
+
 def h31_sql_duckdb(expr: str) -> str:
     return f"({h60_sql_duckdb(expr)} % {P31})"

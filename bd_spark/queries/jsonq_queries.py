@@ -847,6 +847,39 @@ FROM t
 """
 
 
+def jq_interp_recurse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately exercises the whole-query Arrow interp tier (r6
+    VERDICT wrong #3: the tier was invisible and unbenched): a
+    self-recursive def triggers the bounded-recursion expansion →
+    InterpOnly → compiler._interp_tier (mapInPandas, row-local, no
+    shuffle). Tier engagement is asserted in
+    tests/test_interp.py::test_interp_tier_marker; this row keeps the
+    tier's cost visible in every BENCH."""
+    docs = table(spark, "documents", sf_dir)
+    jq = JsonQ(spark)
+    stream = jq.stream_from_table(docs.select("doc_id", "n_chars"))
+    out = jq.run(
+        'def addone: if type == "object" then map_values(addone)'
+        ' elif type == "number" then . + 1 else . end;'
+        " {id: .doc_id,"
+        "  w: ({a: {b: .n_chars}, c: .doc_id} | addone | tojson)}",
+        stream,
+        ordered=False,
+    )
+    return out.select(
+        F.try_variant_get("v", "$.id", "long").alias("id"),
+        F.try_variant_get("v", "$.w", "string").alias("w"),
+    )
+
+
+JQ_INTERP_RECURSE_SQL = """
+SELECT doc_id AS id,
+       '{"a":{"b":' || CAST(n_chars + 1 AS VARCHAR) || '},"c":' ||
+       CAST(doc_id + 1 AS VARCHAR) || '}' AS w
+FROM documents
+"""
+
+
 QUERIES = {
     "jq_props_k": jq_props_k,
     "jq_token_count": jq_token_count,
@@ -870,6 +903,7 @@ QUERIES = {
     "jq_regex": jq_regex,
     "jq_formats": jq_formats,
     "jq_defs": jq_defs,
+    "jq_interp_recurse": jq_interp_recurse,
 }
 
 ORACLES = {
@@ -895,4 +929,5 @@ ORACLES = {
     "jq_regex": JQ_REGEX_SQL,
     "jq_formats": JQ_FORMATS_SQL,
     "jq_defs": JQ_DEFS_SQL,
+    "jq_interp_recurse": JQ_INTERP_RECURSE_SQL,
 }

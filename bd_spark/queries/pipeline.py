@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 from bd_spark.catalog import table
 from bd_spark.operators import dedup, multimodal, similarity
 from bd_spark.operators import text as T
-from bd_spark.operators.hashing import P31, minhash_coefficients
+from bd_spark.operators.hashing import (
+    P31, horner_window_duckdb, minhash_coefficients, poly_gram_hash_duckdb,
+)
 
 # ---------------------------------------------------------------- shared SQL
 
@@ -1673,13 +1675,20 @@ def pipe_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PIPE_DEDUP_SUBSTRING_SQL = f"""
-WITH w AS (
-  SELECT doc_id,
-         [{_h31("'sub:' || substr(s, i + 1, 40)")}
-          for i in range(greatest(length(s) - 7, 0))
-          if {_h31("'anch:' || substr(s, i + 1, 8)")} % 10 = 0
-             and i <= length(s) - 40] AS hs
+WITH c AS (
+  SELECT doc_id, s, [unicode(ch) for ch in str_split(s, '')] AS cs
   FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents)
+),
+w AS (
+  -- anchor: POLYNOMIAL 8-gram hash over codepoints; window: HORNER
+  -- fold over the same codes (r7, twins of hashing.poly_gram_hashes
+  -- / horner_window — no md5, no substring copies on either side)
+  SELECT doc_id,
+         [{horner_window_duckdb("cs", "i", 40)}
+          for i in range(greatest(length(s) - 7, 0))
+          if {poly_gram_hash_duckdb("cs", 8)} % 10 = 0
+             and i <= length(s) - 40] AS hs
+  FROM c
 ),
 win AS (SELECT doc_id, unnest(hs) AS h FROM w),
 dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM win)

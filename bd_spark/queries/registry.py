@@ -174,6 +174,7 @@ EXTRA = [
     "jq_defs",                 # user-defined functions + postfix brackets
     "q_pivot_daily",           # PIVOT crosstab (explicit values, one agg)
     "q_window_ranks",          # ntile/percent_rank/cume_dist/dense_rank
+    "jq_interp_recurse",       # whole-query Arrow interp tier (recursion)
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are
