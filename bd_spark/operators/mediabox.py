@@ -327,15 +327,79 @@ def probe_assets(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, schema=PROBE_SCHEMA)
 
 
+FRAMES_SCHEMA = (
+    "asset_id long, frame_idx long, width int, height int, "
+    "png binary, err string"
+)
+
+
 def extract_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
-    """NOT IMPLEMENTED — the documented decode boundary: extracting
-    pixel frames from MP4/WebM requires a codec library (pyav /
-    ffmpeg), which this environment does not ship. The container
-    METADATA layer above is the supported surface; on a cluster with
-    pyav installed, implement this as mapInPandas over (asset_id,
-    payload) yielding (asset_id, frame_idx, png_bytes), mirroring
-    multimodal.sample_frames' fake path shape."""
-    raise NotImplementedError(
-        "containerized video frame extraction needs pyav/ffmpeg; "
-        "probe_assets covers the metadata layer"
+    """Real containerized-media frame extraction behind the OPTIONAL
+    pyav dependency (r6 VERDICT next #7): decode MP4/WebM payloads in
+    an Arrow mapInPandas, keep every ``every_n``-th video frame, and
+    emit (asset_id, frame_idx, width, height, png, err) with each
+    kept frame re-encoded by the repo's own stdlib PNG encoder
+    (codecs.encode_png — no Pillow needed). Payloads never shuffle;
+    undecodable payloads become in-band err rows, mirroring
+    multimodal.decode_assets.
+
+    When pyav is NOT importable (this container ships no codec libs),
+    raises the documented NotImplementedError at plan-build time —
+    probe_assets covers the metadata layer. Both sides of the
+    contract are pytest-pinned (tests/test_mediabox.py); the real
+    path runs wherever `import av` succeeds (FIXTURES.md §codecs)."""
+    try:
+        import av  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "containerized video frame extraction needs pyav/ffmpeg; "
+            "probe_assets covers the metadata layer"
+        ) from e
+
+    def batches(it):
+        import io
+
+        import av as _av
+        import pandas as pd
+
+        from bd_spark.operators import codecs
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                "asset_id": [], "frame_idx": [], "width": [],
+                "height": [], "png": [], "err": [],
+            }
+
+            def emit(aid, idx, w, h, png, err):
+                rows["asset_id"].append(aid)
+                rows["frame_idx"].append(idx)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["png"].append(png)
+                rows["err"].append(err)
+
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    with _av.open(io.BytesIO(bytes(payload))) as c:
+                        vs = next(
+                            (s for s in c.streams if s.type == "video"),
+                            None,
+                        )
+                        if vs is None:
+                            emit(aid, -1, 0, 0, None, "no video stream")
+                            continue
+                        for idx, frame in enumerate(c.decode(vs)):
+                            if idx % every_n:
+                                continue
+                            arr = frame.to_ndarray(format="rgb24")
+                            emit(
+                                aid, idx, arr.shape[1], arr.shape[0],
+                                codecs.encode_png(arr), None,
+                            )
+                except Exception as e:  # noqa: BLE001 — in-band errors
+                    emit(aid, -1, 0, 0, None, str(e)[:200])
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, schema=FRAMES_SCHEMA
     )

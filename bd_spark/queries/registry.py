@@ -175,6 +175,7 @@ EXTRA = [
     "q_pivot_daily",           # PIVOT crosstab (explicit values, one agg)
     "q_window_ranks",          # ntile/percent_rank/cume_dist/dense_rank
     "jq_interp_recurse",       # whole-query Arrow interp tier (recursion)
+    "q_stream_dedup_watermarked",  # watermark-BOUNDED dedup (state evicts)
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

@@ -179,6 +179,33 @@ Q_STREAM_DEDUP_SQL = """
 SELECT DISTINCT user_id, event_type FROM events
 """
 
+
+def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup (r6 VERDICT next #6): the
+    same first-per-key contract as q_stream_dedup but with key state
+    bounded by a 1-hour event-time horizon — the 100 TB
+    unbounded-key-space story. State eviction is PROVEN (not assumed)
+    in tests/test_streaming.py::test_stream_dedup_watermark_evicts
+    via the state-operator metrics. The gate replay arrives in one
+    AvailableNow batch and the watermark only advances BETWEEN
+    batches, so no gate input is late and the oracle stays
+    SELECT DISTINCT."""
+    from bd_spark.streaming.ops import (
+        dedup_stream, read_events_stream, run_to_memory,
+    )
+
+    deduped = dedup_stream(
+        read_events_stream(spark, sf_dir),
+        ["user_id", "event_type"],
+        watermark="1 hour",
+    ).select("user_id", "event_type")
+    return run_to_memory(deduped, "append", shuffle_partitions=8)
+
+
+Q_STREAM_DEDUP_WATERMARKED_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
 QUERIES = {
     "q_stream_windowed": q_stream_windowed,
     "q_stream_sessions": q_stream_sessions,
@@ -186,6 +213,7 @@ QUERIES = {
     "q_stream_enrich": q_stream_enrich,
     "q_stream_attribution": q_stream_attribution,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_dedup_watermarked": q_stream_dedup_watermarked,
 }
 
 ORACLES = {
@@ -195,4 +223,5 @@ ORACLES = {
     "q_stream_enrich": Q_STREAM_ENRICH_SQL,
     "q_stream_dedup": Q_STREAM_DEDUP_SQL,
     "q_stream_attribution": Q_STREAM_ATTRIBUTION_SQL,
+    "q_stream_dedup_watermarked": Q_STREAM_DEDUP_WATERMARKED_SQL,
 }

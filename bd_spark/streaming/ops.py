@@ -307,15 +307,26 @@ def dedup_stream(events: DataFrame, keys: list[str],
                  watermark: str | None = "1 hour") -> DataFrame:
     """Streaming exact dedup: first occurrence of each key wins.
 
-    With a watermark, key state is bounded AND any input row older
-    than the watermark is dropped as late — correct for
-    monotonic-ish event-time sources, required for unbounded ones.
+    With a watermark, ``dropDuplicatesWithinWatermark`` bounds key
+    state to the event-time horizon — entries older than the
+    watermark are EVICTED (proven by the state-operator metrics in
+    tests/test_streaming.py::test_stream_dedup_watermark_evicts_state)
+    and late input is dropped. r7 fix: plain ``dropDuplicates`` after
+    ``withWatermark`` only expires state when the event-time column is
+    part of the dedup KEYS — with key-only dedup its store grew
+    forever (measured: numRowsTotal monotonically increasing,
+    numRowsRemoved always 0), which silently voided the 100 TB
+    unbounded-key-space story. The horizon is also the documented
+    semantic tradeoff: a key re-occurring AFTER its state evicted is
+    re-admitted (bounded-state ingest guard, not global dedup).
     ``watermark=None`` keeps all key state (exact dedup over
     arbitrarily shuffled replays; state grows with distinct keys).
     The streaming twin of operators.dedup.exact_dedup."""
     if watermark is None:
         return events.dropDuplicates(keys)
-    return events.withWatermark(time_col, watermark).dropDuplicates(keys)
+    return events.withWatermark(
+        time_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)
 
 
 _SESSION_OUT_SCHEMA = (

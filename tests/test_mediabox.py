@@ -145,7 +145,52 @@ def test_probe_assets_batch(spark):
 
 
 def test_frame_extraction_is_documented_boundary(spark):
+    """Without pyav, extract_frames raises the documented
+    NotImplementedError at plan-build time. Skips where pyav IS
+    installed (the real-path test below runs instead)."""
+    try:
+        import av  # noqa: F401
+
+        pytest.skip("pyav available; boundary contract not exercised")
+    except ImportError:
+        pass
     df = spark.createDataFrame(
         [(1, bytearray(make_mp4()))], "asset_id long, payload binary")
     with pytest.raises(NotImplementedError, match="pyav/ffmpeg"):
         M.extract_frames(df)
+
+
+def test_frame_extraction_real_with_pyav(spark):
+    """Real decode path (r6 VERDICT next #7): runs wherever pyav is
+    importable — synthesize a tiny mpeg4-in-mp4 video with av itself,
+    extract every 3rd frame, and decode the emitted PNGs with the
+    repo's own stdlib decoder. Skips in codec-less containers (the
+    boundary test above covers those)."""
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    from bd_spark.operators import codecs
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as c:
+        vs = c.add_stream("mpeg4", rate=10)
+        vs.width, vs.height, vs.pix_fmt = 32, 16, "yuv420p"
+        for i in range(10):
+            arr = np.full((16, 32, 3), i * 20, dtype=np.uint8)
+            for pkt in vs.encode(
+                av.VideoFrame.from_ndarray(arr, format="rgb24")
+            ):
+                c.mux(pkt)
+        for pkt in vs.encode():
+            c.mux(pkt)
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "asset_id long, payload binary"
+    )
+    rows = {r.frame_idx: r for r in M.extract_frames(df, every_n=3).collect()}
+    assert set(rows) == {0, 3, 6, 9}
+    for r in rows.values():
+        assert r.err is None and (r.width, r.height) == (32, 16)
+        arr = codecs.decode_image(bytes(r.png))
+        assert arr.shape == (16, 32, 3)
