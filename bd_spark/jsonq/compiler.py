@@ -2556,7 +2556,13 @@ def _col_list(node: ast.ListCons) -> ColFn | None:
                 drop = _merge_drop(drop, cv.drop)
                 segs.append(F.array(cv.v))
         # native variant assembly (r6)
-        return CV(V.varray(F.flatten(F.array(*segs))), err, drop)
+        out = V.varray(F.flatten(F.array(*segs)))
+        if err is not None:
+            # value is jq null under an in-band error (stream-tier /
+            # interp parity — r7: the genpipe splice surfaced a burst
+            # whose error previously rode a stream error ENTRY)
+            out = F.when(err.isNotNull(), V.vnull()).otherwise(out)
+        return CV(out, err, drop)
 
     return fn_burst
 
@@ -2801,6 +2807,12 @@ def _elems_colfn(node: ast.Node) -> ColFn | None:
         return fn_items
     if isinstance(node, ast.Pipe):
         if is_multivalued(node.left):
+            # GENERATOR | scalar-op could splice row-locally, but the
+            # measured result was a REGRESSION: a Python-UDF generator
+            # (leaf_paths) duplicated across the collect's value and
+            # error columns re-runs its Arrow stage, and jq_paths went
+            # 10 s -> 16-26 s warm. The stream tier's fan-out lands
+            # the burst in a real column once — keep it (r7).
             return None
         lpf = compile_packed(node.left)
         inner = _elems_colfn(node.right)
