@@ -707,3 +707,67 @@ def test_byte_slice_parity_mode(jq):
         assert [v for v, e in interp.run(parser.parse(".[6..]"), "汉语ab")] == ["ab"]
     # flag restored: char semantics back
     assert jq.run_values(".[..1]", [doc]) == ["汉"]
+
+
+def test_typed_lanes_match_generic(spark):
+    """r7 typed fold/sort lanes must be value-identical to the
+    generic variant lanes on randomized inputs (empty words, empty
+    docs, non-ASCII byte lengths, duplicate lengths, ties)."""
+    import json as _json
+    import random
+
+    from bd_spark.jsonq import compiler
+    from bd_spark.jsonq.runtime import JsonQ
+
+    rng = random.Random(0xBD07)
+    docs = []
+    for _ in range(40):
+        words = [
+            "".join(
+                rng.choice("abcdeé日") for _ in range(rng.randrange(0, 6))
+            )
+            for _ in range(rng.randrange(0, 12))
+        ]
+        docs.append(_json.dumps({"t": " ".join(words)}))
+    queries = [
+        '(.t / " ") as $ws | reduce $ws.[] as $w (0; . + ($w | length))',
+        '(.t / " ") as $ws | reduce $ws.[] as $w'
+        " (0; ($w | length) as $l | if $l > . then $l else . end)",
+        '(.t / " ") | sort_by(length)',
+        '(.t / " ") | unique_by(length)',
+        '(.t / " ") | group_by(length) | map(length)',
+        '(.t / " ") | min_by(length)',
+        '(.t / " ") | max_by(length)',
+    ]
+    jq = JsonQ(spark)
+    for q in queries:
+        typed = jq.run_texts(q, docs)
+        orig = compiler._static_elem_kind
+        compiler._static_elem_kind = lambda n: None  # force generic
+        try:
+            JsonQ._PLAN_CACHE.clear()
+            generic = jq.run_texts(q, docs)
+        finally:
+            compiler._static_elem_kind = orig
+            JsonQ._PLAN_CACHE.clear()
+        assert typed == generic, q
+
+
+def test_setpath_static_lane_matches_dynamic(spark):
+    """The literal-path setpath fast lane (parser desugar -> native
+    Assign) must agree with the dynamic Arrow setpath UDF on values
+    and error PRESENCE (texts differ by design) across doc shapes."""
+    from bd_spark.jsonq.runtime import JsonQ
+
+    jq = JsonQ(spark)
+    docs = [
+        '{"a": {"c": 1}}', "{}", "null", "[1, 2]", '{"a": 5}',
+        '"s"', '{"a": {"b": {"d": 1}}}', '{"b": 7}',
+    ]
+    # the [0:2] slice makes the path non-literal -> UDF lane
+    lit = jq.run_texts('setpath(["a","b"]; .b // 9)', docs)
+    dyn = jq.run_texts('setpath(["a","b"][0:2]; .b // 9)', docs)
+    for (lv, le), (dv, de) in zip(lit, dyn):
+        assert (le is None) == (de is None), docs
+        if le is None:
+            assert lv == dv
