@@ -52,6 +52,11 @@ HEAVY = [
     "pipe_dedup_substring",     # anchored-window substring dedup (r5)
     "pipe_image_neardup",       # dHash + Hamming pigeonhole (r5)
     "jq_formats",               # math/date/format builtin batch (r5)
+    "jq_fold",                  # typed fold lane (r7)
+    "jq_sort_ops",              # typed sort-family lane (r7)
+    "jq_overloads",             # let-bound array diff (r7)
+    "jq_paths",                 # static-path lanes + lean dict (r7)
+    "jq_interp_recurse",        # whole-query Arrow interp tier (r7)
 ]
 
 
@@ -66,11 +71,17 @@ def main() -> None:
     qs = dict(registry.all_queries())
     qs.update(registry.extra_queries())
 
+    # r7: evaluation-forcing action (bench._force) instead of
+    # .count() — count lets Catalyst prune projection-only queries
+    # to a bare scan (jq rows measured 0.31 s at BOTH scales, alpha
+    # 0.00), so the old jq rehearsal rows measured nothing
+    from bench import _force
+
     def best(fn, sf_dir: str) -> float:
         b = None
         for _ in range(runs):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            _force(fn(spark, sf_dir))
             dt = time.perf_counter() - t0
             b = dt if b is None or dt < b else b
         return b
