@@ -1403,17 +1403,136 @@ def _paths_udf(leaf_only: bool):
     return _PATHS_UDF[leaf_only]
 
 
+def _paths_native(v: Column, leaf_only: bool) -> tuple[Column, Column]:
+    """(paths of v as ARRAY<VARIANT> — each element a variant array
+    path, pre-order / key-sorted, exact for docs nested <=
+    _RECURSE_NATIVE_DEPTH — , needs_py flag for deeper rows). Same
+    depth-unroll + count-gated fallback design as _recurse_native
+    (r7): the gate/testdata docs are depth-1, so `paths`/`leaf_paths`
+    never launch a Python worker on them."""
+
+    def kids(p: Column, x: Column) -> Column:
+        """array<struct<p: array<variant>, x: variant>> — children of
+        x with extended paths, document order."""
+        t = V.vtype(x)
+        # to_variant_object rejects scalar inputs (cannot cast
+        # STRING to VARIANT) — box path elements via vstring/vlong;
+        # paths are <= depth elements long, so the per-element
+        # parse_json is bounded
+        obj_kids = F.transform(
+            F.map_entries(V.as_map(x)),
+            lambda e: F.struct(
+                F.concat(p, F.array(V.vstring(e["key"]))).alias("p"),
+                e["value"].alias("x"),
+            ),
+        )
+        arr_kids = F.transform(
+            V.as_array(x),
+            lambda c, i: F.struct(
+                F.concat(p, F.array(V.vlong(i.cast("long")))).alias("p"),
+                c.alias("x"),
+            ),
+        )
+        # empty literal of the right struct type — NOT a filter over
+        # obj_kids, which is SQL NULL for scalars (as_map(scalar) is
+        # NULL) and would null the whole enumeration through concat
+        none = F.filter(
+            F.array(
+                F.struct(_empty_varr().alias("p"), V.vnull().alias("x"))
+            ),
+            lambda _k: F.lit(False),
+        )
+        return (
+            F.when(t == "object", obj_kids)
+            .when(t == "array", arr_kids)
+            .otherwise(none)
+        )
+
+    def is_container(x: Column) -> Column:
+        return V.vtype(x).isin("array", "object")
+
+    def emit(p: Column, x: Column, d: int) -> Column:
+        """array<array<variant>> — pre-order paths below (p, x),
+        unrolled to d levels."""
+        own = F.filter(F.array(F.array(V.vnull())), lambda _e: F.lit(False))
+        if d == 0:
+            return own
+        return F.flatten(
+            F.transform(
+                kids(p, x),
+                lambda kid: F.concat(
+                    (
+                        F.array(kid["p"])
+                        if not leaf_only
+                        else F.when(
+                            ~is_container(kid["x"]), F.array(kid["p"])
+                        ).otherwise(
+                            F.filter(
+                                F.array(kid["p"]), lambda _e: F.lit(False)
+                            )
+                        )
+                    ),
+                    emit(kid["p"], kid["x"], d - 1),
+                ),
+            )
+        )
+
+    def deep(p: Column, x: Column, d: int) -> Column:
+        if d == 0:
+            return F.array(F.struct(p.alias("p"), x.alias("x")))
+        return F.flatten(
+            F.transform(
+                kids(p, x), lambda kid: deep(kid["p"], kid["x"], d - 1)
+            )
+        )
+
+    root_p = _empty_varr()
+    paths_arr = F.transform(
+        emit(root_p, v, _RECURSE_NATIVE_DEPTH),
+        lambda pv: F.to_variant_object(pv),
+    )
+    needs = F.exists(
+        deep(root_p, v, _RECURSE_NATIVE_DEPTH),
+        lambda n: F.size(kids(n["p"], n["x"])) > 0,
+    )
+    return paths_arr, needs
+
+
 def _stream_paths(leaf_only: bool) -> StreamFn:
-    """`paths` / `leaf_paths` as a stream generator: the UDF's path
-    burst goes through the standard fan-out."""
+    """`paths` / `leaf_paths` as a stream generator. r7: docs nested
+    <= _RECURSE_NATIVE_DEPTH enumerate paths ALL-JVM; only provably
+    deeper rows take the Arrow UDF (persist + count probe — the
+    canonical-sink pattern, shared cache slot with `..`)."""
     udf = _paths_udf(leaf_only)
 
     def run(df: DataFrame) -> DataFrame:
-        entries = F.transform(
-            udf(V.vjson(F.col("v"))),
-            lambda s: _entry(F.parse_json(s), _null_str()),
+        nat, needs = _paths_native(F.col("v"), leaf_only)
+        flagged = df.withColumns({
+            "__pnat": F.when(
+                F.col("err").isNotNull(), _empty_varr()
+            ).otherwise(nat),
+            "__ppy": (F.col("err").isNull() & needs)
+            | (F.monotonically_increasing_id() < F.lit(0)),
+        })
+        _probe_persist(flagged)
+        n_deep = flagged.where("__ppy").count()
+
+        def emit(src: DataFrame, burst: Column) -> DataFrame:
+            # _fanout passes err rows through and drops empty bursts;
+            # the probe columns ride its carries — dropped after
+            entries = F.transform(burst, lambda x: _entry(x, _null_str()))
+            return _fanout(src, entries).drop("__pnat", "__ppy")
+
+        fast = emit(flagged.where(~F.col("__ppy")), F.col("__pnat"))
+        if n_deep == 0:
+            return fast
+        slow = emit(
+            flagged.where(F.col("__ppy")),
+            F.transform(
+                udf(V.vjson(F.col("v"))), lambda s: F.parse_json(s)
+            ),
         )
-        return _fanout(df, entries)
+        return fast.unionByName(slow)
 
     return run
 
@@ -5242,10 +5361,81 @@ def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
 _RECURSE_UDF = None
 
 
+def _child_values(x: Column) -> Column:
+    """Container children in document order (array elements / object
+    values in key order — as_map is key-sorted), else empty."""
+    t = V.vtype(x)
+    return (
+        F.when(t == "array", V.as_array(x))
+        .when(t == "object", F.map_values(V.as_map(x)))
+        .otherwise(_empty_varr())
+    )
+
+
+# Native `..` enumeration depth: documents nested at most this deep
+# take the all-JVM lane; deeper rows fall back to the Arrow UDF
+# (count-gated, so the Python worker never launches on shallow data).
+_RECURSE_NATIVE_DEPTH = 3
+
+
+def _recurse_native(v: Column) -> tuple[Column, Column]:
+    """(pre-order descendants of v as ARRAY<VARIANT> — exact for docs
+    nested <= _RECURSE_NATIVE_DEPTH, needs_py flag marking deeper
+    rows). The depth expansion unrolls the recursion into D nested
+    transforms — row-local, no Python (r7: jq_recurse_props ran the
+    Arrow walk UDF on every row; gate/testdata docs are depth-1)."""
+
+    def desc(x: Column, d: int) -> Column:
+        if d == 0:
+            return F.array(x)
+        return F.concat(
+            F.array(x),
+            F.flatten(
+                F.transform(_child_values(x), lambda c: desc(c, d - 1))
+            ),
+        )
+
+    def deep_vals(x: Column, d: int) -> Column:
+        if d == 0:
+            return F.array(x)
+        return F.flatten(
+            F.transform(_child_values(x), lambda c: deep_vals(c, d - 1))
+        )
+
+    outs = desc(v, _RECURSE_NATIVE_DEPTH)
+    needs = F.exists(
+        deep_vals(v, _RECURSE_NATIVE_DEPTH),
+        lambda x: F.size(_child_values(x)) > 0,
+    )
+    return outs, needs
+
+
+# Bounded probe-cache pool for the `..`/paths depth probes. A single
+# query can hold SEVERAL probes at once (jq_paths has three paths
+# generators), and each persist backs the FINAL plan's fast/slow
+# branches — evicting a sibling mid-build forces its consumers to
+# recompute their whole upstream. Cap at 4 (vs the canonical sink's
+# 1): enough for every registered query, still leak-bounded.
+_recurse_cache: list[DataFrame] = []
+_RECURSE_CACHE_MAX = 4
+
+
+def _probe_persist(df: DataFrame) -> DataFrame:
+    while len(_recurse_cache) >= _RECURSE_CACHE_MAX:
+        _recurse_cache.pop(0).unpersist(False)
+    _recurse_cache.append(df.persist())
+    return df
+
+
 def _stream_recurse() -> StreamFn:
     """`..` — pre-order doc + every descendant (ops.rs:36-92,
-    json.rs:694-718). Unbounded recursion = one Arrow-batched pandas
-    UDF producing the descendant list; Spark explodes it."""
+    json.rs:694-718). r7: documents nested <= _RECURSE_NATIVE_DEPTH
+    enumerate descendants ALL-JVM (unrolled transforms); only rows
+    provably deeper take the Arrow UDF — gated by a persist + count
+    probe (the canonical-sink pattern) so the common shallow case
+    never launches a Python worker. Unbounded recursion itself has no
+    Catalyst expression form, hence the depth-bounded unroll +
+    fallback."""
     global _RECURSE_UDF
     if _RECURSE_UDF is None:
 
@@ -5276,23 +5466,51 @@ def _stream_recurse() -> StreamFn:
         _RECURSE_UDF = F.pandas_udf(descendants, "array<string>", F.PandasUDFType.SCALAR)
 
     def run(df: DataFrame) -> DataFrame:
-        descs = F.when(F.col("err").isNotNull(), F.array(F.lit("null"))).otherwise(
-            _RECURSE_UDF(F.to_json("v"))
+        carries = _carries(df)
+        outs, needs = _recurse_native(F.col("v"))
+        flagged = df.withColumns({
+            # err rows: one passthrough entry (the UDF path used a
+            # single "null" desc + kept v — same result)
+            "__rnat": F.when(
+                F.col("err").isNotNull(), F.array(F.col("v"))
+            ).otherwise(outs),
+            # nondeterministic disjunct pins the branch filters here
+            # (same trap as _drop_flag / the canonical sink)
+            "__rpy": (F.col("err").isNull() & needs)
+            | (F.monotonically_increasing_id() < F.lit(0)),
+        })
+        _probe_persist(flagged)
+        n_deep = flagged.where("__rpy").count()
+
+        def emit(src: DataFrame, descs: Column) -> DataFrame:
+            ex = src.select(
+                "seq", "ord", "v", "err", *carries,
+                F.posexplode(descs).alias("__pos", "__dv"),
+            )
+            newv = F.when(
+                F.col("err").isNotNull(), F.col("v")
+            ).otherwise(F.col("__dv"))
+            return ex.select(
+                "seq",
+                F.concat(
+                    "ord", F.array(F.col("__pos").cast("long"))
+                ).alias("ord"),
+                newv.alias("v"),
+                "err",
+                *carries,
+            )
+
+        fast = emit(flagged.where(~F.col("__rpy")), F.col("__rnat"))
+        if n_deep == 0:
+            return fast
+        deep = flagged.where(F.col("__rpy"))
+        slow = emit(
+            deep,
+            F.transform(
+                _RECURSE_UDF(F.to_json("v")), lambda s: F.parse_json(s)
+            ),
         )
-        ex = df.withColumn("__descs", descs).select(
-            "seq", "ord", "v", "err", *_carries(df),
-            F.posexplode("__descs").alias("__pos", "__dj"),
-        )
-        newv = F.when(F.col("err").isNotNull(), F.col("v")).otherwise(
-            F.parse_json(F.col("__dj"))
-        )
-        return ex.select(
-            "seq",
-            F.concat("ord", F.array(F.col("__pos").cast("long"))).alias("ord"),
-            newv.alias("v"),
-            "err",
-            *_carries(df),
-        )
+        return fast.unionByName(slow)
 
     return run
 

@@ -771,3 +771,31 @@ def test_setpath_static_lane_matches_dynamic(spark):
         assert (le is None) == (de is None), docs
         if le is None:
             assert lv == dv
+
+
+def test_recurse_paths_depth_fallback_union(spark):
+    """r7 native bounded-depth `..`/paths lanes: a frame MIXING
+    shallow rows (all-JVM lane) and deeper-than-cap rows (Arrow UDF
+    lane) must produce exactly the interp's results for every row —
+    the count-gated union path, not just either lane alone."""
+    import json as _json
+
+    from bd_spark.jsonq import interp, parser
+    from bd_spark.jsonq.runtime import JsonQ
+
+    docs = [
+        '{"a": {"b": [1, {"c": 2}]}, "d": 3}',   # depth 3: native
+        "[]", "{}", "5", "null",                  # trivial: native
+        '[[[["deep", {"x": [7]}]]]]',             # depth >3: UDF
+        '{"k": 1}',                               # depth 1: native
+    ]
+    jq = JsonQ(spark)
+    for q in ("[..]", "[paths]", "[leaf_paths]",
+              '[.. | .x?] | length', "[paths | length] | length"):
+        sp = jq.run_texts(q, docs)
+        it = [
+            e
+            for d in docs
+            for e in interp.run(parser.parse(q), _json.loads(d))
+        ]
+        assert sp == list(it), q
