@@ -65,16 +65,52 @@ class JsonQ:
             )
         )
 
+    # Column types whose to_variant_object encoding matches the JSON
+    # text round trip (strings and integers; doubles are EXCLUDED:
+    # parse_json normalizes "6.0" into the int tower while a variant
+    # DOUBLE keeps its float tag — the text path's documented
+    # behavior must not silently change).
+    _NATIVE_DOC_TYPES = frozenset(
+        ("string", "bigint", "int", "smallint", "tinyint", "boolean")
+    )
+
     def stream_from_table(self, df: DataFrame) -> DataFrame:
         """Any relational DataFrame as a document stream: each row is
-        one JSON object doc (FIXTURES.md §5 star-schema bridge)."""
+        one JSON object doc (FIXTURES.md §5 star-schema bridge).
+
+        r7: when every column is a string/integer/boolean, the doc
+        variant is assembled NATIVELY (to_variant_object over the row
+        struct — keys sorted by the variant encoder) instead of the
+        to_json + parse_json text round trip, which was the shared
+        ~1.3 s floor of every table-backed jq query at sf0.1. Frames
+        carrying doubles/timestamps/arrays keep the text path so the
+        parse_json normalization semantics stay bit-identical."""
+        native_ok = all(
+            f.dataType.simpleString() in self._NATIVE_DOC_TYPES
+            for f in df.schema.fields
+        )
+        struct_ = F.struct(*df.columns)
+        text_doc = F.parse_json(F.to_json(struct_))
+        if native_ok:
+            # to_variant_object keeps NULL struct fields as json-null
+            # entries where to_json OMITS them (verified) — rows with
+            # any NULL take the text path so keys/length/has agree
+            any_null = None
+            for c in df.columns:
+                n = F.col(c).isNull()
+                any_null = n if any_null is None else (any_null | n)
+            doc = F.when(any_null, text_doc).otherwise(
+                F.to_variant_object(struct_)
+            )
+        else:
+            doc = text_doc
         # seq is assigned BEFORE the (possible) rebalance shuffle, so
         # ids stay stable relative to the narrow source layout
         return self._widen(
             df.select(
                 F.monotonically_increasing_id().alias("seq"),
                 F.array().cast("array<long>").alias("ord"),
-                F.parse_json(F.to_json(F.struct(*df.columns))).alias("v"),
+                doc.alias("v"),
                 F.lit(None).cast("string").alias("err"),
             )
         )
