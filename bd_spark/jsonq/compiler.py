@@ -1139,14 +1139,21 @@ _SORT_FAMILY = ("sort_by", "min_by", "max_by", "unique_by", "group_by")
 
 def _run_flags_scalar(sorted_arr: Column, kf) -> Column:
     """_run_flags over NATIVE scalar keys (typed sort lane): the
-    array is key-sorted, so ``kf(p) < kf(c)`` marks run starts —
-    same shifted-slice shape (never element_at-in-lambda)."""
+    array is key-sorted, so adjacent key INEQUALITY marks run starts
+    — same shifted-slice shape (never element_at-in-lambda). The
+    compare is null-SAFE (r7 ADVICE #2): a NULL key (DECIMAL(38,0)
+    overflow in an int key body — the documented _int_arith parity)
+    must start/extend the null run like any other key, where a bare
+    ``<`` yields NULL 'new' flags that silently drop elements from
+    unique_by/group_by."""
     n = F.size(sorted_arr)
     n1 = F.greatest(n - 1, F.lit(0))
     rest = F.zip_with(
         F.slice(sorted_arr, 1, n1),
         F.slice(sorted_arr, 2, n1),
-        lambda p, c: F.struct(c.alias("s"), (kf(p) < kf(c)).alias("new")),
+        lambda p, c: F.struct(
+            c.alias("s"), (~kf(p).eqNullSafe(kf(c))).alias("new")
+        ),
     )
     head = F.array(
         F.struct(
@@ -1177,8 +1184,16 @@ def _typed_sort_cv(name: str, kk: str, kb, v: Column) -> CV:
     keyed = F.transform(native, keyed_elem)
 
     def cmp(a: Column, b: Column) -> Column:
+        # NULL keys (DECIMAL(38,0) overflow in an int key body — the
+        # _int_arith parity) rank FIRST, matching the generic lane's
+        # compare_lt/type_rank where jq null sorts lowest; a bare `<`
+        # would make NULL tie with EVERY key (non-transitive
+        # comparator -> undefined array_sort order). r7 ADVICE #2.
+        an, bn = a["kd"].isNull(), b["kd"].isNull()
         return (
-            F.when(a["kd"] < b["kd"], F.lit(-1))
+            F.when(an & ~bn, F.lit(-1))
+            .when(bn & ~an, F.lit(1))
+            .when(a["kd"] < b["kd"], F.lit(-1))
             .when(b["kd"] < a["kd"], F.lit(1))
             # stable: original position breaks key ties
             .otherwise((a["i"] - b["i"]).cast("int"))
@@ -1387,9 +1402,15 @@ def _paths_udf(leaf_only: bool):
 
             from bd_spark.jsonq.interp import all_paths
 
+            # NULL input marks a row the caller proved shallow (the
+            # null-gated row-local lane): return an empty burst
+            # without parsing — the Arrow transfer for such rows is
+            # one null, not the document
             return pd.Series(
                 [
-                    [
+                    []
+                    if txt is None
+                    else [
                         js.dumps(p, separators=(",", ":"))
                         for p in all_paths(js.loads(txt), leaf_only)
                     ]
@@ -1403,22 +1424,26 @@ def _paths_udf(leaf_only: bool):
     return _PATHS_UDF[leaf_only]
 
 
-def _paths_native(v: Column, leaf_only: bool) -> tuple[Column, Column]:
-    """(paths of v as ARRAY<VARIANT> — each element a variant array
-    path, pre-order / key-sorted, exact for docs nested <=
-    _RECURSE_NATIVE_DEPTH — , needs_py flag for deeper rows). Same
-    depth-unroll + count-gated fallback design as _recurse_native
-    (r7): the gate/testdata docs are depth-1, so `paths`/`leaf_paths`
-    never launch a Python worker on them."""
+def _paths_entries(v: Column, depth: int) -> Column:
+    """Pre-order path entries of ``v`` unrolled to ``depth`` levels:
+    ``array<struct<p: array<variant>, c: boolean, dp: boolean>>`` —
+    `c` marks container values (excluded from leaf_paths), `dp` marks
+    a container AT the depth cap (the row may nest deeper and needs
+    the Arrow fallback; an EMPTY cap-level container over-triggers it,
+    which is correct, just slower). ONE enumeration feeds paths +
+    leaf_paths + the needs flag.
+
+    Dispatch is CAST-based: as_map/as_array try-casts are O(1) header
+    checks, where the r7 lane's vtype() per node paid
+    schema_of_variant — which serializes the SUBTREE's schema — plus
+    a 7-way CASE with an RLIKE, per node per reference (the dominant
+    interpreted-mode cost; HOF trees never enter codegen)."""
 
     def kids(p: Column, x: Column) -> Column:
-        """array<struct<p: array<variant>, x: variant>> — children of
-        x with extended paths, document order."""
-        t = V.vtype(x)
-        # to_variant_object rejects scalar inputs (cannot cast
-        # STRING to VARIANT) — box path elements via vstring/vlong;
-        # paths are <= depth elements long, so the per-element
-        # parse_json is bounded
+        """array<struct<p, x>> — children with extended paths, doc
+        order (as_map is key-sorted). Path elements box via vstring/
+        vlong (to_variant_object rejects scalars); paths are <= depth
+        elements, so the per-element parse_json is bounded."""
         obj_kids = F.transform(
             F.map_entries(V.as_map(x)),
             lambda e: F.struct(
@@ -1433,43 +1458,44 @@ def _paths_native(v: Column, leaf_only: bool) -> tuple[Column, Column]:
                 c.alias("x"),
             ),
         )
-        # empty literal of the right struct type — NOT a filter over
-        # obj_kids, which is SQL NULL for scalars (as_map(scalar) is
-        # NULL) and would null the whole enumeration through concat
+        # scalars: BOTH casts are SQL NULL -> coalesce to the empty
+        # literal of the right struct type (never filter over a NULL)
         none = F.filter(
             F.array(
                 F.struct(_empty_varr().alias("p"), V.vnull().alias("x"))
             ),
             lambda _k: F.lit(False),
         )
-        return (
-            F.when(t == "object", obj_kids)
-            .when(t == "array", arr_kids)
-            .otherwise(none)
-        )
+        return F.coalesce(obj_kids, arr_kids, none)
 
-    def is_container(x: Column) -> Column:
-        return V.vtype(x).isin("array", "object")
+    def is_c(x: Column) -> Column:
+        return V.as_map(x).isNotNull() | V.as_array(x).isNotNull()
+
+    none_e = F.filter(
+        F.array(
+            F.struct(
+                _empty_varr().alias("p"),
+                F.lit(False).alias("c"),
+                F.lit(False).alias("dp"),
+            )
+        ),
+        lambda _e: F.lit(False),
+    )
 
     def emit(p: Column, x: Column, d: int) -> Column:
-        """array<array<variant>> — pre-order paths below (p, x),
-        unrolled to d levels."""
-        own = F.filter(F.array(F.array(V.vnull())), lambda _e: F.lit(False))
         if d == 0:
-            return own
+            return none_e
         return F.flatten(
             F.transform(
                 kids(p, x),
                 lambda kid: F.concat(
-                    (
-                        F.array(kid["p"])
-                        if not leaf_only
-                        else F.when(
-                            ~is_container(kid["x"]), F.array(kid["p"])
-                        ).otherwise(
-                            F.filter(
-                                F.array(kid["p"]), lambda _e: F.lit(False)
-                            )
+                    F.array(
+                        F.struct(
+                            kid["p"].alias("p"),
+                            is_c(kid["x"]).alias("c"),
+                            (
+                                is_c(kid["x"]) if d == 1 else F.lit(False)
+                            ).alias("dp"),
                         )
                     ),
                     emit(kid["p"], kid["x"], d - 1),
@@ -1477,23 +1503,21 @@ def _paths_native(v: Column, leaf_only: bool) -> tuple[Column, Column]:
             )
         )
 
-    def deep(p: Column, x: Column, d: int) -> Column:
-        if d == 0:
-            return F.array(F.struct(p.alias("p"), x.alias("x")))
-        return F.flatten(
-            F.transform(
-                kids(p, x), lambda kid: deep(kid["p"], kid["x"], d - 1)
-            )
-        )
+    return emit(_empty_varr(), v, depth)
 
-    root_p = _empty_varr()
-    paths_arr = F.transform(
-        emit(root_p, v, _RECURSE_NATIVE_DEPTH),
-        lambda pv: F.to_variant_object(pv),
-    )
+
+def _paths_native(v: Column, leaf_only: bool) -> tuple[Column, Column]:
+    """(paths of v as ARRAY<VARIANT> — each element a variant array
+    path, pre-order / key-sorted, exact for docs nested <=
+    _RECURSE_NATIVE_DEPTH — , needs_py flag for deeper rows). Built
+    on ONE _paths_entries enumeration per returned column; the
+    gate/testdata docs are depth-1, so `paths`/`leaf_paths` never
+    launch a Python worker on them."""
+    ents = _paths_entries(v, _RECURSE_NATIVE_DEPTH)
+    sel = F.filter(ents, lambda s: ~s["c"]) if leaf_only else ents
+    paths_arr = F.transform(sel, lambda s: F.to_variant_object(s["p"]))
     needs = F.exists(
-        deep(root_p, v, _RECURSE_NATIVE_DEPTH),
-        lambda n: F.size(kids(n["p"], n["x"])) > 0,
+        _paths_entries(v, _RECURSE_NATIVE_DEPTH), lambda s: s["dp"]
     )
     return paths_arr, needs
 
@@ -2875,10 +2899,65 @@ def _col_interp(node: ast.StrInterp) -> ColFn | None:
     return fn
 
 
+def _entries_colfn(node: ast.Node):
+    """Row-local generator -> ENTRIES array (the _fanout input shape:
+    array<struct<x: variant, er: string>>), value-column in. Foreach
+    keeps its emitted-states-then-error shape; every other
+    _elems_colfn-renderable generator yields value entries, with a
+    burst-level error collapsing to ONE error entry (the stream
+    tier's contract for a failed generator source)."""
+    if isinstance(node, ast.Foreach):
+        return _foreach_entries_col(node)
+    ef = _elems_colfn(node)
+    if ef is None:
+        return None
+
+    def fn(v: Column) -> Column:
+        cv = ef(v)
+        ents = F.transform(cv.v, lambda x: _entry(x, _null_str()))
+        if cv.err is not None:
+            ents = F.when(
+                cv.err.isNotNull(), F.array(_entry(V.vnull(), cv.err))
+            ).otherwise(ents)
+        return ents
+
+    return fn
+
+
+def _has_heavy_gen(node: ast.Node) -> bool:
+    """True when the subtree contains a generator whose burst
+    expression is HEAVY — a paths/leaf_paths enumeration (depth
+    unroll + Arrow fallback UDF) or a foreach fold. Splicing those
+    inline duplicates the heavy tree once per reference (HOF trees
+    never enter codegen, so every copy re-evaluates interpreted, and
+    every UDF copy is its own ArrowEvalPython stage); stream-level
+    staging binds the burst to a real column first — CollapseProject
+    keeps non-cheap multi-referenced producers materialized."""
+    stack: list[ast.Node] = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, ast.Foreach):
+            return True
+        if isinstance(n, ast.Builtin) and n.name in ("paths", "leaf_paths"):
+            return True
+        for f in getattr(n, "__dataclass_fields__", {}):
+            v = getattr(n, f)
+            items = v if isinstance(v, tuple) else (v,)
+            for it in items:
+                if isinstance(it, ast.Node):
+                    stack.append(it)
+                elif isinstance(it, ast.DictPair):
+                    stack += [it.key, it.value]
+                elif isinstance(it, tuple):
+                    stack += [s for s in it if isinstance(s, ast.Node)]
+    return False
+
+
 def _elems_colfn(node: ast.Node) -> ColFn | None:
     """Compile a generator expression to its output burst as ONE
     ARRAY<VARIANT> column (for folds). Supported: `.path.[]`,
-    `.[a,b]`, `range(n)`, and scalar pipes into those."""
+    `.[a,b]`, `range(n)`, `paths`/`leaf_paths`, `foreach`, scalar
+    pipes into those, and generator|scalar pipes (the r8 splice)."""
     if isinstance(node, ast.IterValues):
         opt = node.opt
 
@@ -2926,13 +3005,66 @@ def _elems_colfn(node: ast.Node) -> ColFn | None:
         return fn_items
     if isinstance(node, ast.Pipe):
         if is_multivalued(node.left):
-            # GENERATOR | scalar-op could splice row-locally, but the
-            # measured result was a REGRESSION: a Python-UDF generator
-            # (leaf_paths) duplicated across the collect's value and
-            # error columns re-runs its Arrow stage, and jq_paths went
-            # 10 s -> 16-26 s warm. The stream tier's fan-out lands
-            # the burst in a real column once — keep it (r7).
-            return None
+            # GENERATOR | scalar-op splices row-locally: map the
+            # burst through the packed right side in ONE projection.
+            # r7 tried and reverted this because the leaf_paths
+            # generator ran its Arrow stage once per duplicated
+            # reference (10 s -> 16-26 s); r8 re-lands it now that
+            # the paths burst is native with a null-gated UDF
+            # fallback (a duplicated Arrow stage transfers nulls for
+            # shallow rows) and the burst is let-bound so the
+            # generator tree appears at most twice in the output CV.
+            if is_multivalued(node.right):
+                return None
+            lef = _elems_colfn(node.left)
+            rpf = compile_packed(node.right) if lef is not None else None
+            if rpf is None:
+                return None
+
+            def fn_genpipe(v: Column) -> CV:
+                lcv = lef(v)
+                mapped = F.transform(
+                    lcv.v,
+                    lambda x: rpf(
+                        F.struct(
+                            x.alias("v"),
+                            _null_str().alias("e"),
+                            F.lit(False).alias("d"),
+                        )
+                    ),
+                )
+                # `?`-dropped elements contribute nothing; the FIRST
+                # in-band error (element order) voids the whole burst
+                # — jq parity: an error escapes the enclosing collect
+                kept = F.filter(mapped, lambda t: ~t["d"])
+
+                def build(b: Column) -> Column:
+                    ks = b["ks"]
+                    fe = F.get(
+                        F.filter(ks, lambda t: t["e"].isNotNull()), 0
+                    )["e"]
+                    e = F.coalesce(b["le"], fe)
+                    arr = F.when(e.isNotNull(), _empty_varr()).otherwise(
+                        F.transform(ks, lambda t: t["v"])
+                    )
+                    return F.struct(arr.alias("xs"), e.alias("e"))
+
+                out = _let_p(
+                    F.struct(
+                        kept.alias("ks"),
+                        (
+                            lcv.err
+                            if lcv.err is not None
+                            else _null_str()
+                        ).alias("le"),
+                    ),
+                    build,
+                )
+                return CV(
+                    out["xs"], F.when(out["e"].isNotNull(), out["e"])
+                )
+
+            return fn_genpipe
         lpf = compile_packed(node.left)
         inner = _elems_colfn(node.right)
         if lpf is None or inner is None:
@@ -2966,11 +3098,44 @@ def _elems_colfn(node: ast.Node) -> ColFn | None:
         udf = _paths_udf(node.name == "leaf_paths")
 
         def fn_paths(v: Column) -> CV:
-            # UDF as aggregate INPUT is fine — only lambdas may not
-            # contain Python UDFs
+            # Pure-UDF burst (r7 form). The native bounded-depth lane
+            # is DataFrame-level only (_stage_burst's filter-union):
+            # row-local code would have to gate the UDF behind
+            # F.when(needs, ...), and ExtractPythonUDFs cannot pull a
+            # Python UDF out of a conditional branch — the plan keeps
+            # the raw PythonUDF and crashes with INTERNAL_ERROR
+            # "Cannot evaluate expression: pl(...)" at eval (r8,
+            # reproduced; first build in a session sometimes extracts
+            # eagerly, later builds don't). UDF as aggregate INPUT is
+            # fine — only lambdas may not contain Python UDFs.
             return CV(F.transform(udf(V.vjson(v)), F.parse_json))
 
         return fn_paths
+    if isinstance(node, ast.Foreach):
+        # row-local foreach burst (r8): the ENTRIES array collapses to
+        # the burst-CV contract — a mid-burst error voids the whole
+        # burst (jq parity: an error escapes the enclosing collect /
+        # reduce; the prior-values-then-error shape only matters for
+        # a TOP-LEVEL foreach, which _stream_foreach still renders)
+        fe = _foreach_entries_col(node)
+        if fe is None:
+            return None
+
+        def fn_foreach(v: Column) -> CV:
+            def build(b: Column) -> Column:
+                ents = b["es"]
+                ferr = F.get(
+                    F.filter(ents, lambda t: t["er"].isNotNull()), 0
+                )["er"]
+                arr = F.when(ferr.isNotNull(), _empty_varr()).otherwise(
+                    F.transform(ents, lambda t: t["x"])
+                )
+                return F.struct(arr.alias("xs"), ferr.alias("e"))
+
+            out = _let_p(F.struct(fe(v).alias("es")), build)
+            return CV(out["xs"], F.when(out["e"].isNotNull(), out["e"]))
+
+        return fn_foreach
     if isinstance(node, ast.Builtin) and node.name in ("scan", "splits"):
         if is_multivalued(node.args[0]):
             return None
@@ -3913,9 +4078,26 @@ def _typed_reduce_cv(node: ast.Reduce, v: Column) -> CV | None:
         native, zero, lambda acc, x: ub({".": acc, name: x})
     )
     out = V.vlong(res) if ik == "int" else V.vdouble(res)
+    # Runtime array guard (r7 ADVICE #1): the `/`-overload branch of
+    # _static_elem_kind proves the ELEMENT kind, not that the source
+    # is an array at runtime — `.t / " "` over a missing/non-string
+    # .t is jq null, and as_array(null) -> SQL NULL would fold to a
+    # silent NULL row. Mirror the generic lane: non-array source is
+    # an in-band "cannot iterate <t>" error (or, under `.[]?`, an
+    # EMPTY generator so the fold yields init).
+    t = V.vtype(bcv.v)
+    is_arr = t == F.lit("array")
+    err = bcv.err
+    if src.right.opt:
+        init_out = V.vlong(zero) if ik == "int" else V.vdouble(zero)
+        out = F.when(is_arr, out).otherwise(init_out)
+    else:
+        out = F.when(is_arr, out).otherwise(V.vnull())
+        iter_err = F.when(~is_arr, F.concat(F.lit("cannot iterate "), t))
+        err = iter_err if err is None else F.coalesce(err, iter_err)
     if bcv.err is not None:
         out = F.when(bcv.err.isNotNull(), V.vnull()).otherwise(out)
-    return CV(out, bcv.err, bcv.drop)
+    return CV(out, err, bcv.drop)
 
 
 def _col_reduce(node: ast.Reduce) -> ColFn | None:
@@ -4137,13 +4319,22 @@ def _fanout(df: DataFrame, entries: Column) -> DataFrame:
     )
 
 
-def _stream_foreach(node: ast.Foreach) -> StreamFn:
-    """`foreach E as $x (I; U)`: one F.aggregate builds the per-row
-    array of emitted states (appending each update's result), then a
-    posexplode fan-out with `.[]`-style ord bookkeeping emits them as
-    a burst. An error in E/I/U yields the states already emitted
-    followed by one error entry, matching the interp."""
-    elems = _elems_colfn(node.source)
+def _foreach_entries_col(node: ast.Foreach, src_cv: CV | None = None):
+    """Row-local `foreach` burst builder: value-column -> ENTRIES
+    array (the _fanout input shape — emitted states, then one error
+    entry if E/I/U errored, matching the interp). None when source/
+    init/update aren't row-local renderable. Shared by the stream
+    tier (_stream_foreach posexplodes it) and the single-burst dict
+    fast path / `[foreach ...]` collects (r8: jq_paths previously
+    paid a fan-out + burst-position window for a burst that is a
+    plain projection). ``src_cv`` overrides the source burst with a
+    pre-staged column (DataFrame-level callers stage heavy sources —
+    a paths enumeration — via _stage_burst so the Arrow fallback UDF
+    never sits inside the fold's aggregate input)."""
+    elems = (
+        (lambda _v: src_cv) if src_cv is not None
+        else _elems_colfn(node.source)
+    )
     inf = None if is_multivalued(node.init) else compile_col(node.init)
     upf = None if is_multivalued(node.update) else compile_packed(node.update)
     if upf is None and not is_multivalued(node.update):
@@ -4153,17 +4344,13 @@ def _stream_foreach(node: ast.Foreach) -> StreamFn:
         cf = compile_col(node.update)
         if cf is not None:
             upf = lambda p: _pk_cv(_chain(_unpk(p), cf))  # noqa: E731
-    native_ok = elems is not None and inf is not None and upf is not None
-    if not native_ok and _free_vars(node):
-        raise NotImplementedError(
-            "foreach: source must be an iterator (.path.[], .[a,b], "
-            "range(n)) and init/update single-valued scalar expressions"
-        )
+    if elems is None or inf is None or upf is None:
+        return None
     name = node.name
 
-    def run(df: DataFrame) -> DataFrame:
-        ecv = elems(F.col("v"))
-        icv = inf(F.col("v"))
+    def entries_fn(v: Column) -> Column:
+        ecv = elems(v)
+        icv = inf(v)
         zero = F.struct(
             icv.v.alias("a"),
             _null_str().alias("e"),
@@ -4217,7 +4404,45 @@ def _stream_foreach(node: ast.Foreach) -> StreamFn:
             entries = F.when(
                 pre.isNotNull(), F.array(_entry(V.vnull(), pre))
             ).otherwise(entries)
-        return _fanout(df, entries)
+        return entries
+
+    return entries_fn
+
+
+def _stream_foreach(node: ast.Foreach) -> StreamFn:
+    """`foreach E as $x (I; U)`: one F.aggregate builds the per-row
+    array of emitted states (appending each update's result), then a
+    posexplode fan-out with `.[]`-style ord bookkeeping emits them as
+    a burst. An error in E/I/U yields the states already emitted
+    followed by one error entry, matching the interp."""
+    heavy_src = _has_heavy_gen(node.source)
+    entries_fn = _foreach_entries_col(node)
+    if entries_fn is None and _free_vars(node):
+        raise NotImplementedError(
+            "foreach: source must be an iterator (.path.[], .[a,b], "
+            "range(n)) and init/update single-valued scalar expressions"
+        )
+
+    def run(df: DataFrame) -> DataFrame:
+        if heavy_src:
+            # stage a heavy source burst (paths enumeration) via the
+            # filter-union so its Arrow fallback UDF never sits
+            # inside the fold's aggregate input
+            sb = _stage_burst(df, node.source)
+            if sb is not None:
+                df, n, en = sb
+                fe = _foreach_entries_col(
+                    node,
+                    src_cv=CV(
+                        F.col(n), F.col(en) if en else None
+                    ),
+                )
+                if fe is None:
+                    raise NotImplementedError("foreach staging failed")
+                return _fanout(df, fe(F.col("v"))).drop(
+                    n, *([en] if en else [])
+                )
+        return _fanout(df, entries_fn(F.col("v")))
 
     def _udf_entries() -> Column:
         """Interp-backed fallback (same contract as the reduce one):
@@ -4260,7 +4485,7 @@ def _stream_foreach(node: ast.Foreach) -> StreamFn:
         )
 
     def run_guarded(df: DataFrame) -> DataFrame:
-        if not native_ok:
+        if entries_fn is None:
             return _fanout(df, _udf_entries())
         try:
             return run(df)
@@ -4639,9 +4864,13 @@ def _plan_direct_raw(
         cv = _col_builtin(node.name, inp.v, [])
         return _pemit(plan, cv, inp.err, name, in_depth)
     if isinstance(node, ast.ListCons):
-        # row-local collect — including generator payloads _col_list
-        # can splice ([scan(re)], [.xs.[]], [range(n)]); only payloads
-        # _elems_colfn can't render stage through the stream tier
+        # row-local collect — including LIGHT generator payloads
+        # _col_list can splice ([scan(re)], [.xs.[]], [range(n)]);
+        # heavy payloads (paths/foreach) and payloads _elems_colfn
+        # can't render stage through the stream tier, which binds the
+        # burst to a real column (one evaluation per row)
+        if _has_heavy_gen(node):
+            return None
         cf = _col_list(node)
         if cf is None:
             return None
@@ -4990,9 +5219,13 @@ def compile_stream(node: ast.Node) -> StreamFn:
     if isinstance(node, ast.Recurse):
         return _stream_recurse()
     if isinstance(node, ast.ListCons):
-        # row-local collect first (handles generator payloads via
-        # _col_list's burst splice); posexplode fan-out only for
-        # payloads _elems_colfn can't render
+        # heavy generator payloads stage their burst as a column
+        # (one evaluation per row); light payloads splice row-locally
+        # via _col_list; posexplode fan-out only for payloads
+        # _elems_colfn can't render
+        sf = _stream_list_spliced(node)
+        if sf is not None:
+            return sf
         cf = _col_list(node)
         if cf is not None:
             return lift(cf)
@@ -5180,6 +5413,166 @@ def _stream_binary_zip(node: ast.Binary) -> StreamFn:
     return run
 
 
+def _stage_burst(
+    df: DataFrame, node: ast.Node
+) -> tuple[DataFrame, str, str | None] | None:
+    """Stage a row-local generator's burst as a FLAT array column;
+    returns (df, value_col, err_col_or_None). paths/leaf_paths get
+    the bounded-depth native lane via a FILTER-UNION: rows provably
+    nested <= _RECURSE_NATIVE_DEPTH enumerate all-JVM; only deeper
+    rows pass through the Arrow UDF, which sits UNCONDITIONALLY in
+    its own filtered branch — ExtractPythonUDFs cannot pull a Python
+    UDF out of a conditional branch (F.when-gating it crashes with
+    INTERNAL_ERROR at eval, r8 reproduced), but a plain projection
+    over a Filter extracts reliably (the r7 _stream_paths shape,
+    minus its persist+count probe action). The union reorders rows;
+    seq/ord carry the semantics."""
+    if isinstance(node, ast.Builtin) and node.name in ("paths", "leaf_paths"):
+        leaf = node.name == "leaf_paths"
+        udf = _paths_udf(leaf)
+        nat, needs = _paths_native_v(leaf)
+        nd, n = _fresh("pnd"), _fresh("pb")
+        flagged = df.withColumn(nd, F.coalesce(needs, F.lit(False)))
+        fast = flagged.where(~F.col(nd)).withColumn(n, nat)
+        slow = flagged.where(F.col(nd)).withColumn(
+            n, F.transform(udf(V.vjson(F.col("v"))), F.parse_json)
+        )
+        return fast.unionByName(slow).drop(nd), n, None
+    ef = _elems_colfn(node)
+    if ef is None:
+        return None
+    cv = ef(F.col("v"))
+    n = _fresh("gsb")
+    cols = {n: cv.v}
+    en = None
+    if cv.err is not None:
+        en = f"{n}e"
+        cols[en] = cv.err
+    return df.withColumns(cols), n, en
+
+
+# Column-expression cache for the depth-unrolled paths enumeration
+# over the stream's `v` column: the unresolved tree is identical on
+# every build and costs seconds of Py4J round-trips to construct
+# (measured ~11 s jq_paths plan build); Spark analyzes shared
+# unresolved trees into fresh resolved plans, so reuse is safe.
+_PATHS_NATIVE_V: dict[bool, tuple[Column, Column]] = {}
+
+
+def _paths_native_v(leaf_only: bool) -> tuple[Column, Column]:
+    if leaf_only not in _PATHS_NATIVE_V:
+        _PATHS_NATIVE_V[leaf_only] = _paths_native(F.col("v"), leaf_only)
+    return _PATHS_NATIVE_V[leaf_only]
+
+
+def _stream_list_spliced(node: ast.ListCons) -> StreamFn | None:
+    """`[...]` whose payload contains a HEAVY row-local generator
+    (paths/leaf_paths/foreach — see _has_heavy_gen): stage each
+    generator burst as ONE struct column, then assemble the collect
+    from column references. The row-local _col_list splice would
+    inline the heavy tree once per reference (2-4 interpreted
+    re-evaluations per row + one ArrowEvalPython stage per UDF copy);
+    a staged column is evaluated once per row, and CollapseProject
+    keeps it materialized because the producer is non-cheap and
+    multi-referenced. Still zero joins, zero fan-out."""
+    if node.expr is None:
+        return None
+    items = (
+        list(node.expr.items)
+        if isinstance(node.expr, ast.Iter)
+        else [node.expr]
+    )
+    if not any(_has_heavy_gen(i) for i in items):
+        return None
+    def stageable(n: ast.Node) -> bool:
+        return (
+            isinstance(n, ast.Builtin)
+            and n.name in ("paths", "leaf_paths")
+        ) or _elems_colfn(n) is not None
+
+    plans: list[tuple] = []
+    for i in items:
+        f = compile_col(i)
+        if f is not None:
+            plans.append(("scalar", f))
+            continue
+        if (
+            isinstance(i, ast.Pipe)
+            and is_multivalued(i.left)
+            and not is_multivalued(i.right)
+        ):
+            # stage the LEFT burst; map the scalar right side over
+            # the staged column (cheap refs) instead of the genpipe
+            # splice's inlined tree
+            rpf = compile_packed(i.right)
+            if stageable(i.left) and rpf is not None:
+                plans.append(("genpipe", i.left, rpf))
+                continue
+        if not stageable(i):
+            return None
+        plans.append(("gen", i))
+
+    def run(df: DataFrame) -> DataFrame:
+        # stage each burst as a FLAT array column (plus a separate
+        # error column only when the burst can error). NEVER a struct:
+        # CollapseProject inlines struct-staged producers through
+        # their field extractions and re-splits them, duplicating the
+        # heavy tree once per field reference — measured 2.4 MB / 927
+        # map_entries in one collapsed projection. A flat non-cheap
+        # column referenced more than once is kept materialized.
+        staged: dict[int, tuple[str, str | None]] = {}
+        drops: list[str] = []
+        for idx, pl in enumerate(plans):
+            if pl[0] == "scalar":
+                continue
+            sb = _stage_burst(df, pl[1])
+            if sb is None:  # defensive: stageable() said yes
+                raise NotImplementedError("burst staging failed")
+            df, n, en = sb
+            staged[idx] = (n, en)
+            drops += [n] + ([en] if en else [])
+        err = None
+        drop = None
+        segs: list[Column] = []
+        for idx, pl in enumerate(plans):
+            if pl[0] == "scalar":
+                cv = pl[1](F.col("v"))
+                err = _merge_err(err, cv.err)
+                drop = _merge_drop(drop, cv.drop)
+                segs.append(F.array(cv.v))
+                continue
+            n, en = staged[idx]
+            arr = F.col(n)
+            aerr = F.col(en) if en else _null_str()
+            if pl[0] == "genpipe":
+                # closure factory: a default arg would change the
+                # lambda's visible arity (transform introspects it)
+                def _mapper(rf):
+                    return lambda x: rf(
+                        F.struct(
+                            x.alias("v"),
+                            _null_str().alias("e"),
+                            F.lit(False).alias("d"),
+                        )
+                    )
+
+                mapped = F.transform(arr, _mapper(pl[2]))
+                kept = F.filter(mapped, lambda t: ~t["d"])
+                fe = F.get(
+                    F.filter(kept, lambda t: t["e"].isNotNull()), 0
+                )["e"]
+                aerr = F.coalesce(aerr, fe)
+                arr = F.transform(kept, lambda t: t["v"])
+            err = _merge_err(err, F.when(aerr.isNotNull(), aerr))
+            segs.append(arr)
+        out = V.varray(F.flatten(F.array(*segs)))
+        if err is not None:
+            out = F.when(err.isNotNull(), V.vnull()).otherwise(out)
+        return _finish(df, CV(out, err, drop), drop_cols=drops)
+
+    return run
+
+
 def _stream_list(expr: ast.Node | None) -> StreamFn:
     """`[expr]` — collect each input's burst into one array
     (ops.rs:543-597); left join back preserves empty bursts as []."""
@@ -5270,6 +5663,111 @@ def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
     statics = [k for k in skeys_all if k is not None]
     if len(set(statics)) != len(statics):
         skeys_all = [None] * len(pairs)
+
+    # Single-burst fast path (r8): all keys static, exactly ONE
+    # multi-valued value, and that value's burst renders row-locally
+    # (iterator / generator builtin / foreach). The cartesian product
+    # with one generator IS that generator's burst with the scalar
+    # pairs spliced into every element — one projection + one
+    # posexplode, no per-pair stream, no burst-position WINDOW, no
+    # join. (jq_paths' dict previously paid _burst_pos's row_number
+    # shuffle for a one-element burst.) Error parity with the join
+    # path: per product row, the first error in PAIR order wins; a
+    # failed generator SOURCE is one error entry.
+    multi = [i for i, p in enumerate(pairs) if is_multivalued(p.value)]
+    if (
+        all(k is not None for k in skeys_all)
+        and not any(is_multivalued(p.key) for p in pairs)
+        and len(multi) == 1
+    ):
+        mi = multi[0]
+        gen_entries = _entries_colfn(pairs[mi].value)
+        if gen_entries is not None:
+
+            def run_single_burst(df: DataFrame) -> DataFrame:
+                work = df
+                # heavy-source staging FIRST: _stage_burst's
+                # filter-union re-evaluates everything between the
+                # last exchange and the union once per branch, so
+                # it must run before the (expensive) scalar pairs
+                # stage — those then evaluate once, after the union
+                ents_fn = gen_entries
+                extra_drops: list[str] = []
+                val_node = pairs[mi].value
+                if isinstance(val_node, ast.Foreach) and _has_heavy_gen(
+                    val_node.source
+                ):
+                    sb = _stage_burst(work, val_node.source)
+                    if sb is not None:
+                        work, sn, sen = sb
+                        fe = _foreach_entries_col(
+                            val_node,
+                            src_cv=CV(
+                                F.col(sn), F.col(sen) if sen else None
+                            ),
+                        )
+                        if fe is not None:
+                            ents_fn = fe
+                            extra_drops = [sn] + ([sen] if sen else [])
+                staged: dict[int, str] = {}
+                for pi, pair in enumerate(pairs):
+                    if pi == mi:
+                        continue
+                    n = _fresh("dsc")
+                    work = _stage(work, pair.value, n)
+                    staged[pi] = n
+                # stage the generator's ENTRIES burst as a real
+                # column and assemble the dict AFTER the fan-out: the
+                # Generate is a CollapseProject barrier, so the heavy
+                # staged trees (scalar pairs + the burst) never merge
+                # into one projection — building the dict per-entry
+                # BEFORE the explode let the optimizer inline every
+                # staged pair into the entries lambda and re-split
+                # struct fields to a 2.4 MB projection with ~26x
+                # duplicated subtrees (measured)
+                gb, pre = _fresh("gb"), _fresh("pre")
+                work = work.withColumns({
+                    gb: ents_fn(F.col("v")),
+                    pre: F.col("err").isNotNull(),
+                })
+                ex = _fanout(work, F.col(gb))
+                # post-explode: v = the generator entry's value (or
+                # null), err = pre-error or the entry's error
+                kv = F.array(*[
+                    F.struct(
+                        F.lit(skeys_all[i]).alias("k"),
+                        (
+                            F.col("v")
+                            if i == mi
+                            else F.col(f"{staged[i]}_v")
+                        ).alias("v"),
+                    )
+                    for i in range(len(pairs))
+                ])
+                valid = F.filter(
+                    kv, lambda t: t["k"].isNotNull() & t["v"].isNotNull()
+                )
+                obj = F.to_variant_object(F.map_from_entries(valid))
+                # first error in PAIR order, the generator's at its
+                # own position (join-path parity)
+                err = F.coalesce(*[
+                    F.col("err") if i == mi else F.col(f"{staged[i]}_e")
+                    for i in range(len(pairs))
+                ])
+                newv = (
+                    F.when(F.col(pre), F.col("v"))
+                    .when(err.isNotNull(), V.vnull())
+                    .otherwise(obj)
+                )
+                newerr = F.when(F.col(pre), F.col("err")).otherwise(err)
+                return ex.withColumns(
+                    {"v": newv, "err": newerr}
+                ).drop(gb, pre, *extra_drops, *[
+                    c for n in staged.values()
+                    for c in (f"{n}_v", f"{n}_e")
+                ])
+
+            return run_single_burst
 
     def run(df: DataFrame) -> DataFrame:
         # r7: SINGLE-VALUED static-keyed pairs stage as carried

@@ -643,6 +643,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def substring_dup_stats(
     docs: DataFrame, id_col: str, text_col: str,
     k: int = 40, stride: int = 10, anchor_n: int = 8,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Cross-document substring duplication (the anchored-window
     approximation of Lee et al. 2022 "Deduplicating Training Data
@@ -697,7 +698,18 @@ def substring_dup_stats(
             lambda i: horner_window(codes, i, k),
         )
 
-    hashes = let1(str_codes(s), _hashes)
+    # r8: the default scan is the Arrow/numpy lane
+    # (hashing.window_hashes_arrow — bit-identical by construction,
+    # parity-pinned in tests/test_pipeline_ops.py): the SQL lane's
+    # split('') codepoint array was a measured ~16 s JVM-allocation
+    # floor of the ~26 s sf1 run (r7 VERDICT wrong #2). engine="sql"
+    # keeps the pure-JVM expression lane (the DuckDB oracle's twin).
+    if engine == "arrow":
+        from bd_spark.operators.hashing import window_hashes_arrow
+
+        hashes = window_hashes_arrow(s, k, stride, anchor_n)
+    else:
+        hashes = let1(str_codes(s), _hashes)
     win = docs.select(
         F.col(id_col), F.explode(hashes).alias("h")
     )

@@ -159,3 +159,61 @@ def poly_gram_hash_duckdb(codes_expr: str, n: int, ivar: str = "i") -> str:
 
 def h31_sql_duckdb(expr: str) -> str:
     return f"({h60_sql_duckdb(expr)} % {P31})"
+
+
+def window_hashes_arrow(
+    s: Column, k: int, stride: int, anchor_n: int
+) -> Column:
+    """Arrow/numpy-vectorized twin of the anchored-window hash scan
+    (substring_dup_stats' per-doc hot loop): codepoints via a single
+    C-speed utf-32 decode, the ``anchor_n``-gram polynomial anchor
+    hash as ``anchor_n`` vectorized int64 passes, and the k-window
+    Horner hash as ONE sliding-window matmul over the anchor
+    positions. Bit-identical to the SQL lane (str_codes +
+    poly_hashes_from_codes + horner_window) and to the DuckDB oracle:
+    products stay < 2^52 (codepoint < 2^21, coefficient < 2^31) and a
+    40-term sum < 2^58, so single-mod int64 arithmetic equals the
+    per-step-mod fold (mod distributes over the sum).
+
+    Why it exists: the SQL lane's ``split('')`` materializes one
+    single-char string per position — measured ~16 s of a ~26 s sf1
+    run, a JVM allocation floor, and per-char access by substring()
+    would be O(n^2) (UTF8String seeks by codepoint). The scan is
+    row-local either way — Arrow batches shift it to vectorized C.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pw = np.array(poly_powers(anchor_n), dtype=np.int64)
+    wpow = np.array(
+        [pow(_WIN_B, k - 1 - j, P31) for j in range(k)], dtype=np.int64
+    )
+
+    # old-style signature: `from __future__ import annotations`
+    # stringifies type hints, which the decorator cannot resolve here
+    def scan(col):
+        out = []
+        for t in col:
+            if t is None:
+                out.append([])
+                continue
+            codes = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            n = codes.shape[0]
+            cnt = n - anchor_n + 1
+            if cnt <= 0 or n < k:
+                out.append([])
+                continue
+            h = np.zeros(cnt, dtype=np.int64)
+            for j in range(anchor_n):
+                h = (h + codes[j : j + cnt] * pw[j]) % P31
+            pos = np.nonzero((h % stride == 0)[: max(n - k + 1, 0)])[0]
+            if pos.shape[0] == 0:
+                out.append([])
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(codes, k)[pos]
+            out.append(((win @ wpow) % P31).tolist())
+        return pd.Series(out)
+
+    return F.pandas_udf(scan, "array<long>", F.PandasUDFType.SCALAR)(s)

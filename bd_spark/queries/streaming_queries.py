@@ -185,11 +185,14 @@ def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     same first-per-key contract as q_stream_dedup but with key state
     bounded by a 1-hour event-time horizon — the 100 TB
     unbounded-key-space story. State eviction is PROVEN (not assumed)
-    in tests/test_streaming.py::test_stream_dedup_watermark_evicts
-    via the state-operator metrics. The gate replay arrives in one
-    AvailableNow batch and the watermark only advances BETWEEN
-    batches, so no gate input is late and the oracle stays
-    SELECT DISTINCT."""
+    in tests/test_streaming.py::test_stream_dedup_watermark_evicts_state
+    via the state-operator metrics. The SELECT DISTINCT oracle is only
+    valid under SINGLE-batch replay (the watermark advances only
+    BETWEEN batches; across batches, keys recurring beyond the horizon
+    would re-emit after state eviction), so the gate ASSERTS the
+    replay landed in one data micro-batch — a future multi-file
+    layout or maxFilesPerTrigger change fails loudly, not by hash
+    mismatch (r7 ADVICE #3)."""
     from bd_spark.streaming.ops import (
         dedup_stream, read_events_stream, run_to_memory,
     )
@@ -199,7 +202,10 @@ def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"],
         watermark="1 hour",
     ).select("user_id", "event_type")
-    return run_to_memory(deduped, "append", shuffle_partitions=8)
+    return run_to_memory(
+        deduped, "append", shuffle_partitions=8,
+        expect_single_data_batch=True,
+    )
 
 
 Q_STREAM_DEDUP_WATERMARKED_SQL = """

@@ -49,7 +49,11 @@ def read_events_stream(
     schema = spark.read.parquet(path).schema
     # the testdata table is a single parquet FILE; the file-stream
     # source requires a directory, so expose it through a symlink dir
-    # (zero-copy; a real deployment streams a directory or Kafka)
+    # (zero-copy; a real deployment streams a directory or Kafka).
+    # NOTE: single file + no maxFilesPerTrigger => AvailableNow
+    # replays in ONE data micro-batch; gates whose oracles assume
+    # that (watermark-eviction semantics) assert it via
+    # run_to_memory(expect_single_data_batch=True).
     link_dir = tempfile.mkdtemp(prefix="bd_events_stream_")
     os.symlink(path, os.path.join(link_dir, "events.parquet"))
     reader = spark.readStream.schema(schema)
@@ -435,6 +439,7 @@ def run_to_memory(
     output_mode: str = "complete",
     name: str | None = None,
     shuffle_partitions: int | None = None,
+    expect_single_data_batch: bool = False,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion on the currently
     available data (Trigger.AvailableNow) into a memory sink; return
@@ -450,6 +455,14 @@ def run_to_memory(
     per-partition state under memory and raises it with rate. The
     conf is captured at query start, so the temporary override is
     race-free for the started query.
+
+    ``expect_single_data_batch`` asserts (post-run, from the query's
+    progress log) that at most ONE micro-batch carried input rows.
+    Gates whose ORACLE is only valid under single-batch replay — the
+    watermarked dedup, where keys recurring beyond the horizon would
+    re-emit across batches after state eviction (r7 ADVICE #3) — pass
+    this so a future source-layout change (multi-file table,
+    maxFilesPerTrigger) fails LOUDLY instead of hash-mismatching.
     """
     name = name or f"s_{uuid.uuid4().hex[:12]}"
     spark = stream.sparkSession
@@ -466,6 +479,17 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
+        if expect_single_data_batch:
+            data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            if data_batches > 1:
+                raise AssertionError(
+                    f"expected a single-batch replay, got "
+                    f"{data_batches} data micro-batches — the "
+                    f"caller's oracle is not valid under multi-batch "
+                    f"replay (see run_to_memory docstring)"
+                )
         q.stop()
     finally:
         if prev is not None:

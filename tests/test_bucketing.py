@@ -55,3 +55,32 @@ def test_bucketed_agg_is_exchange_free(spark, bucketed_tables):
     )
     assert is_exchange_free(g)
     assert g.count() > 0
+
+
+def test_write_bucketed_survives_orphaned_warehouse_dir(spark, sf_dir):
+    """r7 VERDICT wrong #4: a killed writer leaves
+    spark-warehouse/<table> on disk with NO metastore entry;
+    saveAsTable then threw LOCATION_ALREADY_EXISTS. write_bucketed
+    must clear the stale location and succeed."""
+    import os
+
+    from bd_spark.catalog import table
+
+    name = "t_orphan_regression"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    loc = os.path.join(warehouse, name)
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "orphan.parquet"), "w") as f:
+        f.write("stale")
+    try:
+        region = table(spark, "region", sf_dir)
+        write_bucketed(region, name, ["r_regionkey"], 2)
+        assert bucketed(spark, name).count() == region.count()
+        # and plain re-write over a LIVE table still works
+        write_bucketed(region, name, ["r_regionkey"], 2)
+        assert bucketed(spark, name).count() == region.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -729,15 +729,35 @@ def test_typed_lanes_match_generic(spark):
             for _ in range(rng.randrange(0, 12))
         ]
         docs.append(_json.dumps({"t": " ".join(words)}))
+    # adversarial rows (r7 ADVICE #1): the `/`-overload elem-kind
+    # proof holds even when .t is missing/non-string at runtime, where
+    # the source is jq NULL (never an array) — the typed lanes must
+    # produce the generic lanes' in-band errors, not silent NULLs
+    docs += ["{}", '{"t": 5}', '{"t": null}', '{"t": ["a","b"]}',
+             '{"t": true}']
     queries = [
         '(.t / " ") as $ws | reduce $ws.[] as $w (0; . + ($w | length))',
         '(.t / " ") as $ws | reduce $ws.[] as $w'
         " (0; ($w | length) as $l | if $l > . then $l else . end)",
+        # `.[]?` — non-array source is an EMPTY generator -> init
+        '(.t / " ") as $ws | reduce $ws.[]? as $w (0; . + ($w | length))',
         '(.t / " ") | sort_by(length)',
         '(.t / " ") | unique_by(length)',
         '(.t / " ") | group_by(length) | map(length)',
         '(.t / " ") | min_by(length)',
         '(.t / " ") | max_by(length)',
+        # DECIMAL(38,0) overflow -> NULL native sort keys (r7 ADVICE
+        # #2): length>=1 keys overflow to NULL, length==0 keys stay 0;
+        # NULLs must rank first (total comparator) and unique_by/
+        # group_by must keep the null run, not drop it
+        '(.t / " ") | sort_by(length * 99999999999999999999'
+        " * 99999999999999999999)",
+        '(.t / " ") | unique_by(length * 99999999999999999999'
+        " * 99999999999999999999)",
+        '(.t / " ") | group_by(length * 99999999999999999999'
+        " * 99999999999999999999) | map(length)",
+        '(.t / " ") | min_by(length * 99999999999999999999'
+        " * 99999999999999999999)",
     ]
     jq = JsonQ(spark)
     for q in queries:

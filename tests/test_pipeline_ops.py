@@ -898,6 +898,41 @@ def test_substring_dup_stats_hand_check(spark):
     assert out[1].dup_frac == round(out[1].n_dup / out[1].n_windows, 6)
 
 
+def test_substring_dup_arrow_sql_lane_parity(spark):
+    """The r8 Arrow/numpy window-hash scan must be BIT-identical to
+    the pure-SQL expression lane (str_codes + poly + Horner — the
+    DuckDB oracle's twin) on adversarial inputs: non-ASCII and
+    non-BMP codepoints, whitespace trimming, upper-case folding,
+    doc shorter than the window, doc shorter than the anchor gram,
+    empty and NULL text."""
+    from bd_spark.operators.dedup import substring_dup_stats
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green bottles stand quietly on the old stone wall"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta"),
+            (2, "prefix " + shared),
+            (3, "汉字漢字 émile naïve " + shared + " 日本語テキスト🙂🙂"),
+            (4, "  UPPER Case " + shared + "   "),
+            (5, "short"),
+            (6, "x" * 39),     # one less than k
+            (7, "seven"),      # less than anchor_n
+            (8, ""),
+            (9, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = lambda eng: sorted(  # noqa: E731
+        [tuple(r) for r in substring_dup_stats(
+            docs, "doc_id", "text", k=40, stride=10, engine=eng
+        ).collect()]
+    )
+    assert rows("arrow") == rows("sql")
+
+
 def test_multimodal_oracles_non_ascii(spark, tmp_path):
     """The mm/image/audio oracle SQL must track the ENGINE's UTF-8
     payload BYTES, not codepoints (r7 ADVICE: the old unicode(ch)
