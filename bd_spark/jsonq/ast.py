@@ -314,6 +314,10 @@ BUILTIN_ARITY = {
     "setpath": 2,
     "paths": 0,
     "leaf_paths": 0,
+    # stream-event encoding (r8) — interp-tier only (the parser
+    # marks programs using these InterpOnly)
+    "tostream": 0,
+    "fromstream": 1,
     # regex / string batch (jq manual semantics, Java-regex dialect;
     # the optional extra arg is a flag string from [gimsx] — `g`
     # makes sub global, others prepend an inline (?ims x) group)

@@ -739,7 +739,80 @@ def all_paths(v: object, leaf_only: bool = False) -> list[list]:
     return out
 
 
+def to_stream_events(v: object) -> list[list]:
+    """jq `tostream` events (r8, closing COVERAGE.md's out-of-scope
+    note; jq manual: "Outputs the streamed form of the input"), with
+    the dialect's sorted-object-key convention (matches `.[]` /
+    `paths`): one ``[path, leaf]`` pair per leaf — scalars and EMPTY
+    containers — plus one ``[path-of-last-child]`` close marker after
+    each non-empty container's children. A scalar/empty root is the
+    single event ``[[], v]``."""
+    out: list[list] = []
+
+    def walk(x: object, prefix: list) -> None:
+        if isinstance(x, dict) and x:
+            ks = sorted(x)
+            for k in ks:
+                walk(x[k], prefix + [k])
+            out.append([prefix + [ks[-1]]])
+        elif isinstance(x, list) and x:
+            for i, e in enumerate(x):
+                walk(e, prefix + [i])
+            out.append([prefix + [len(x) - 1]])
+        else:
+            out.append([prefix, x])
+
+    walk(v, [])
+    return out
+
+
+def _fromstream(fnode: "ast.Node", v: object) -> list[Entry]:
+    """jq `fromstream(f)`: reassemble documents from the event stream
+    f emits — the inverse of tostream. Follows the jq reference
+    definition's {x, emitted} state machine: a 2-event writes its
+    leaf at its path (path [] emits the leaf directly); a 1-event
+    close marker at depth 1 emits the accumulated document; state
+    resets after every emission. Malformed events are in-band
+    errors."""
+    out: list[Entry] = []
+    state: object = None
+    emitted = False
+    for ev, err in _eval(fnode, v):
+        if err is not None:
+            out.append((None, err))
+            continue
+        if (
+            not isinstance(ev, list)
+            or len(ev) not in (1, 2)
+            or not isinstance(ev[0], list)
+        ):
+            out.append(_err("fromstream: input must be [path, leaf] or [path] events"))
+            continue
+        if emitted:
+            state = None
+            emitted = False
+        if len(ev) == 2:
+            path, leaf = ev
+            if len(path) == 0:
+                out.append((leaf, None))
+                emitted = True
+            else:
+                try:
+                    state = set_path(state, path, leaf)
+                except ValueError as ex:
+                    out.append(_err(str(ex)))
+                    state = None
+        elif len(ev[0]) == 1:
+            out.append((state, None))
+            emitted = True
+    return out
+
+
 def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  # noqa: PLR0911, PLR0912
+    if name == "tostream":
+        return [(e, None) for e in to_stream_events(v)]
+    if name == "fromstream":
+        return _fromstream(args[0], v)
     if name == "getpath":
         out = []
         for pv, pe in _eval(args[0], v):

@@ -221,7 +221,7 @@ class Parser:
         self.toks = tokenize(src)
         self.i = 0
         self._in_if = 0
-        self._used_recursion = False
+        self._interp_only = False
         # (name, arity) -> (params, body) for jq `def`; None marks a
         # def whose body is still being parsed (recursion guard)
         self.defs: dict[tuple[str, int], tuple | None] = (
@@ -261,7 +261,7 @@ class Parser:
         node = self.parse_defs_then_expr()
         if not self.at_kind("eof"):
             raise ParseError(f"trailing input at {self.peek()[1]!r}")
-        if self._used_recursion:
+        if self._interp_only:
             return ast.InterpOnly(node)
         return node
 
@@ -410,7 +410,7 @@ class Parser:
         if recursive:
             # the expansion may nest STREAM ops arbitrarily deep —
             # route the whole program through the interp tier
-            self._used_recursion = True
+            self._interp_only = True
         return self._apply_def(params, body, tuple(args))
 
     _PIPE_STARTERS = frozenset(
@@ -1020,6 +1020,12 @@ class Parser:
                 )
             return ast.Try(operand)
         if name in ast.BUILTIN_ARITY:
+            if name in ("tostream", "fromstream"):
+                # stream-event builtins (r8): tostream's close-marker
+                # bookkeeping and fromstream's cross-event state
+                # machine have no Catalyst form — the whole program
+                # evaluates through the Arrow-batched interp tier
+                self._interp_only = True
             arity = ast.BUILTIN_ARITY[name]
             arities = (arity,) if isinstance(arity, int) else arity
             if 0 in arities and not self.at("("):

@@ -880,6 +880,44 @@ FROM documents
 """
 
 
+def jq_tostream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`tostream` / `fromstream` (r8 — the stream-event encoding jq's
+    manual defines; previously the dialect's one documented jq-surface
+    gap): encode each props doc as its [path, leaf] / [path]-close
+    event stream, render the events canonically, and round-trip the
+    stream back into the document with fromstream. Cross-event
+    reassembly is a sequential state machine with no Catalyst form,
+    so the parser marks these programs InterpOnly and the whole query
+    runs through the Arrow-batched interp tier — row-local
+    mapInPandas, zero shuffle (the jq_interp_recurse scale story)."""
+    ev = table(spark, "events", sf_dir).select("event_id", "props")
+    jq = JsonQ(spark)
+    stream = jq.stream_from_text_column(ev, "props", seq_col="event_id")
+    out = jq.run(
+        '{ev: ([tostream | tojson] | join(";")),'
+        " rt: (fromstream(tostream) | tojson)}",
+        stream,
+        ordered=False,
+    )
+    return out.select(
+        F.col("seq").alias("event_id"),
+        F.try_variant_get("v", "$.ev", "string").alias("ev"),
+        F.try_variant_get("v", "$.rt", "string").alias("rt"),
+    )
+
+
+JQ_TOSTREAM_SQL = """
+SELECT event_id,
+       '[["k"],' || k || '];[["k"]]' AS ev,
+       '{"k":' || k || '}' AS rt
+FROM (
+  SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+"""
+
+
 QUERIES = {
     "jq_props_k": jq_props_k,
     "jq_token_count": jq_token_count,
@@ -904,6 +942,7 @@ QUERIES = {
     "jq_formats": jq_formats,
     "jq_defs": jq_defs,
     "jq_interp_recurse": jq_interp_recurse,
+    "jq_tostream": jq_tostream,
 }
 
 ORACLES = {
@@ -930,4 +969,5 @@ ORACLES = {
     "jq_formats": JQ_FORMATS_SQL,
     "jq_defs": JQ_DEFS_SQL,
     "jq_interp_recurse": JQ_INTERP_RECURSE_SQL,
+    "jq_tostream": JQ_TOSTREAM_SQL,
 }

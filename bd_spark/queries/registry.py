@@ -176,6 +176,7 @@ EXTRA = [
     "q_window_ranks",          # ntile/percent_rank/cume_dist/dense_rank
     "jq_interp_recurse",       # whole-query Arrow interp tier (recursion)
     "q_stream_dedup_watermarked",  # watermark-BOUNDED dedup (state evicts)
+    "jq_tostream",             # tostream/fromstream event round-trip (r8)
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

@@ -217,3 +217,69 @@ def test_differential_seeded_fuzz(spark):
     # 8 differential plans in flight (compiler._ENV is thread-local)
     with ThreadPoolExecutor(max_workers=8) as ex:
         list(ex.map(check, DIFF_QUERIES))
+
+
+def test_tostream_jq_manual_semantics():
+    """tostream events (jq manual examples, sorted-object-key
+    dialect): [path, leaf] per leaf — scalars AND empty containers —
+    plus a [path-of-last-child] close marker per non-empty
+    container."""
+    import json
+
+    def run(q, doc):
+        return [v for v, e in interp.run(parser.parse(q), json.loads(doc))]
+
+    assert run("tostream", '{"a":[1,[2,3]]}') == [
+        [["a", 0], 1], [["a", 1, 0], 2], [["a", 1, 1], 3],
+        [["a", 1, 1]], [["a", 1]], [["a"]],
+    ]
+    assert run("tostream", "1") == [[[], 1]]
+    assert run("tostream", "[]") == [[[], []]]
+    assert run("tostream", '{"a":{}}') == [[["a"], {}], [["a"]]]
+    # sorted-object-key convention (the dialect's `.[]`/paths order)
+    assert run("tostream", '{"b":1,"a":2}') == [
+        [["a"], 2], [["b"], 1], [["b"]],
+    ]
+
+
+def test_fromstream_round_trip_and_errors(spark):
+    """fromstream(tostream) is the identity on every doc shape —
+    including multiple documents through ONE fromstream (state resets
+    after each emission) — and malformed events are in-band errors.
+    The Spark tier routes these programs through the interp tier
+    (InterpOnly), so the engine differential is the same machine; the
+    driver-gate jq_tostream query pins it against DuckDB."""
+    import json
+    import random
+
+    from bd_spark.jsonq.runtime import JsonQ
+
+    def run(q, doc):
+        return interp.run(parser.parse(q), json.loads(doc))
+
+    rng = random.Random(0xBD08)
+    docs = [_rand_json(rng) for _ in range(25)] + [
+        {}, [], 5, None, "s", {"a": {}}, [[], {}], {"b": [1, {"c": []}]},
+    ]
+    for d in docs:
+        got = run("fromstream(tostream)", json.dumps(d))
+        assert got == [(d, None)], d
+    # several docs through one stateful fromstream
+    multi = [{"a": 1}, [2, 3], 5, {}, [[]]]
+    got = run("[fromstream(.[] | tostream)]", json.dumps(multi))
+    assert got == [(multi, None)]
+    # malformed events -> in-band error entries
+    got = run("fromstream(1)", "null")
+    assert got[0][0] is None and "fromstream" in got[0][1]
+    # spark tier parity: whole query through the Arrow interp tier
+    jq = JsonQ(spark)
+    texts = [json.dumps(d) for d in multi]
+    sp = jq.run_texts("[tostream | tojson] | join(\";\")", texts)
+    it = [
+        e
+        for t in texts
+        for e in interp.run(
+            parser.parse('[tostream | tojson] | join(";")'), json.loads(t)
+        )
+    ]
+    assert sp == it
