@@ -5426,7 +5426,13 @@ def _stage_burst(
     INTERNAL_ERROR at eval, r8 reproduced), but a plain projection
     over a Filter extracts reliably (the r7 _stream_paths shape,
     minus its persist+count probe action). The union reorders rows;
-    seq/ord carry the semantics."""
+    seq/ord carry the semantics. Known cost: per-branch column
+    pruning canonicalizes the branches' scans differently, so
+    ReuseExchange does NOT kick in (measured: 2 scans) — each branch
+    re-reads the source, a bounded linear cost that callers keep
+    small by staging heavy bursts FIRST (nothing expensive below the
+    union); a shared-scan form is the identified follow-up if a
+    profile ever shows the double read mattering."""
     if isinstance(node, ast.Builtin) and node.name in ("paths", "leaf_paths"):
         leaf = node.name == "leaf_paths"
         udf = _paths_udf(leaf)
