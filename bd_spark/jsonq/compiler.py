@@ -1389,6 +1389,43 @@ def _col_setpath(v: Column, p: CV, nv: CV) -> CV:
 _PATHS_UDF = {}
 
 
+_PATHS_UDF_FLAGGED = None
+
+
+def _paths_udf_flagged():
+    """Arrow UDF yielding (path-JSON, is_container) structs for every
+    path below the root (interp.all_paths_flagged): ONE walk serves
+    BOTH `paths` and `leaf_paths` in the fused deep-row branch."""
+    global _PATHS_UDF_FLAGGED
+    if _PATHS_UDF_FLAGGED is None:
+
+        def pf(col):
+            import json as js
+
+            import pandas as pd
+
+            from bd_spark.jsonq.interp import all_paths_flagged
+
+            return pd.Series(
+                [
+                    []
+                    if txt is None
+                    else [
+                        (js.dumps(p, separators=(",", ":")), c)
+                        for p, c in all_paths_flagged(js.loads(txt))
+                    ]
+                    for txt in col
+                ]
+            )
+
+        _PATHS_UDF_FLAGGED = F.pandas_udf(
+            pf,
+            "array<struct<j: string, c: boolean>>",
+            F.PandasUDFType.SCALAR,
+        )
+    return _PATHS_UDF_FLAGGED
+
+
 def _paths_udf(leaf_only: bool):
     """Arrow UDF yielding every path (as JSON-array text) below the
     root via the shared interp.all_paths — sorted-object-key document
@@ -3065,6 +3102,12 @@ def _elems_colfn(node: ast.Node) -> ColFn | None:
                 )
 
             return fn_genpipe
+        if _contains_paths(node.right):
+            # scalar | paths would place the paths UDF inside the
+            # let-binding lambda (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION
+            # _WITH_PYTHON_UDF) — route through the stream tier,
+            # whose _stream_paths keeps the UDF in a plain projection
+            return None
         lpf = compile_packed(node.left)
         inner = _elems_colfn(node.right)
         if lpf is None or inner is None:
@@ -4430,7 +4473,7 @@ def _stream_foreach(node: ast.Foreach) -> StreamFn:
             # inside the fold's aggregate input
             sb = _stage_burst(df, node.source)
             if sb is not None:
-                df, n, en = sb
+                df, n, en, owned = sb
                 fe = _foreach_entries_col(
                     node,
                     src_cv=CV(
@@ -4439,9 +4482,10 @@ def _stream_foreach(node: ast.Foreach) -> StreamFn:
                 )
                 if fe is None:
                     raise NotImplementedError("foreach staging failed")
-                return _fanout(df, fe(F.col("v"))).drop(
-                    n, *([en] if en else [])
-                )
+                out = _fanout(df, fe(F.col("v")))
+                if owned:
+                    out = out.drop(n, *([en] if en else []))
+                return out
         return _fanout(df, entries_fn(F.col("v")))
 
     def _udf_entries() -> Column:
@@ -5413,37 +5457,152 @@ def _stream_binary_zip(node: ast.Binary) -> StreamFn:
     return run
 
 
+# Fused paths-burst hint (r8, VERDICT r7 "fuse the two path-generator
+# bursts into ONE fan-out"): the dict single-burst fast path arms this
+# when EVERY paths/leaf_paths in its pairs is head-positioned
+# (evaluated against the dict's own input v). The first paths
+# _stage_burst then stages BOTH variants from one enumeration/union
+# and records the column names; later paths stagings reuse the
+# columns with ZERO extra work — one union, one Arrow stage, two
+# enumerations total instead of stacked unions whose branches
+# re-execute each other multiplicatively.
+_PATHS_HINT: dict | None = None
+
+
+def _contains_paths(node: ast.Node) -> bool:
+    stack: list[ast.Node] = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, ast.Builtin) and n.name in ("paths", "leaf_paths"):
+            return True
+        for f in getattr(n, "__dataclass_fields__", {}):
+            v = getattr(n, f)
+            items = v if isinstance(v, tuple) else (v,)
+            for it in items:
+                if isinstance(it, ast.Node):
+                    stack.append(it)
+                elif isinstance(it, ast.DictPair):
+                    stack += [it.key, it.value]
+                elif isinstance(it, tuple):
+                    stack += [s for s in it if isinstance(s, ast.Node)]
+    return False
+
+
+def _paths_head_only(node: ast.Node, at_head: bool = True) -> bool:
+    """True when every paths/leaf_paths occurrence under ``node``
+    evaluates against the node's OWN input value (head position along
+    pipe lefts / list items / foreach sources) — the soundness
+    condition for reusing one staged enumeration across them."""
+    if isinstance(node, ast.Builtin) and node.name in ("paths", "leaf_paths"):
+        return at_head
+    if isinstance(node, ast.Pipe):
+        return _paths_head_only(node.left, at_head) and not _contains_paths(
+            node.right
+        )
+    if isinstance(node, ast.Try):
+        return _paths_head_only(node.expr, at_head)
+    if isinstance(node, ast.ListCons):
+        if node.expr is None:
+            return True
+        items = (
+            list(node.expr.items)
+            if isinstance(node.expr, ast.Iter)
+            else [node.expr]
+        )
+        return all(_paths_head_only(i, at_head) for i in items)
+    if isinstance(node, ast.Iter):
+        return all(_paths_head_only(i, at_head) for i in node.items)
+    if isinstance(node, ast.Foreach):
+        return (
+            _paths_head_only(node.source, at_head)
+            and not _contains_paths(node.init)
+            and not _contains_paths(node.update)
+        )
+    return not _contains_paths(node)
+
+
 def _stage_burst(
     df: DataFrame, node: ast.Node
-) -> tuple[DataFrame, str, str | None] | None:
+) -> tuple[DataFrame, str, str | None, bool] | None:
     """Stage a row-local generator's burst as a FLAT array column;
-    returns (df, value_col, err_col_or_None). paths/leaf_paths get
-    the bounded-depth native lane via a FILTER-UNION: rows provably
-    nested <= _RECURSE_NATIVE_DEPTH enumerate all-JVM; only deeper
-    rows pass through the Arrow UDF, which sits UNCONDITIONALLY in
-    its own filtered branch — ExtractPythonUDFs cannot pull a Python
-    UDF out of a conditional branch (F.when-gating it crashes with
-    INTERNAL_ERROR at eval, r8 reproduced), but a plain projection
-    over a Filter extracts reliably (the r7 _stream_paths shape,
-    minus its persist+count probe action). The union reorders rows;
-    seq/ord carry the semantics. Known cost: per-branch column
-    pruning canonicalizes the branches' scans differently, so
-    ReuseExchange does NOT kick in (measured: 2 scans) — each branch
-    re-reads the source, a bounded linear cost that callers keep
-    small by staging heavy bursts FIRST (nothing expensive below the
-    union); a shared-scan form is the identified follow-up if a
-    profile ever shows the double read mattering."""
+    returns (df, value_col, err_col_or_None, owned) — ``owned`` False
+    when the column was REUSED from an armed _PATHS_HINT (the caller
+    must not drop it). paths/leaf_paths get the bounded-depth native
+    lane via a FILTER-UNION: one staged entries column per branch
+    (path + container + deeper-than-cap flags) feeds the route flag
+    AND the derived burst(s), so each branch runs ONE enumeration;
+    only provably-deep rows pass through the Arrow UDF, which sits
+    UNCONDITIONALLY in its own filtered branch — ExtractPythonUDFs
+    cannot pull a Python UDF out of a conditional branch (F.when-
+    gating it crashes with INTERNAL_ERROR at eval, r8 reproduced),
+    but a plain projection over a Filter extracts reliably (the r7
+    _stream_paths shape, minus its persist+count probe action). The
+    union reorders rows; seq/ord carry the semantics. Known cost:
+    per-branch column pruning canonicalizes the branches' scans
+    differently, so ReuseExchange does NOT kick in (measured: 2
+    scans) — each branch re-reads the source, a bounded linear cost
+    that callers keep small by staging heavy bursts FIRST (nothing
+    expensive below the union); the armed-hint fusion keeps it to
+    ONE union per dict however many pairs use paths."""
     if isinstance(node, ast.Builtin) and node.name in ("paths", "leaf_paths"):
         leaf = node.name == "leaf_paths"
-        udf = _paths_udf(leaf)
-        nat, needs = _paths_native_v(leaf)
-        nd, n = _fresh("pnd"), _fresh("pb")
-        flagged = df.withColumn(nd, F.coalesce(needs, F.lit(False)))
-        fast = flagged.where(~F.col(nd)).withColumn(n, nat)
-        slow = flagged.where(F.col(nd)).withColumn(
-            n, F.transform(udf(V.vjson(F.col("v"))), F.parse_json)
+        global _PATHS_HINT
+        hint = _PATHS_HINT
+        key = "leaf" if leaf else "all"
+        if hint is not None and hint.get(key) in df.columns:
+            return df, hint[key], None, False
+        both = hint is not None
+        ents = _paths_entries(F.col("v"), _RECURSE_NATIVE_DEPTH)
+        ec, nd = _fresh("pec"), _fresh("pnd")
+        flagged = df.withColumn(ec, ents).withColumn(
+            nd,
+            F.coalesce(
+                F.exists(F.col(ec), lambda s: s["dp"]), F.lit(False)
+            ),
         )
-        return fast.unionByName(slow).drop(nd), n, None
+
+        def derive_nat(lo: bool) -> Column:
+            src = (
+                F.filter(F.col(ec), lambda s: ~s["c"])
+                if lo
+                else F.col(ec)
+            )
+            return F.transform(src, lambda s: F.to_variant_object(s["p"]))
+
+        names = {key: _fresh("pb")}
+        if both:
+            other = "all" if leaf else "leaf"
+            names[other] = _fresh("pb")
+        fast = flagged.where(~F.col(nd)).withColumns(
+            {names[k]: derive_nat(k == "leaf") for k in names}
+        )
+        if both:
+            raw = _fresh("praw")
+            slow = flagged.where(F.col(nd)).withColumn(
+                raw, _paths_udf_flagged()(V.vjson(F.col("v")))
+            )
+            slow = slow.withColumns({
+                names[k]: F.transform(
+                    (
+                        F.filter(F.col(raw), lambda s: ~s["c"])
+                        if k == "leaf"
+                        else F.col(raw)
+                    ),
+                    lambda s: F.parse_json(s["j"]),
+                )
+                for k in names
+            }).drop(raw)
+        else:
+            slow = flagged.where(F.col(nd)).withColumn(
+                names[key],
+                F.transform(
+                    _paths_udf(leaf)(V.vjson(F.col("v"))), F.parse_json
+                ),
+            )
+        out = fast.unionByName(slow).drop(ec, nd)
+        if both:
+            hint.update(names)
+        return out, names[key], None, True
     ef = _elems_colfn(node)
     if ef is None:
         return None
@@ -5454,7 +5613,7 @@ def _stage_burst(
     if cv.err is not None:
         en = f"{n}e"
         cols[en] = cv.err
-    return df.withColumns(cols), n, en
+    return df.withColumns(cols), n, en, True
 
 
 # Column-expression cache for the depth-unrolled paths enumeration
@@ -5534,9 +5693,10 @@ def _stream_list_spliced(node: ast.ListCons) -> StreamFn | None:
             sb = _stage_burst(df, pl[1])
             if sb is None:  # defensive: stageable() said yes
                 raise NotImplementedError("burst staging failed")
-            df, n, en = sb
+            df, n, en, owned = sb
             staged[idx] = (n, en)
-            drops += [n] + ([en] if en else [])
+            if owned:
+                drops += [n] + ([en] if en else [])
         err = None
         drop = None
         segs: list[Column] = []
@@ -5696,32 +5856,56 @@ def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
                 # filter-union re-evaluates everything between the
                 # last exchange and the union once per branch, so
                 # it must run before the (expensive) scalar pairs
-                # stage — those then evaluate once, after the union
-                ents_fn = gen_entries
-                extra_drops: list[str] = []
-                val_node = pairs[mi].value
-                if isinstance(val_node, ast.Foreach) and _has_heavy_gen(
-                    val_node.source
-                ):
-                    sb = _stage_burst(work, val_node.source)
-                    if sb is not None:
-                        work, sn, sen = sb
-                        fe = _foreach_entries_col(
-                            val_node,
-                            src_cv=CV(
-                                F.col(sn), F.col(sen) if sen else None
-                            ),
+                # stage — those then evaluate once, after the union.
+                # When every paths use across the pairs is HEAD-
+                # positioned, arm the fused-burst hint so the whole
+                # dict shares ONE paths union (jq_paths: flat's
+                # leaf_paths reuses nkeys' enumeration for free).
+                global _PATHS_HINT
+                prev_hint = _PATHS_HINT
+                arm = any(
+                    _contains_paths(p.value) for p in pairs
+                ) and all(_paths_head_only(p.value) for p in pairs)
+                if arm:
+                    _PATHS_HINT = {}
+                try:
+                    ents_fn = gen_entries
+                    extra_drops: list[str] = []
+                    val_node = pairs[mi].value
+                    if isinstance(
+                        val_node, ast.Foreach
+                    ) and _has_heavy_gen(val_node.source):
+                        sb = _stage_burst(work, val_node.source)
+                        if sb is not None:
+                            work, sn, sen, owned = sb
+                            fe = _foreach_entries_col(
+                                val_node,
+                                src_cv=CV(
+                                    F.col(sn),
+                                    F.col(sen) if sen else None,
+                                ),
+                            )
+                            if fe is not None:
+                                ents_fn = fe
+                                if owned:
+                                    extra_drops = [sn] + (
+                                        [sen] if sen else []
+                                    )
+                    staged: dict[int, str] = {}
+                    for pi, pair in enumerate(pairs):
+                        if pi == mi:
+                            continue
+                        n = _fresh("dsc")
+                        work = _stage(work, pair.value, n)
+                        staged[pi] = n
+                    if arm and _PATHS_HINT:
+                        # fused columns created during this dict's
+                        # staging — drop them with everything else
+                        extra_drops = list(
+                            set(extra_drops) | set(_PATHS_HINT.values())
                         )
-                        if fe is not None:
-                            ents_fn = fe
-                            extra_drops = [sn] + ([sen] if sen else [])
-                staged: dict[int, str] = {}
-                for pi, pair in enumerate(pairs):
-                    if pi == mi:
-                        continue
-                    n = _fresh("dsc")
-                    work = _stage(work, pair.value, n)
-                    staged[pi] = n
+                finally:
+                    _PATHS_HINT = prev_hint
                 # stage the generator's ENTRIES burst as a real
                 # column and assemble the dict AFTER the fan-out: the
                 # Generate is a CollapseProject barrier, so the heavy

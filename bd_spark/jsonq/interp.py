@@ -739,6 +739,29 @@ def all_paths(v: object, leaf_only: bool = False) -> list[list]:
     return out
 
 
+def all_paths_flagged(v: object) -> list[tuple[list, bool]]:
+    """(path, is_container) for every path below the root — the
+    Arrow fallback's fused form: ONE walk serves both `paths`
+    (every entry) and `leaf_paths` (entries with is_container
+    False). Order/convention identical to all_paths."""
+    out: list[tuple[list, bool]] = []
+
+    def walk(x: object, prefix: list) -> None:
+        if isinstance(x, dict):
+            for k in sorted(x):
+                p = prefix + [k]
+                out.append((p, isinstance(x[k], (dict, list))))
+                walk(x[k], p)
+        elif isinstance(x, list):
+            for i, e in enumerate(x):
+                p = prefix + [i]
+                out.append((p, isinstance(e, (dict, list))))
+                walk(e, p)
+
+    walk(v, [])
+    return out
+
+
 def to_stream_events(v: object) -> list[list]:
     """jq `tostream` events (r8, closing COVERAGE.md's out-of-scope
     note; jq manual: "Outputs the streamed form of the input"), with

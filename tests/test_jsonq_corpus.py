@@ -819,3 +819,45 @@ def test_recurse_paths_depth_fallback_union(spark):
             for e in interp.run(parser.parse(q), _json.loads(d))
         ]
         assert sp == list(it), q
+
+
+def test_fused_paths_dict_matches_interp(spark):
+    """r8 fused-burst dict lane (_PATHS_HINT): a dict whose pairs use
+    paths/leaf_paths/foreach-over-paths in HEAD position shares ONE
+    staged enumeration union — values must equal the interp on
+    mixed-depth docs (shallow native lane, deep Arrow lane, scalars,
+    empties), and a NON-head paths (piped after a transform) must
+    not be fused (still correct)."""
+    import json as _json
+
+    from bd_spark.jsonq import interp, parser
+    from bd_spark.jsonq.runtime import JsonQ
+
+    docs = [
+        '{"a": {"b": [1, {"c": 2}]}, "d": 3}',
+        "[]", "{}", "5", "null",
+        '[[[["deep", {"x": [7]}]]]]',
+        '{"k": 1}',
+        '{"z": [[], {}], "y": {"w": []}}',
+    ]
+    jq = JsonQ(spark)
+    queries = [
+        # fused: every paths head-positioned
+        '{p: [paths], l: [leaf_paths], n: (foreach paths as $x (0; . + 1))}',
+        '{flat: ([leaf_paths | join("-")] | length),'
+        " nk: (foreach paths as $p (0; . + 1))}",
+        # NOT fused (paths after a pipe stage) — correctness only
+        '{q: ([{w: .} | paths] | length), n: (foreach paths as $x (0; . + 1))}',
+    ]
+    for q in queries:
+        sp = jq.run_texts(q, docs)
+        it = [
+            e
+            for d in docs
+            for e in interp.run(parser.parse(q), _json.loads(d))
+        ]
+        assert len(sp) == len(it), q
+        for (sv, se), (iv, ie) in zip(sp, it):
+            assert (se is None) == (ie is None), (q, se, ie)
+            if se is None:
+                assert sv == iv, (q, sv, iv)
