@@ -57,6 +57,7 @@ HEAVY = [
     "jq_overloads",             # let-bound array diff (r7)
     "jq_paths",                 # static-path lanes + lean dict (r7)
     "jq_interp_recurse",        # whole-query Arrow interp tier (r7)
+    "jq_tostream",              # stream-event round-trip, interp tier (r8)
 ]
 
 
