@@ -59,14 +59,33 @@ def vtype(v: Column) -> Column:
     big ints (int tower, json.rs:473) and DECIMAL(p,s>0)/DOUBLE for
     anything with . or eE (float tower, json.rs:474).
     """
-    st = F.schema_of_variant(v)
+    # Containers FIRST via try-casts: schema_of_variant SERIALIZES
+    # the value's whole subtree schema, and the old ordering made
+    # containers the fallthrough — every object/array dispatch built
+    # that string and string-compared it seven times (r8: a single
+    # setpath query's optimized plan carried 905 vtype expansions).
+    # A try-cast is an O(children) header check, and CASE evaluates
+    # lazily, so scalars never pay the casts' work beyond a type tag
+    # probe and containers never pay schema_of_variant at all.
+    st = F.schema_of_variant(v)  # reached only for scalars (cheap)
     return (
         F.when(v.isNull(), F.lit(None).cast("string"))
+        .when(
+            F.try_variant_get(v, "$", "map<string,variant>").isNotNull(),
+            "object",
+        )
+        .when(
+            F.try_variant_get(v, "$", "array<variant>").isNotNull(),
+            "array",
+        )
         .when(st == "VOID", "null")
         .when(st == "BOOLEAN", "bool")
         .when((st == "BIGINT") | st.rlike(r"^DECIMAL\(\d+,0\)$"), "int")
         .when((st == "DOUBLE") | (st == "FLOAT") | st.startswith("DECIMAL"), "float")
         .when(st == "STRING", "string")
+        # defensively unreachable (containers matched above) — keep
+        # the old tail so any cast/schema disagreement degrades to
+        # the previous behavior rather than a wrong scalar tag
         .when(st.startswith("ARRAY"), "array")
         .otherwise("object")
     )
