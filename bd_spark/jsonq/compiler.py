@@ -3053,6 +3053,13 @@ def _elems_colfn(node: ast.Node) -> ColFn | None:
             # generator tree appears at most twice in the output CV.
             if is_multivalued(node.right):
                 return None
+            if _contains_paths(node.right):
+                # mirrors the scalar-left guard below: a paths-bearing
+                # right side embeds the Arrow UDF inside fn_genpipe's
+                # F.transform lambda (UNSUPPORTED_FEATURE.
+                # LAMBDA_FUNCTION_WITH_PYTHON_UDF) — route back
+                # through the stream tier
+                return None
             lef = _elems_colfn(node.left)
             rpf = compile_packed(node.right) if lef is not None else None
             if rpf is None:
@@ -5465,8 +5472,19 @@ def _stream_binary_zip(node: ast.Binary) -> StreamFn:
 # and records the column names; later paths stagings reuse the
 # columns with ZERO extra work — one union, one Arrow stage, two
 # enumerations total instead of stacked unions whose branches
-# re-execute each other multiplicatively.
-_PATHS_HINT: dict | None = None
+# re-execute each other multiplicatively.  Thread-LOCAL (plans are
+# built concurrently — compiler._ENV is thread-local for the same
+# reason): a module global would let one thread's armed dict leak
+# staged column names into another thread's plan.
+_PATHS_HINT_TLS = _threading.local()
+
+
+def _paths_hint() -> dict | None:
+    return getattr(_PATHS_HINT_TLS, "hint", None)
+
+
+def _set_paths_hint(h: dict | None) -> None:
+    _PATHS_HINT_TLS.hint = h
 
 
 def _contains_paths(node: ast.Node) -> bool:
@@ -5546,8 +5564,7 @@ def _stage_burst(
     ONE union per dict however many pairs use paths."""
     if isinstance(node, ast.Builtin) and node.name in ("paths", "leaf_paths"):
         leaf = node.name == "leaf_paths"
-        global _PATHS_HINT
-        hint = _PATHS_HINT
+        hint = _paths_hint()
         key = "leaf" if leaf else "all"
         if hint is not None and hint.get(key) in df.columns:
             return df, hint[key], None, False
@@ -5668,8 +5685,14 @@ def _stream_list_spliced(node: ast.ListCons) -> StreamFn | None:
         ):
             # stage the LEFT burst; map the scalar right side over
             # the staged column (cheap refs) instead of the genpipe
-            # splice's inlined tree
-            rpf = compile_packed(i.right)
+            # splice's inlined tree.  A paths-bearing right side
+            # would put the Arrow UDF inside the transform lambda
+            # (unsupported) — let it fall through to the stream tier.
+            rpf = (
+                compile_packed(i.right)
+                if not _contains_paths(i.right)
+                else None
+            )
             if stageable(i.left) and rpf is not None:
                 plans.append(("genpipe", i.left, rpf))
                 continue
@@ -5861,13 +5884,13 @@ def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
                 # positioned, arm the fused-burst hint so the whole
                 # dict shares ONE paths union (jq_paths: flat's
                 # leaf_paths reuses nkeys' enumeration for free).
-                global _PATHS_HINT
-                prev_hint = _PATHS_HINT
+                prev_hint = _paths_hint()
                 arm = any(
                     _contains_paths(p.value) for p in pairs
                 ) and all(_paths_head_only(p.value) for p in pairs)
+                armed_hint: dict = {}
                 if arm:
-                    _PATHS_HINT = {}
+                    _set_paths_hint(armed_hint)
                 try:
                     ents_fn = gen_entries
                     extra_drops: list[str] = []
@@ -5898,14 +5921,14 @@ def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
                         n = _fresh("dsc")
                         work = _stage(work, pair.value, n)
                         staged[pi] = n
-                    if arm and _PATHS_HINT:
+                    if arm and armed_hint:
                         # fused columns created during this dict's
                         # staging — drop them with everything else
                         extra_drops = list(
-                            set(extra_drops) | set(_PATHS_HINT.values())
+                            set(extra_drops) | set(armed_hint.values())
                         )
                 finally:
-                    _PATHS_HINT = prev_hint
+                    _set_paths_hint(prev_hint)
                 # stage the generator's ENTRIES burst as a real
                 # column and assemble the dict AFTER the fan-out: the
                 # Generate is a CollapseProject barrier, so the heavy

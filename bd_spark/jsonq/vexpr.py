@@ -52,43 +52,69 @@ def vparse(text: Column) -> Column:
 
 
 # ---------------------------------------------------------------- types
-def vtype(v: Column) -> Column:
-    """Doctype tag: null|bool|int|float|string|array|object.
+def vlet(x: Column, fn) -> Column:
+    """Expression-level `let`: bind x ONCE, fn sees a leaf lambda
+    var. transform(array(x), fn)[0] is NOT rewritten by the
+    optimizer (verified: one SchemaOfVariant in the optimized plan
+    vs one per reference without it), so a subtree referenced k
+    times inside fn costs one copy in the plan and one evaluation
+    per row instead of k."""
+    return F.transform(F.array(x), fn)[0]
 
-    Numbers: parse_json yields BIGINT for small ints, DECIMAL(p,0) for
-    big ints (int tower, json.rs:473) and DECIMAL(p,s>0)/DOUBLE for
-    anything with . or eE (float tower, json.rs:474).
-    """
-    # Containers FIRST via try-casts: schema_of_variant SERIALIZES
-    # the value's whole subtree schema, and the old ordering made
-    # containers the fallthrough — every object/array dispatch built
-    # that string and string-compared it seven times (r8: a single
-    # setpath query's optimized plan carried 905 vtype expansions).
-    # A try-cast is an O(children) header check, and CASE evaluates
-    # lazily, so scalars never pay the casts' work beyond a type tag
-    # probe and containers never pay schema_of_variant at all.
-    st = F.schema_of_variant(v)  # reached only for scalars (cheap)
+
+def _tag_of_schema(st: Column) -> Column:
+    """Type tag from a schema_of_variant string. st MUST be leaf-
+    cheap (a vlet-bound lambda var): it is referenced 8×."""
     return (
-        F.when(v.isNull(), F.lit(None).cast("string"))
-        .when(
-            F.try_variant_get(v, "$", "map<string,variant>").isNotNull(),
-            "object",
-        )
-        .when(
-            F.try_variant_get(v, "$", "array<variant>").isNotNull(),
-            "array",
-        )
+        # schema_of_variant(NULL) is NULL — covers the v-is-SQL-NULL
+        # case without a second reference to v
+        F.when(st.isNull(), F.lit(None).cast("string"))
         .when(st == "VOID", "null")
         .when(st == "BOOLEAN", "bool")
         .when((st == "BIGINT") | st.rlike(r"^DECIMAL\(\d+,0\)$"), "int")
         .when((st == "DOUBLE") | (st == "FLOAT") | st.startswith("DECIMAL"), "float")
         .when(st == "STRING", "string")
-        # defensively unreachable (containers matched above) — keep
-        # the old tail so any cast/schema disagreement degrades to
-        # the previous behavior rather than a wrong scalar tag
         .when(st.startswith("ARRAY"), "array")
         .otherwise("object")
     )
+
+
+def vtype(v: Column, shape: str | None = None) -> Column:
+    """Doctype tag: null|bool|int|float|string|array|object.
+
+    Numbers: parse_json yields BIGINT for small ints, DECIMAL(p,0) for
+    big ints (int tower, json.rs:473) and DECIMAL(p,s>0)/DOUBLE for
+    anything with . or eE (float tower, json.rs:474).
+
+    Plan-size discipline (r9, VERDICT r8 wrong #3): the whole
+    dispatch is let-bound — v appears ONCE and the schema string
+    appears ONCE in the expression tree, so nested dispatches grow
+    linearly instead of ~9^depth (r8 measured 905 schema_of_variant
+    expansions in one setpath plan; the r8 "fix" — container-first
+    try-casts — halved container cost but made every scalar dispatch
+    pay two failed casts per row: jq_formats 3.9→10.6 s).
+
+    shape="container": compile-time knowledge that v is (almost
+    always) an object/array — probe the container casts first so the
+    row never pays schema_of_variant's subtree serialization.
+    Default (scalar or unknown): schema_of_variant first, the r7
+    ordering that benched fastest on scalar-heavy dispatch.
+    """
+    if shape == "container":
+        return vlet(
+            v,
+            lambda vv: F.when(vv.isNull(), F.lit(None).cast("string"))
+            .when(
+                F.try_variant_get(vv, "$", "map<string,variant>").isNotNull(),
+                "object",
+            )
+            .when(
+                F.try_variant_get(vv, "$", "array<variant>").isNotNull(),
+                "array",
+            )
+            .otherwise(vlet(F.schema_of_variant(vv), _tag_of_schema)),
+        )
+    return vlet(F.schema_of_variant(v), _tag_of_schema)
 
 
 def is_number(t: Column) -> Column:
@@ -186,22 +212,42 @@ def vjson(v: Column) -> Column:
     jq_canonical_floats depth-2 hash oracle). A top-level DOUBLE gets
     E0 appended directly; a container whose text carries a candidate
     integral-double literal goes through the string-safe retag pass.
-    Everything else passes through to_json unchanged."""
-    j = F.to_json(v)
-    st = F.schema_of_variant(v)
-    return (
-        F.when(
-            ((st == "DOUBLE") | (st == "FLOAT"))
-            & ~j.contains("E") & ~j.contains("e"),
-            F.concat(j, F.lit("E0")),
+    Everything else passes through to_json unchanged.
+
+    Let-bound (r9): j is referenced 5× and st 3× below; without the
+    binding every reference re-embeds the whole v subtree (to_json +
+    schema_of_variant of it) in the plan — one of the multipliers
+    behind r8's 905-expansion setpath plan. BOTH are bound in ONE
+    struct lambda, never nested lambdas: a conditional inside a
+    nested lambda that references an OUTER lambda's variable defeats
+    ExtractPythonUDFs — any Python UDF taking such an expression as
+    an argument is silently left unextracted and dies at runtime
+    with INTERNAL_ERROR "Cannot evaluate expression" (probed r9; own
+    -var conditionals and lambda-free nesting are fine)."""
+
+    def body(j: Column, st: Column) -> Column:
+        return (
+            F.when(
+                ((st == "DOUBLE") | (st == "FLOAT"))
+                & ~j.contains("E") & ~j.contains("e"),
+                F.concat(j, F.lit("E0")),
+            )
+            .when(
+                (
+                    st.startswith("ARRAY")
+                    | st.startswith("OBJECT")
+                    | st.startswith("STRUCT")
+                )
+                & j.rlike(r"\d\.0([,\]}]|$)"),
+                _retag_nested_doubles(j),
+            )
+            .otherwise(j)
         )
-        .when(
-            (st.startswith("ARRAY") | st.startswith("OBJECT") | st.startswith("STRUCT"))
-            & j.rlike(r"\d\.0([,\]}]|$)"),
-            _retag_nested_doubles(j),
-        )
-        .otherwise(j)
+
+    pair = F.struct(
+        F.to_json(v).alias("j"), F.schema_of_variant(v).alias("st")
     )
+    return vlet(pair, lambda p: body(p["j"], p["st"]))
 
 
 def json_quote(s: Column) -> Column:

@@ -38,13 +38,31 @@ def write_bucketed(df: DataFrame, name: str, keys: list[str],
     mode("overwrite") only replaces a table the METASTORE knows about;
     a killed writer can leave `spark-warehouse/<name>` on disk with no
     metastore entry, and the next saveAsTable throws
-    LOCATION_ALREADY_EXISTS. Drop any stale entry and clear the
-    default location first.
+    LOCATION_ALREADY_EXISTS. Drop any stale entry, then clear the
+    default MANAGED location only on that specific failure (r9,
+    ADVICE r8: an unconditional rmtree could delete data an EXTERNAL
+    table deliberately left behind, and a qualified/path-shaped name
+    could resolve outside the warehouse) — and only for a plain
+    unqualified identifier.
     """
+    import re
     import shutil
+
+    from pyspark.errors import PySparkException
 
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *keys)
+    w = w.sortBy(*(sort_by or keys))
+    try:
+        w.format("parquet").saveAsTable(name)
+        return
+    except PySparkException as ex:  # SparkRuntimeException in 4.x
+        if "LOCATION_ALREADY_EXISTS" not in str(ex) or not re.fullmatch(
+            r"[A-Za-z0-9_]+", name
+        ):
+            raise
+    # orphaned managed dir: clear it and retry once
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     if warehouse and warehouse.startswith("file:"):
         warehouse = warehouse[len("file:"):]
@@ -52,8 +70,6 @@ def write_bucketed(df: DataFrame, name: str, keys: list[str],
         shutil.rmtree(
             os.path.join(warehouse, name.lower()), ignore_errors=True
         )
-    w = df.write.mode("overwrite").bucketBy(num_buckets, *keys)
-    w = w.sortBy(*(sort_by or keys))
     w.format("parquet").saveAsTable(name)
 
 

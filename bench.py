@@ -51,21 +51,36 @@ def _force(df: DataFrame) -> None:
 
     cast-to-string covers all output types the queries produce
     (numeric, string, array, struct, map, variant-as-json, binary);
-    concat_ws + length + max reduces to a single driver-side long, so
-    nothing but the aggregate crosses the JVM boundary. Referencing
-    every column defeats Catalyst's column pruning — this is the
-    "materialize the result" cost a user actually pays.
+    xxhash64 over the cast columns reduces each row to one long
+    in-place — no giant concatenated string is ever assembled (the
+    old max(length(concat_ws(...))) sink taxed every long-string row:
+    VERDICT r7 ask #2 / r8 ask #4) — and max reduces to a single
+    driver-side long, so nothing but the aggregate crosses the JVM
+    boundary. Referencing every column defeats Catalyst's column
+    pruning — this is the "materialize the result" cost a user
+    actually pays.
     """
     cols = [F.col(c).cast("string") for c in df.columns]
-    df.select(
-        F.max(F.length(F.concat_ws("\x00", *cols))).alias("__force")
-    ).collect()
+    df.select(F.max(F.xxhash64(*cols)).alias("__force")).collect()
+
+
+# Sentinel bands (sf0.1 warm, sec): cheap queries whose code rarely
+# changes; a warm time out of band means the window was CONTAMINATED
+# (concurrent CPU load) and the record must not be cited as the
+# round's truth (VERDICT r8 wrong #1 — a noisy-window record was
+# committed claiming a 37% improvement that was actually negative).
+_SENTINELS_SF01 = {
+    "q1_pricing_summary": 1.0,
+    "q6_forecast_revenue": 0.8,
+    "pipe_dedup_exact": 0.8,
+}
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    load_start = os.getloadavg()[0]
     spark = get_spark("bd_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -99,6 +114,17 @@ def main() -> None:
         timings[name] = round(best, 3)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
+    # contamination check: sentinel warm floors out of band mean the
+    # whole record is suspect — mark it rather than ship it as truth
+    contaminated = False
+    sentinels: dict[str, dict] = {}
+    if sf == "0.1":
+        for n, bound in _SENTINELS_SF01.items():
+            got = timings.get(n, -1.0)
+            ok = 0 <= got <= bound
+            sentinels[n] = {"warm": got, "max": bound, "ok": ok}
+            contaminated = contaminated or not ok
+
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -107,6 +133,10 @@ def main() -> None:
         "queries_cold": cold,
         "sf": sf,
         "runs": runs,
+        "load_start": round(load_start, 2),
+        "load_end": round(os.getloadavg()[0], 2),
+        "sentinels": sentinels,
+        "contaminated": contaminated,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_results.json"), "w") as fh:
@@ -120,14 +150,23 @@ def main() -> None:
     print(json.dumps({"queries_extra": extra_warm}, **compact))
     # LAST line: the driver-parsed record — gate warm timings only,
     # 2-decimal, compact — must stay well under the ~2000-char tail
-    line = json.dumps({
+    if contaminated:
+        print(
+            f"# WARNING: sentinel(s) out of band {sentinels} — window "
+            "contaminated; do not cite this record",
+            file=sys.stderr,
+        )
+    last = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": {n: round(timings[n], 2) for n in gate},
         "sf": sf,
         "file": "bench_results.json",
-    }, **compact)
+    }
+    if contaminated:
+        last["contaminated"] = True
+    line = json.dumps(last, **compact)
     if len(line) > 1900:  # hard driver-contract guard
         line = json.dumps({
             "metric": "headline_queries_total",

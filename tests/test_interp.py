@@ -248,7 +248,9 @@ def test_fromstream_round_trip_and_errors(spark):
     after each emission) — and malformed events are in-band errors.
     The Spark tier routes these programs through the interp tier
     (InterpOnly), so the engine differential is the same machine; the
-    driver-gate jq_tostream query pins it against DuckDB."""
+    EXTRA-registered jq_tostream query pins it against DuckDB via
+    tests/test_extra_oracle.py (the driver's CORRECTNESS record only
+    covers the 50 GATE queries — ADVICE r8)."""
     import json
     import random
 

@@ -861,3 +861,43 @@ def test_fused_paths_dict_matches_interp(spark):
             assert (se is None) == (ie is None), (q, se, ie)
             if se is None:
                 assert sv == iv, (q, sv, iv)
+
+
+def test_generator_pipe_paths_right_side(spark):
+    """Regression (r9, ADVICE r8 high): GENERATOR | scalar-op splice
+    must NOT embed a paths Arrow UDF inside its transform lambda —
+    `[.xs[] | [paths]]` and `{p: (.xs[] | [leaf_paths])}` raised
+    AnalysisException UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_
+    PYTHON_UDF at r8 HEAD. The splice (and _stream_list_spliced's
+    genpipe plan) now route paths-bearing right sides back through
+    the stream tier; values must equal the interp."""
+    import json as _json
+
+    from bd_spark.jsonq import interp, parser
+    from bd_spark.jsonq.runtime import JsonQ
+
+    docs = [
+        '{"xs": [{"a": 1}, {"b": {"c": 2}}]}',
+        '{"xs": []}',
+        '{"xs": [5, null, []]}',
+        '{"xs": [[[["deep", {"x": [7]}]]]]}',
+    ]
+    jq = JsonQ(spark)
+    queries = [
+        "[.xs[] | [paths]]",
+        "{p: (.xs[] | [leaf_paths])}",
+        ".xs[] | [paths]",
+        "[.xs[] | [paths] | length]",
+    ]
+    for q in queries:
+        sp = jq.run_texts(q, docs)
+        it = [
+            e
+            for d in docs
+            for e in interp.run(parser.parse(q), _json.loads(d))
+        ]
+        assert len(sp) == len(it), q
+        for (sv, se), (iv, ie) in zip(sp, it):
+            assert (se is None) == (ie is None), (q, se, ie)
+            if se is None:
+                assert sv == iv, (q, sv, iv)

@@ -317,9 +317,7 @@ def test_bench_force_evaluates_every_column(spark):
         F.array(F.col("id")).alias("arr_val"),
     )
     cols = [F.col(c).cast("string") for c in df.columns]
-    forced = df.select(
-        F.max(F.length(F.concat_ws("\x00", *cols))).alias("__force")
-    )
+    forced = df.select(F.max(F.xxhash64(*cols)).alias("__force"))
     plan = forced._jdf.queryExecution().optimizedPlan().toString()
     # every projection expression survives (sha2 would be pruned by a
     # count); count()'s plan keeps none of them
@@ -355,3 +353,34 @@ def test_literal_path_program_all_native(spark, sf_dir):
     assert "MapInPandas" not in plan and "mapInPandas" not in plan
     assert "Join" not in plan
     assert "hashpartitioning(" not in plan
+
+
+def test_vexpr_primitives_are_udf_arg_safe(spark):
+    """Regression (r9): a Python UDF whose ARGUMENT contains a
+    conditional inside a nested lambda referencing an OUTER lambda's
+    variable is silently skipped by ExtractPythonUDFs and dies at
+    runtime with INTERNAL_ERROR 'Cannot evaluate expression'. The
+    vexpr primitives (vtype/vjson) are let-bound via vlet lambdas and
+    routinely feed pandas UDFs (_SETPATH_UDF, _paths_udf, _DELPATH_
+    UDF), so they must stay extraction-safe: assert the UDF lands in
+    an ArrowEvalPython/BatchEvalPython node and executes."""
+    from pyspark.sql import functions as F
+
+    from bd_spark.jsonq import vexpr as V
+
+    df = spark.range(3).select(
+        F.parse_json(
+            F.concat(F.lit('{"a":'), F.col("id").cast("string"), F.lit("}"))
+        ).alias("v")
+    )
+
+    @F.pandas_udf("string")
+    def _probe(col):  # pragma: no cover - trivial passthrough
+        return col
+
+    for arg in (V.vjson(F.col("v")), V.vtype(F.col("v")),
+                V.vtype(F.col("v"), shape="container")):
+        out = df.select(_probe(arg).alias("r"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" in plan, plan[:400]
+        assert len(out.collect()) == 3
