@@ -869,6 +869,13 @@ def _binary_value(
     op: str, a: Column, b: Column,
     lk: str | None = None, rk: str | None = None,
 ) -> Column:
+    # NOT let-bound (r9, measured): zip_with-binding both operands
+    # halves per-level operand duplication but hides literal operand
+    # types behind opaque lambda vars, so Catalyst can no longer
+    # constant-fold vtype(literal) and prune dead overload branches —
+    # the probe plan GREW 21->26 KB / 16->29 schema_of_variant. The
+    # packed tier already hands leaf-cheap operands (compile_packed
+    # invariant), so the duplication this would fix is mostly gone.
     ta, tb = V.vtype(a), V.vtype(b)
     bothint = (ta == "int") & (tb == "int")
     bothnum = V.is_number(ta) & V.is_number(tb)
