@@ -746,3 +746,164 @@ def substring_dup_stats(
         F.round(F.col("n_dup") / F.col("n_windows"), 6).alias("dup_frac"),
         (F.col("n_dup") * 2 > F.col("n_windows")).alias("flagged"),
     )
+
+
+def build_dedup_index(df: DataFrame, id_col: str, text_col: str,
+                      block_cols: list[str], n: int = 5) -> DataFrame:
+    """Per-doc dedup FINGERPRINT INDEX: (id, *blocks, content_hash,
+    ghash) — the only state a future ingestion batch needs to dedup
+    against this corpus. ~50 bytes + 8 B/distinct-gram per doc, vs
+    re-reading corpus text: at 100 TB the index is ~1-2% of corpus
+    bytes, bucket-written once (operators.bucketing / sources.store)
+    and reused by every incremental_dedup call.
+
+    Gram-frequency state is deliberately NOT materialized here:
+    incremental_dedup re-derives per-block document frequencies from
+    the index itself (one groupBy over exploded hashes), so the index
+    stays one self-contained table and never goes stale against its
+    own prefix ordering."""
+    return rebalance(df).select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.md5(F.col(text_col)).alias("content_hash"),
+        F.array_distinct(
+            F.transform(
+                F.array_distinct(char_ngrams(F.col(text_col), n)), h31
+            )
+        ).alias("ghash"),
+    )
+
+
+def incremental_dedup(new_df: DataFrame, index: DataFrame, id_col: str,
+                      text_col: str, block_cols: list[str], n: int = 5,
+                      threshold: float = 0.6) -> DataFrame:
+    """Dedup an incoming shard AGAINST an existing fingerprint index
+    (build_dedup_index) without re-reading any corpus text — the
+    ingestion-time shape of dedup at 100 TB, where the corpus is
+    append-only and each new batch is a tiny fraction of it.
+
+    One row per NEW doc:
+      (id, dup_exact, exact_src, near_src, jaccard)
+    - dup_exact / exact_src: content-hash match anywhere in the index
+      (blocks ignored, like exact_dedup); min corpus id.
+    - near_src / jaccard: best hashed-gram-Jaccard >= threshold match
+      within (block_cols) blocks — max rounded jaccard, ties to min
+      corpus id; NULL when no index doc qualifies.
+
+    Scale shape: the shard side is small by construction, so its
+    exploded prefix broadcasts; the index side is touched twice (df
+    re-derivation + prefix scan), both single map-side-combinable
+    shuffles on uniform (block, gram-hash) keys. Candidate
+    generation uses the same lossless PPJoin prefix + All-Pairs size
+    + positional filters as ngram_jaccard_pairs, under the INDEX's
+    (df, gh) total order — a shard gram unseen in the corpus sorts
+    first (df 0), which only widens the shard prefix, never drops a
+    qualifying pair (the minimum SHARED gram still ranks inside both
+    prefixes)."""
+    newi = build_dedup_index(new_df, id_col, text_col, block_cols, n).persist()
+    newi.count()  # one deliberate action: materialize before fan-out
+    ex = (
+        newi.select("id", "content_hash")
+        .join(
+            index.select(
+                F.col("id").alias("exact_src"), "content_hash"
+            ),
+            "content_hash",
+        )
+        .groupBy("id")
+        .agg(F.min("exact_src").alias("exact_src"))
+    )
+    # per-block gram document frequency, derived from the index
+    freq = (
+        index.select(*block_cols, F.explode("ghash").alias("gh"))
+        .groupBy(*block_cols, "gh")
+        .agg(F.count("*").alias("df_"))
+    )
+    w = Window.partitionBy("id").orderBy("df_", "gh")
+    prefix_len = (
+        F.col("nh") - F.ceil(F.lit(threshold) * F.col("nh")).cast("long") + 1
+    )
+
+    def prefix_of(side: DataFrame, seen_only: bool) -> DataFrame:
+        e = side.select(
+            "id", *block_cols,
+            F.size("ghash").alias("nh"),
+            F.explode("ghash").alias("gh"),
+        )
+        if seen_only:
+            j = e.join(freq, [*block_cols, "gh"])
+        else:
+            # shard grams unseen in the corpus get df 0: rarest-first
+            j = e.join(freq, [*block_cols, "gh"], "left").withColumn(
+                "df_", F.coalesce(F.col("df_"), F.lit(0))
+            )
+        return (
+            j.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= prefix_len)
+            .select("id", *block_cols, "gh", "nh", "rk")
+        )
+
+    pa = prefix_of(newi, seen_only=False).alias("pa")
+    pb = prefix_of(index, seen_only=True).alias("pb")
+    cond = F.col("pa.gh") == F.col("pb.gh")
+    for c in block_cols:
+        cond = cond & (F.col(f"pa.{c}") == F.col(f"pb.{c}"))
+    # All-Pairs size filter + PPJoin positional filter — identical
+    # bounds to ngram_jaccard_pairs (lossless for the threshold)
+    cond = cond & (
+        F.least(F.col("pa.nh"), F.col("pb.nh"))
+        >= F.lit(threshold) * F.greatest(F.col("pa.nh"), F.col("pb.nh"))
+    )
+    cond = cond & (
+        1 + F.least(
+            F.col("pa.nh") - F.col("pa.rk"), F.col("pb.nh") - F.col("pb.rk")
+        )
+        >= F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("pa.nh") + F.col("pb.nh")) - F.lit(1e-9)
+        )
+    )
+    cand = (
+        pa.join(pb, cond)
+        .select(F.col("pa.id").alias("id"), F.col("pb.id").alias("src"))
+        .distinct()
+    )
+    ga = newi.select(F.col("id"), F.col("ghash").alias("grams_a"))
+    gb = index.select(F.col("id").alias("src"), F.col("ghash").alias("grams_b"))
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    jacc = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    verified = (
+        cand.join(ga, "id")
+        .join(gb, "src")
+        .select("id", "src", F.round(jacc, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    # best match: max rounded jaccard, ties -> min corpus id
+    best = (
+        verified.groupBy("id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard"), (-F.col("src")).alias("negsrc")
+                )
+            ).alias("m")
+        )
+        .select(
+            "id",
+            (-F.col("m.negsrc")).alias("near_src"),
+            F.col("m.jaccard").alias("jaccard"),
+        )
+    )
+    return (
+        newi.select("id")
+        .join(ex, "id", "left")
+        .join(best, "id", "left")
+        .select(
+            "id",
+            F.col("exact_src").isNotNull().alias("dup_exact"),
+            "exact_src",
+            "near_src",
+            "jaccard",
+        )
+    )

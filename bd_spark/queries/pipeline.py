@@ -178,6 +178,77 @@ SELECT id_a, id_b, jaccard FROM (
 """
 
 
+def pipe_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time cross-shard dedup (r9): docs with doc_id % 5 ==
+    0 arrive as the NEW shard; the rest are the already-ingested
+    corpus, represented ONLY by its fingerprint index
+    (build_dedup_index: content hash + hashed 5-gram set per doc).
+    Each new doc is flagged exact-dup (hash match anywhere) and/or
+    near-dup (best gram-Jaccard >= 0.6 within (lang, len-bucket)
+    blocks) without re-reading corpus text — the append-only corpus
+    shape where every batch is a tiny fraction of 100 TB and a full
+    re-dedup per batch is unaffordable. Prefix/size/positional
+    filters are the lossless PPJoin family (ngram_jaccard_pairs)."""
+    docs = table(spark, "documents", sf_dir).withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 100)
+    )
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    shard = docs.where(F.col("doc_id") % 5 == 0)
+    idx = dedup.build_dedup_index(
+        corpus, "doc_id", "text", ["lang", "len_bucket"], n=5
+    )
+    return dedup.incremental_dedup(
+        shard, idx, "doc_id", "text", ["lang", "len_bucket"],
+        n=5, threshold=0.6,
+    )
+
+
+PIPE_DEDUP_INCREMENTAL_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+         md5(text) AS content_hash,
+         list_distinct([{_h31('x')} for x in
+           list_distinct([substr(s, i+1, 5)
+                          for i in range(greatest(length(s) - 4, 0))])]) AS grams
+  FROM (SELECT doc_id, lang, n_chars, text, lower(trim(text)) AS s
+        FROM documents)
+), corpus AS (
+  SELECT * FROM base WHERE doc_id % 5 <> 0
+), shard AS (
+  SELECT * FROM base WHERE doc_id % 5 = 0
+), ex AS (
+  SELECT s.doc_id AS id, min(c.doc_id) AS exact_src
+  FROM shard s JOIN corpus c USING (content_hash)
+  GROUP BY s.doc_id
+), near AS (
+  SELECT id, near_src, jaccard FROM (
+    SELECT s.doc_id AS id, c.doc_id AS near_src,
+           round(CAST(len(list_intersect(s.grams, c.grams)) AS DOUBLE)
+                 / (len(s.grams) + len(c.grams)
+                    - len(list_intersect(s.grams, c.grams))), 6) AS jaccard,
+           row_number() OVER (
+             PARTITION BY s.doc_id
+             ORDER BY round(CAST(len(list_intersect(s.grams, c.grams)) AS DOUBLE)
+                            / (len(s.grams) + len(c.grams)
+                               - len(list_intersect(s.grams, c.grams))), 6)
+                      DESC, c.doc_id ASC
+           ) AS rn
+    FROM shard s JOIN corpus c
+      ON s.lang = c.lang AND s.len_bucket = c.len_bucket
+     AND len(s.grams) + len(c.grams) > 0
+  ) WHERE rn = 1 AND jaccard >= 0.6
+)
+SELECT s.doc_id AS id,
+       ex.exact_src IS NOT NULL AS dup_exact,
+       ex.exact_src AS exact_src,
+       near.near_src AS near_src,
+       near.jaccard AS jaccard
+FROM shard s
+LEFT JOIN ex ON ex.id = s.doc_id
+LEFT JOIN near ON near.id = s.doc_id
+"""
+
+
 def pipe_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components by
     alternating star contraction (Kiveris et al.) over the
@@ -1997,6 +2068,7 @@ QUERIES = {
     "pipe_dedup_simhash": pipe_dedup_simhash,
     "pipe_dedup_ngram": pipe_dedup_ngram,
     "pipe_dedup_clusters": pipe_dedup_clusters,
+    "pipe_dedup_incremental": pipe_dedup_incremental,
     "pipe_embed_neardup": pipe_embed_neardup,
     "pipe_embed_centroids": pipe_embed_centroids,
     "pipe_ann_topk": pipe_ann_topk,
@@ -2041,6 +2113,7 @@ ORACLES = {
     "pipe_dedup_simhash": PIPE_DEDUP_SIMHASH_SQL,
     "pipe_dedup_ngram": PIPE_DEDUP_NGRAM_SQL,
     "pipe_dedup_clusters": PIPE_DEDUP_CLUSTERS_SQL,
+    "pipe_dedup_incremental": PIPE_DEDUP_INCREMENTAL_SQL,
     "pipe_embed_neardup": PIPE_EMBED_NEARDUP_SQL,
     "pipe_embed_centroids": PIPE_EMBED_CENTROIDS_SQL,
     "pipe_ann_topk": PIPE_ANN_TOPK_SQL,

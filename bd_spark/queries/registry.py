@@ -177,6 +177,7 @@ EXTRA = [
     "jq_interp_recurse",       # whole-query Arrow interp tier (recursion)
     "q_stream_dedup_watermarked",  # watermark-BOUNDED dedup (state evicts)
     "jq_tostream",             # tostream/fromstream event round-trip (r8)
+    "pipe_dedup_incremental",  # cross-shard dedup vs fingerprint index (r9)
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

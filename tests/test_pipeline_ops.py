@@ -981,3 +981,87 @@ def test_multimodal_oracles_non_ascii(spark, tmp_path):
         )
         assert sh == oh, f"{name}: spark {sh} != oracle {oh}"
     con.close()
+
+
+def test_incremental_dedup_flags_and_losslessness(spark):
+    """build_dedup_index + incremental_dedup (r9): a new shard is
+    flagged against the corpus FINGERPRINT index only — exact dups by
+    content hash (cross-block), near dups by hashed-gram Jaccard
+    within blocks. Crafted docs exercise the lanes the parquet
+    testdata doesn't (exact copies; shard grams unseen in the corpus,
+    which must only widen the shard prefix, never drop a pair), and
+    the prefix-filtered result must equal the naive all-pairs
+    Jaccard (losslessness)."""
+    from pyspark.sql import functions as F
+
+    from bd_spark.operators import dedup
+    from bd_spark.operators.hashing import h31
+    from bd_spark.operators.text import char_ngrams
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and AGAIN"
+    corpus_rows = [
+        (1, base, "en"),
+        (2, "completely different corpus text about spark plans", "en"),
+        (3, "short", "en"),             # < 5 grams edge
+        (4, base, "de"),                # same text, other block
+    ]
+    shard_rows = [
+        (10, base, "en"),               # exact dup of 1 AND 4; near of 1
+        (11, near, "en"),               # near dup of 1 (casefolded -> high J)
+        (12, "zzz totally novel unseen gram content xyzzy", "en"),  # novel
+        (13, "shor", "en"),             # no grams at n=5
+    ]
+    cols = ["doc_id", "text", "lang"]
+    corpus = spark.createDataFrame(corpus_rows, cols)
+    shard = spark.createDataFrame(shard_rows, cols)
+    idx = dedup.build_dedup_index(corpus, "doc_id", "text", ["lang"], n=5)
+    out = {
+        r.id: r
+        for r in dedup.incremental_dedup(
+            shard, idx, "doc_id", "text", ["lang"], n=5, threshold=0.6
+        ).collect()
+    }
+    assert len(out) == 4
+    # exact: content-hash match ignores blocks -> min(1, 4) = 1
+    assert out[10].dup_exact and out[10].exact_src == 1
+    assert out[10].near_src == 1 and out[10].jaccard == 1.0
+    assert not out[11].dup_exact and out[11].exact_src is None
+    assert out[11].near_src == 1 and out[11].jaccard >= 0.6
+    assert not out[12].dup_exact and out[12].near_src is None
+    assert out[13].near_src is None  # no grams -> no near lane
+    # losslessness: naive blocked all-pairs Jaccard >= t gives the
+    # same (id, best near_src) set
+    def grams(df):
+        return df.select(
+            F.col("doc_id").alias("id"), "lang",
+            F.array_distinct(
+                F.transform(
+                    F.array_distinct(char_ngrams(F.col("text"), 5)), h31
+                )
+            ).alias("g"),
+        )
+    a, b = grams(shard).alias("a"), grams(corpus).alias("b")
+    inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+    union = F.size("a.g") + F.size("b.g") - inter
+    j = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    naive = (
+        a.join(b, F.col("a.lang") == F.col("b.lang"))
+        .select(
+            F.col("a.id").alias("id"), F.col("b.id").alias("src"),
+            F.round(j, 6).alias("jacc"),
+        )
+        .where(F.col("jacc") >= 0.6)
+        .collect()
+    )
+    best = {}
+    for r in naive:
+        cur = best.get(r.id)
+        if cur is None or (r.jacc, -r.src) > (cur[1], -cur[0]):
+            best[r.id] = (r.src, r.jacc)
+    got = {
+        i: (r.near_src, r.jaccard)
+        for i, r in out.items()
+        if r.near_src is not None
+    }
+    assert got == best

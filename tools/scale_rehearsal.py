@@ -58,6 +58,7 @@ HEAVY = [
     "jq_paths",                 # static-path lanes + lean dict (r7)
     "jq_interp_recurse",        # whole-query Arrow interp tier (r7)
     "jq_tostream",              # stream-event round-trip, interp tier (r8)
+    "pipe_dedup_incremental",   # shard vs fingerprint index (r9)
 ]
 
 
