@@ -79,6 +79,16 @@ def _tag_of_schema(st: Column) -> Column:
     )
 
 
+# Plan-BUILD cost note (probed r9, dead end): a session-registered
+# SQL scalar function (CREATE TEMPORARY FUNCTION jq_vtype) builds
+# 14x faster per call site (one call_function round-trip vs ~50 for
+# the inline CASE) and the analyzer inlines it to the identical
+# plan — but SQL-function inlining FAILS with
+# MISSING_ATTRIBUTES.RESOLVED_ATTRIBUTE_MISSING_FROM_INPUT whenever
+# the argument contains a lambda variable, and the packed tier's
+# dominant call sites pass exactly those. Keep the inline build.
+
+
 def vtype(v: Column, shape: str | None = None) -> Column:
     """Doctype tag: null|bool|int|float|string|array|object.
 

@@ -802,6 +802,28 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, id_col: str,
     prefixes)."""
     newi = build_dedup_index(new_df, id_col, text_col, block_cols, n).persist()
     newi.count()  # one deliberate action: materialize before fan-out
+    # the index feeds THREE consumers (freq derivation, its prefix
+    # scan, the verify join); uncached, each re-runs the caller's
+    # fingerprint computation. The materializing action doubles as
+    # the broadcast size estimate (same guard as ngram_jaccard_pairs
+    # — without it the two freq joins shuffle every exploded gram
+    # row, measured the dominant cost at sf0.1).
+    index = index.persist()
+    idx_entries = index.agg(F.sum(F.size("ghash"))).first()[0] or 0
+    try:
+        bcast_budget = int(
+            index.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"
+            )
+        )
+    except (TypeError, ValueError):
+        bcast_budget = 10 << 20
+    # the SHARD side is small by construction: broadcast its prefix
+    # and its gram arrays whenever they fit, so the (large) index
+    # side never shuffles for the candidate or verify joins
+    shard_entries = newi.agg(F.sum(F.size("ghash"))).first()[0] or 0
+    shard_fits = shard_entries * 48 < bcast_budget
+    freq_fits = idx_entries * 48 < bcast_budget
     ex = (
         newi.select("id", "content_hash")
         .join(
@@ -819,6 +841,8 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, id_col: str,
         .groupBy(*block_cols, "gh")
         .agg(F.count("*").alias("df_"))
     )
+    if freq_fits:
+        freq = F.broadcast(freq)
     w = Window.partitionBy("id").orderBy("df_", "gh")
     prefix_len = (
         F.col("nh") - F.ceil(F.lit(threshold) * F.col("nh")).cast("long") + 1
@@ -843,7 +867,10 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, id_col: str,
             .select("id", *block_cols, "gh", "nh", "rk")
         )
 
-    pa = prefix_of(newi, seen_only=False).alias("pa")
+    pa = prefix_of(newi, seen_only=False)
+    if shard_fits:
+        pa = F.broadcast(pa)
+    pa = pa.alias("pa")
     pb = prefix_of(index, seen_only=True).alias("pb")
     cond = F.col("pa.gh") == F.col("pb.gh")
     for c in block_cols:
@@ -869,6 +896,8 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, id_col: str,
         .distinct()
     )
     ga = newi.select(F.col("id"), F.col("ghash").alias("grams_a"))
+    if shard_fits:
+        ga = F.broadcast(ga)
     gb = index.select(F.col("id").alias("src"), F.col("ghash").alias("grams_b"))
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size("grams_a") + F.size("grams_b") - inter
