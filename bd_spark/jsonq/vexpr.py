@@ -79,14 +79,46 @@ def _tag_of_schema(st: Column) -> Column:
     )
 
 
-# Plan-BUILD cost note (probed r9, dead end): a session-registered
-# SQL scalar function (CREATE TEMPORARY FUNCTION jq_vtype) builds
-# 14x faster per call site (one call_function round-trip vs ~50 for
-# the inline CASE) and the analyzer inlines it to the identical
-# plan — but SQL-function inlining FAILS with
-# MISSING_ATTRIBUTES.RESOLVED_ATTRIBUTE_MISSING_FROM_INPUT whenever
-# the argument contains a lambda variable, and the packed tier's
-# dominant call sites pass exactly those. Keep the inline build.
+# Plan-BUILD cost (r9): the inline 8-branch CASE costs ~45 Py4J
+# round-trips per vtype call site (44 sites = 1.5 s of jq_formats'
+# 4.6 s build). Two probed alternatives:
+# - SQL scalar function (CREATE TEMPORARY FUNCTION): 14x faster to
+#   reference and analyzer-inlined to the identical plan, but
+#   inlining FAILS with MISSING_ATTRIBUTES when the argument
+#   contains a lambda variable — the packed tier's dominant case.
+#   Dead end.
+# - CACHED JVM LambdaFunction (below): pyspark's _create_lambda
+#   names every unary lambda var "x" and analysis uniquifies, so one
+#   LambdaFunction expression object (immutable Catalyst tree) is
+#   safely shared across every call site and plan; per call site the
+#   build is ~5 round-trips (schema_of_variant + array + transform +
+#   [0]). Classic-API-only, so every use falls back to the inline
+#   vlet build on any import/JVM mismatch.
+_JFUN_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _cached_transform(name: str, fn, x: Column) -> Column | None:
+    """transform(array-col x, cached-lambda fn)[0], or None when the
+    classic internals are unavailable (fallback to inline vlet)."""
+    try:
+        from pyspark.sql.classic.column import _to_java_column, _to_seq
+        from pyspark.sql.functions.builtin import (
+            _create_lambda,
+            _get_active_spark_context,
+        )
+
+        sc = _get_active_spark_context()
+        key = (id(sc), name)
+        jfun = _JFUN_CACHE.get(key)
+        if jfun is None:
+            jfun = _create_lambda(fn)
+            _JFUN_CACHE[key] = jfun
+        jc = sc._jvm.PythonSQLUtils.fn(
+            "transform", _to_seq(sc, [_to_java_column(x), jfun])
+        )
+        return Column(jc)[0]
+    except Exception:  # noqa: BLE001 - connect mode / JVM restart
+        return None
 
 
 def vtype(v: Column, shape: str | None = None) -> Column:
@@ -124,6 +156,11 @@ def vtype(v: Column, shape: str | None = None) -> Column:
             )
             .otherwise(vlet(F.schema_of_variant(vv), _tag_of_schema)),
         )
+    fast = _cached_transform(
+        "vtype", _tag_of_schema, F.array(F.schema_of_variant(v))
+    )
+    if fast is not None:
+        return fast
     return vlet(F.schema_of_variant(v), _tag_of_schema)
 
 
@@ -234,30 +271,37 @@ def vjson(v: Column) -> Column:
     an argument is silently left unextracted and dies at runtime
     with INTERNAL_ERROR "Cannot evaluate expression" (probed r9; own
     -var conditionals and lambda-free nesting are fine)."""
-
-    def body(j: Column, st: Column) -> Column:
-        return (
-            F.when(
-                ((st == "DOUBLE") | (st == "FLOAT"))
-                & ~j.contains("E") & ~j.contains("e"),
-                F.concat(j, F.lit("E0")),
-            )
-            .when(
-                (
-                    st.startswith("ARRAY")
-                    | st.startswith("OBJECT")
-                    | st.startswith("STRUCT")
-                )
-                & j.rlike(r"\d\.0([,\]}]|$)"),
-                _retag_nested_doubles(j),
-            )
-            .otherwise(j)
-        )
-
     pair = F.struct(
         F.to_json(v).alias("j"), F.schema_of_variant(v).alias("st")
     )
-    return vlet(pair, lambda p: body(p["j"], p["st"]))
+    fast = _cached_transform("vjson", _vjson_body, F.array(pair))
+    if fast is not None:
+        return fast
+    return vlet(pair, _vjson_body)
+
+
+def _vjson_case(j: Column, st: Column) -> Column:
+    return (
+        F.when(
+            ((st == "DOUBLE") | (st == "FLOAT"))
+            & ~j.contains("E") & ~j.contains("e"),
+            F.concat(j, F.lit("E0")),
+        )
+        .when(
+            (
+                st.startswith("ARRAY")
+                | st.startswith("OBJECT")
+                | st.startswith("STRUCT")
+            )
+            & j.rlike(r"\d\.0([,\]}]|$)"),
+            _retag_nested_doubles(j),
+        )
+        .otherwise(j)
+    )
+
+
+def _vjson_body(p: Column) -> Column:
+    return _vjson_case(p["j"], p["st"])
 
 
 def json_quote(s: Column) -> Column:

@@ -97,6 +97,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, fn in qs.items():
+        # each rep builds FRESH DataFrames, so persist() calls inside
+        # operators (ngram/curate/incremental dedup) leak cached RDDs
+        # across queries — 113 queries x 2 reps of leaked caches put
+        # GC pressure on every later row (late jq rows measured ~1.6x
+        # their isolated-session floors). Clear between queries: each
+        # query is timed from the same clean cache state.
+        spark.catalog.clearCache()
         best = None
         for i in range(runs):
             t0 = time.perf_counter()
