@@ -94,12 +94,19 @@ def _tag_of_schema(st: Column) -> Column:
 #   build is ~5 round-trips (schema_of_variant + array + transform +
 #   [0]). Classic-API-only, so every use falls back to the inline
 #   vlet build on any import/JVM mismatch.
-_JFUN_CACHE: dict[tuple[int, str], object] = {}
+_JFUN_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _cached_transform(name: str, fn, x: Column) -> Column | None:
     """transform(array-col x, cached-lambda fn)[0], or None when the
-    classic internals are unavailable (fallback to inline vlet)."""
+    classic internals are unavailable (fallback to inline vlet).
+
+    Keyed by applicationId (stable per SparkContext lifetime; a
+    session restart mints a new one, unlike id(sc), which CPython may
+    reuse for a new context — r9 ADVICE), and EVICTED on failure so a
+    stale JVM handle costs one failed round-trip, not one per call
+    forever."""
+    key = None
     try:
         from pyspark.sql.classic.column import _to_java_column, _to_seq
         from pyspark.sql.functions.builtin import (
@@ -108,7 +115,7 @@ def _cached_transform(name: str, fn, x: Column) -> Column | None:
         )
 
         sc = _get_active_spark_context()
-        key = (id(sc), name)
+        key = (sc.applicationId, name)
         jfun = _JFUN_CACHE.get(key)
         if jfun is None:
             jfun = _create_lambda(fn)
@@ -118,6 +125,8 @@ def _cached_transform(name: str, fn, x: Column) -> Column | None:
         )
         return Column(jc)[0]
     except Exception:  # noqa: BLE001 - connect mode / JVM restart
+        if key is not None:
+            _JFUN_CACHE.pop(key, None)
         return None
 
 

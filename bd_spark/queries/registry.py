@@ -178,6 +178,7 @@ EXTRA = [
     "q_stream_dedup_watermarked",  # watermark-BOUNDED dedup (state evicts)
     "jq_tostream",             # tostream/fromstream event round-trip (r8)
     "pipe_dedup_incremental",  # cross-shard dedup vs fingerprint index (r9)
+    "pipe_dedup_incremental_persisted",  # O(shard) batch vs committed state (r10)
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

@@ -78,7 +78,16 @@ _SENTINELS_SF01 = {
     "q6_forecast_revenue": 0.8,     # early
     "pipe_dedup_exact": 0.8,        # mid (GATE pipeline block)
     "pipe_embed_centroids": 0.8,    # mid-late
-    "q_asof_last_order": 1.2,       # final rows
+    # r10 (VERDICT r9 wrong #3): a burst hit GATE positions 44-48 —
+    # the streaming block — and stamped a clean record because no
+    # sentinel sat between pipe_embed_centroids (~32) and
+    # q_asof_last_order (49); and the whole EXTRA stretch (51-115)
+    # had none. One sentinel inside the streaming block + two in the
+    # EXTRA stretch (mid + late) close the contiguous-burst holes.
+    "q_stream_windowed": 1.6,       # GATE streaming block (44-48)
+    "q_asof_last_order": 1.2,       # final GATE rows
+    "q_rolling_revenue": 0.7,       # mid-EXTRA (relational, stable)
+    "q_pivot_daily": 0.6,           # late-EXTRA
 }
 
 
@@ -107,11 +116,18 @@ def main() -> None:
         # operators (ngram/curate/incremental dedup) leak cached RDDs
         # across queries — 113 queries x 2 reps of leaked caches put
         # GC pressure on every later row (late jq rows measured ~1.6x
-        # their isolated-session floors). Clear between queries: each
-        # query is timed from the same clean cache state.
-        spark.catalog.clearCache()
+        # their isolated-session floors). Cleared before EVERY rep
+        # (r9 ADVICE): rep 2 of a persist-using query otherwise hits
+        # CacheManager plan-matching and reuses rep 1's materialized
+        # cache, so its "warm" measured cached reads, not the query.
+        # (Persist-using warm rows step UP versus r1-r9 records for
+        # this reason — a measurement-semantics change, not a
+        # regression; see SCALE.md. On-disk state reuse — e.g.
+        # pipe_dedup_incremental_persisted's committed index — is the
+        # operator's real contract and is deliberately kept.)
         best = None
         for i in range(runs):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             try:
                 _force(fn(spark, sf_dir))

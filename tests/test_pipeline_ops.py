@@ -1065,3 +1065,61 @@ def test_incremental_dedup_flags_and_losslessness(spark):
         if r.near_src is not None
     }
     assert got == best
+
+
+def test_dedup_index_store_batch_matches_inline(spark, tmp_path):
+    """DedupIndexStore (r10): the persisted-state batch path —
+    freq + index prefix materialized once at write time — is
+    row-identical to the inline-derivation path, including when the
+    query threshold is HIGHER than the build threshold (the local
+    rk-refilter); a query threshold BELOW the build threshold is
+    refused (the stored prefix would be lossy); versions time-travel
+    and stay self-consistent."""
+    from bd_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and AGAIN"
+    corpus_rows = [
+        (1, base, "en"),
+        (2, "completely different corpus text about spark plans", "en"),
+        (3, "short", "en"),
+        (4, base, "de"),
+    ]
+    shard_rows = [
+        (10, base, "en"),
+        (11, near, "en"),
+        (12, "zzz totally novel unseen gram content xyzzy", "en"),
+        (13, "shor", "en"),
+    ]
+    cols = ["doc_id", "text", "lang"]
+    corpus = spark.createDataFrame(corpus_rows, cols)
+    shard = spark.createDataFrame(shard_rows, cols)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    idx = dedup.build_dedup_index(corpus, "doc_id", "text", ["lang"], n=5)
+    inline = rows(dedup.incremental_dedup(
+        shard, idx, "doc_id", "text", ["lang"], n=5, threshold=0.6
+    ))
+    store = dedup.DedupIndexStore(spark, str(tmp_path / "st"))
+    # build at a LOWER threshold: the stored prefix is longer than
+    # the 0.6 query needs — dedup_batch must re-filter it losslessly
+    v0 = store.write(corpus, "doc_id", "text", ["lang"],
+                     n=5, threshold=0.5)
+    assert v0 == 0 and store.current_version() == 0
+    assert rows(store.dedup_batch(shard, "doc_id", "text",
+                                  threshold=0.6)) == inline
+    # build threshold == query threshold (the common case)
+    v1 = store.write(corpus, "doc_id", "text", ["lang"],
+                     n=5, threshold=0.6)
+    assert v1 == 1
+    assert rows(store.dedup_batch(shard, "doc_id", "text")) == inline
+    # time-travel to v0 still works after the v1 commit
+    assert rows(store.dedup_batch(shard, "doc_id", "text",
+                                  threshold=0.6, version=0)) == inline
+    # a query threshold below the build threshold is a hard error
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold"):
+        store.dedup_batch(shard, "doc_id", "text", threshold=0.4)
+    spark.catalog.clearCache()
