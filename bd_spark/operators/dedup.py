@@ -36,6 +36,19 @@ from bd_spark.operators.hashing import (
 )
 from bd_spark.operators.text import char_ngrams, let1, tokens, word_shingles
 
+def _verify_parallelism(df: DataFrame) -> int:
+    """Partition count for CPU-heavy verify stages (exact Jaccard
+    over full gram sets). AQE coalesces the candidate exchange by
+    shuffle SIZE, but verify cost is CPU-per-row — a 124k-pair
+    candidate set coalesced to 4 partitions serialized the verify to
+    4 cores (measured 6.3 s -> 2.4 s at sf0.1 with an explicit
+    user-numbered repartition, which AQE never coalesces)."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 MINHASH_K = 32
 LSH_BANDS = 8
 LSH_ROWS = MINHASH_K // LSH_BANDS  # 4
@@ -622,6 +635,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         pa.join(pb, cond)
         .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
         .distinct()
+        # spread the CPU-heavy verify across cores (see
+        # _verify_parallelism); candidate pairs are output-sized, so
+        # this extra exchange is trivially cheap at any scale
+        .repartition(_verify_parallelism(df))
     )
     ga = docs.select(F.col("id").alias("id_a"), F.col("ghash").alias("grams_a"))
     gb = docs.select(F.col("id").alias("id_b"), F.col("ghash").alias("grams_b"))
@@ -981,6 +998,9 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, id_col: str,
         pa.join(pb, cond)
         .select(F.col("pa.id").alias("id"), F.col("pb.id").alias("src"))
         .distinct()
+        # spread the CPU-heavy verify across cores (see
+        # _verify_parallelism); candidate pairs are output-sized
+        .repartition(_verify_parallelism(new_df))
     )
     ga = newi.select(F.col("id"), F.col("ghash").alias("grams_a"))
     if shard_fits:
@@ -1030,7 +1050,9 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, id_col: str,
 @dataclass
 class DedupIndexState:
     """One consistent, versioned snapshot of the dedup index and its
-    batch-time derived state (all three from the SAME commit)."""
+    batch-time derived state (all three from the SAME commit).
+    ``prefix_bytes`` is the prefix table's on-disk size (for the
+    small-data parallelism guard in dedup_batch)."""
     index: DataFrame
     freq: DataFrame
     prefix: DataFrame
@@ -1038,6 +1060,7 @@ class DedupIndexState:
     threshold: float
     block_cols: list[str]
     version: int
+    prefix_bytes: int = 0
 
 
 class DedupIndexStore:
@@ -1148,6 +1171,7 @@ class DedupIndexStore:
             threshold=entry["threshold"],
             block_cols=list(entry["block_cols"]),
             version=v,
+            prefix_bytes=self._prefix.data_bytes(entry["prefix_v"]),
         )
 
     def dedup_batch(self, new_df: DataFrame, id_col: str, text_col: str,
@@ -1164,9 +1188,26 @@ class DedupIndexStore:
                 "the stored prefix is too short to be lossless — "
                 "rebuild the index state at the lower threshold"
             )
+        prefix = st.prefix
+        # small-data parallelism guard: the candidate join STREAMS the
+        # prefix scan, and file-source bin-packing gives a tiny prefix
+        # fewer splits than cores (10 splits for 748 KB at sf0.1 —
+        # measured 11-16 s vs 6.9 s batch exec), serializing the
+        # heaviest stage. Under ~8 MB/core, one trivially-cheap
+        # round-robin reshuffle restores full parallelism; at corpus
+        # scale the prefix is TB-sized, the scan already yields
+        # thousands of splits, and the guard never fires — the batch
+        # plan stays free of index-proportional exchanges.
+        sc = self.spark.sparkContext
+        if st.prefix_bytes < sc.defaultParallelism * (8 << 20):
+            try:
+                nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            except (TypeError, ValueError):
+                nparts = sc.defaultParallelism
+            prefix = prefix.repartition(nparts)
         return incremental_dedup(
             new_df, st.index, id_col, text_col, st.block_cols,
-            n=st.n, threshold=t, freq=st.freq, index_prefix=st.prefix,
+            n=st.n, threshold=t, freq=st.freq, index_prefix=prefix,
         )
 
     def vacuum(self, keep: int = 2) -> list[int]:

@@ -49,6 +49,10 @@ def main() -> None:
         load = os.getloadavg()[0]
         times = []
         for _ in range(runs):
+            # same cache discipline as bench.py (r10): operators that
+            # persist() otherwise leak caches across reps AND across
+            # queries, inflating later rows ~1.6x
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             times.append(time.perf_counter() - t0)
