@@ -456,7 +456,9 @@ def _path_ok(v: Column, segs: tuple) -> Column:
     ok = F.lit(True)
     cur = v
     for k in segs:
-        t = V.vtype(cur)
+        # container-first dispatch: the walked nodes are objects on
+        # every non-error row (r10, wiring vexpr's shape="container")
+        t = V.vtype(cur, shape="container")
         ok = ok & (t.isNull() | t.isin("object", "null"))
         cur = F.element_at(V.as_map(cur), F.lit(k))
     return ok
@@ -489,8 +491,10 @@ def _set_json(v: Column, segs: tuple, leaf_json: Column) -> Column:
     fresh = F.concat(
         F.lit("{" + _j.dumps(k) + ":"), inner, F.lit("}")
     )
+    # object-ness only: one O(1) map try-cast (r10; the full vtype
+    # dispatch paid schema_of_variant per row on the dominant branch)
     return F.when(
-        V.vtype(v) == "object", _rebuilt_entries(m, k, inner)
+        V.as_map(v).isNotNull(), _rebuilt_entries(m, k, inner)
     ).otherwise(fresh)
 
 
@@ -516,8 +520,9 @@ def _set_variant(v: Column, segs: tuple, leaf: Column) -> Column:
         F.array(F.struct(F.lit(k).alias("k"), inner.alias("v"))),
     )
     fresh = F.array(F.struct(F.lit(k).alias("k"), inner.alias("v")))
+    # object-ness only: one O(1) map try-cast (r10)
     return F.to_variant_object(F.map_from_entries(
-        F.when(V.vtype(v) == "object", entries).otherwise(fresh)
+        F.when(V.as_map(v).isNotNull(), entries).otherwise(fresh)
     ))
 
 
@@ -542,8 +547,9 @@ def _del_variant(v: Column, segs: tuple) -> Column:
             F.array(F.struct(F.lit(k).alias("k"), inner.alias("v"))),
         )
     rebuilt = F.to_variant_object(F.map_from_entries(entries))
+    # object-ness only: one O(1) map try-cast (r10)
     return F.when(
-        (V.vtype(v) == "object") & F.map_contains_key(m, F.lit(k)), rebuilt
+        V.as_map(v).isNotNull() & F.map_contains_key(m, F.lit(k)), rebuilt
     ).otherwise(v)
 
 
@@ -865,17 +871,61 @@ def _kind_not_object(k: str | None) -> bool:
     return k is not None and k != "object"
 
 
+# Binary ops whose dispatch tree may be built ONCE per session as a
+# cached JVM lambda over a struct<a,b> binding (vexpr._cached_transform
+# — r10, extending the r9 vtype/vjson technique to the binop dispatch
+# trees per the r9 VERDICT ask). Excluded:
+# - "*": its object/object branch is a Python UDF (deep merge), which
+#   Catalyst rejects inside lambda functions;
+# - "-": its array-diff filter lambdas reference the OUTER binding in
+#   conditionals — the exact shape that silently defeats
+#   ExtractPythonUDFs when the result later feeds a Python UDF arg
+#   (r9 probe; see vjson's docstring).
+# Every body below is lambda-free or nests only own-var lambdas
+# (varray/json_quote/vtype's tag lambda), the probed-safe shapes.
+_BINOP_CACHEABLE = frozenset({
+    "+", "/", "%", "<<", ">>", "&", "^", "bor",
+    "==", "!=", "<", "<=", ">", ">=", "&&", "||",
+})
+
+
 def _binary_value(
     op: str, a: Column, b: Column,
     lk: str | None = None, rk: str | None = None,
 ) -> Column:
-    # NOT let-bound (r9, measured): zip_with-binding both operands
+    """Dispatch wrapper: operands with NO static kind info take the
+    session-cached JVM-lambda tree (one build per (session, op), ~5
+    Py4J round-trips per later site instead of the full CASE-chain
+    construction); a statically-known operand kind (literals, typed
+    builtins) keeps the inline build, where Catalyst constant-folds
+    vtype(literal) and prunes dead overload branches — binding a
+    literal operand behind a lambda var was measured to GROW plans
+    21->26 KB (r9), so the gate is load-bearing."""
+    if lk is None and rk is None and op in _BINOP_CACHEABLE:
+        pair = F.struct(a.alias("a"), b.alias("b"))
+        fast = V._cached_transform(
+            f"binop:{op}",
+            lambda p: _binary_value_inline(op, p["a"], p["b"]),
+            F.array(pair),
+        )
+        if fast is not None:
+            return fast
+    return _binary_value_inline(op, a, b, lk, rk)
+
+
+def _binary_value_inline(
+    op: str, a: Column, b: Column,
+    lk: str | None = None, rk: str | None = None,
+) -> Column:
+    # NOT vlet-bound (r9, measured): zip_with-binding both operands
     # halves per-level operand duplication but hides literal operand
     # types behind opaque lambda vars, so Catalyst can no longer
     # constant-fold vtype(literal) and prune dead overload branches —
     # the probe plan GREW 21->26 KB / 16->29 schema_of_variant. The
     # packed tier already hands leaf-cheap operands (compile_packed
     # invariant), so the duplication this would fix is mostly gone.
+    # (The no-static-kind case IS bound now — via the cached-lambda
+    # wrapper above, where there is nothing to fold.)
     ta, tb = V.vtype(a), V.vtype(b)
     bothint = (ta == "int") & (tb == "int")
     bothnum = V.is_number(ta) & V.is_number(tb)
@@ -1263,7 +1313,8 @@ def _col_getpath_static(v: Column, segs: tuple[str, ...]) -> CV:
     cur = v
     err = F.lit(None).cast("string")
     for _k in segs:
-        t = V.vtype(cur)
+        # container-first: walked nodes are objects on non-error rows
+        t = V.vtype(cur, shape="container")
         step_err = F.when(
             t == "array",
             F.lit("getpath: cannot index array with string"),
@@ -1294,7 +1345,9 @@ def _col_getpath(v: Column, p: CV) -> CV:
     zero = F.struct(v.alias("a"), _null_str().alias("e"))
 
     def step(acc: Column, k: Column) -> Column:
-        t = V.vtype(acc["a"])
+        # the accumulator is a container until the leaf (container-
+        # first, r10); path KEYS are scalars - default dispatch
+        t = V.vtype(acc["a"], shape="container")
         kt = V.vtype(k)
         obj_val = F.coalesce(V.as_map(acc["a"])[V.as_string(k)], V.vnull())
         arr = V.as_array(acc["a"])
@@ -1550,19 +1603,15 @@ def _paths_entries(v: Column, depth: int) -> Column:
     return emit(_empty_varr(), v, depth)
 
 
-def _paths_native(v: Column, leaf_only: bool) -> tuple[Column, Column]:
-    """(paths of v as ARRAY<VARIANT> — each element a variant array
-    path, pre-order / key-sorted, exact for docs nested <=
-    _RECURSE_NATIVE_DEPTH — , needs_py flag for deeper rows). Built
-    on ONE _paths_entries enumeration per returned column; the
-    gate/testdata docs are depth-1, so `paths`/`leaf_paths` never
-    launch a Python worker on them."""
-    ents = _paths_entries(v, _RECURSE_NATIVE_DEPTH)
+def _paths_native_from(ents: Column, leaf_only: bool) -> tuple[Column, Column]:
+    """(paths as ARRAY<VARIANT>, needs_py flag) derived from ONE
+    _paths_entries enumeration — pass a staged COLUMN REFERENCE so
+    the enumeration tree appears once in the plan (r10: the old shape
+    re-built the whole depth-unrolled tree for `needs`, doubling
+    plan-build round-trips, analysis, and codegen)."""
     sel = F.filter(ents, lambda s: ~s["c"]) if leaf_only else ents
     paths_arr = F.transform(sel, lambda s: F.to_variant_object(s["p"]))
-    needs = F.exists(
-        _paths_entries(v, _RECURSE_NATIVE_DEPTH), lambda s: s["dp"]
-    )
+    needs = F.exists(ents, lambda s: s["dp"])
     return paths_arr, needs
 
 
@@ -1574,8 +1623,16 @@ def _stream_paths(leaf_only: bool) -> StreamFn:
     udf = _paths_udf(leaf_only)
 
     def run(df: DataFrame) -> DataFrame:
-        nat, needs = _paths_native(F.col("v"), leaf_only)
-        flagged = df.withColumns({
+        # DataFrame-level let: stage the enumeration ONCE as a real
+        # column, derive nat + needs from the reference (CollapseProject
+        # keeps non-cheap multiply-referenced aliases separate, so the
+        # big tree is analyzed/codegen'd once, not per consumer)
+        ec = _fresh("pse")
+        staged = df.withColumn(
+            ec, _paths_entries(F.col("v"), _RECURSE_NATIVE_DEPTH)
+        )
+        nat, needs = _paths_native_from(F.col(ec), leaf_only)
+        flagged = staged.withColumns({
             "__pnat": F.when(
                 F.col("err").isNotNull(), _empty_varr()
             ).otherwise(nat),
@@ -1589,7 +1646,7 @@ def _stream_paths(leaf_only: bool) -> StreamFn:
             # _fanout passes err rows through and drops empty bursts;
             # the probe columns ride its carries — dropped after
             entries = F.transform(burst, lambda x: _entry(x, _null_str()))
-            return _fanout(src, entries).drop("__pnat", "__ppy")
+            return _fanout(src, entries).drop("__pnat", "__ppy", ec)
 
         fast = emit(flagged.where(~F.col("__ppy")), F.col("__pnat"))
         if n_deep == 0:
@@ -5640,20 +5697,6 @@ def _stage_burst(
     return df.withColumns(cols), n, en, True
 
 
-# Column-expression cache for the depth-unrolled paths enumeration
-# over the stream's `v` column: the unresolved tree is identical on
-# every build and costs seconds of Py4J round-trips to construct
-# (measured ~11 s jq_paths plan build); Spark analyzes shared
-# unresolved trees into fresh resolved plans, so reuse is safe.
-_PATHS_NATIVE_V: dict[bool, tuple[Column, Column]] = {}
-
-
-def _paths_native_v(leaf_only: bool) -> tuple[Column, Column]:
-    if leaf_only not in _PATHS_NATIVE_V:
-        _PATHS_NATIVE_V[leaf_only] = _paths_native(F.col("v"), leaf_only)
-    return _PATHS_NATIVE_V[leaf_only]
-
-
 def _stream_list_spliced(node: ast.ListCons) -> StreamFn | None:
     """`[...]` whose payload contains a HEAVY row-local generator
     (paths/leaf_paths/foreach — see _has_heavy_gen): stage each
@@ -6096,36 +6139,34 @@ def _child_values(x: Column) -> Column:
 _RECURSE_NATIVE_DEPTH = 3
 
 
-def _recurse_native(v: Column) -> tuple[Column, Column]:
-    """(pre-order descendants of v as ARRAY<VARIANT> — exact for docs
-    nested <= _RECURSE_NATIVE_DEPTH, needs_py flag marking deeper
-    rows). The depth expansion unrolls the recursion into D nested
-    transforms — row-local, no Python (r7: jq_recurse_props ran the
-    Arrow walk UDF on every row; gate/testdata docs are depth-1)."""
+def _recurse_entries(v: Column, depth: int) -> Column:
+    """Pre-order descendants of ``v`` unrolled to ``depth`` levels as
+    ``array<struct<x: variant, dp: boolean>>`` — ``dp`` marks a node
+    AT the depth cap that still has children (the row nests deeper
+    and needs the Arrow fallback). ONE unrolled tree serves both the
+    descendant burst and the needs flag (r10: the old shape built a
+    second full-depth ``deep_vals`` expansion just for the flag,
+    doubling plan-build round-trips, analysis, and codegen). The
+    depth expansion unrolls the recursion into D nested transforms —
+    row-local, no Python (r7: jq_recurse_props ran the Arrow walk UDF
+    on every row; gate/testdata docs are depth-1)."""
 
-    def desc(x: Column, d: int) -> Column:
+    def walk(x: Column, d: int) -> Column:
         if d == 0:
-            return F.array(x)
+            return F.array(
+                F.struct(
+                    x.alias("x"),
+                    (F.size(_child_values(x)) > 0).alias("dp"),
+                )
+            )
         return F.concat(
-            F.array(x),
+            F.array(F.struct(x.alias("x"), F.lit(False).alias("dp"))),
             F.flatten(
-                F.transform(_child_values(x), lambda c: desc(c, d - 1))
+                F.transform(_child_values(x), lambda c: walk(c, d - 1))
             ),
         )
 
-    def deep_vals(x: Column, d: int) -> Column:
-        if d == 0:
-            return F.array(x)
-        return F.flatten(
-            F.transform(_child_values(x), lambda c: deep_vals(c, d - 1))
-        )
-
-    outs = desc(v, _RECURSE_NATIVE_DEPTH)
-    needs = F.exists(
-        deep_vals(v, _RECURSE_NATIVE_DEPTH),
-        lambda x: F.size(_child_values(x)) > 0,
-    )
-    return outs, needs
+    return walk(v, depth)
 
 
 # Bounded probe-cache pool for the `..`/paths depth probes. A single
@@ -6185,8 +6226,15 @@ def _stream_recurse() -> StreamFn:
 
     def run(df: DataFrame) -> DataFrame:
         carries = _carries(df)
-        outs, needs = _recurse_native(F.col("v"))
-        flagged = df.withColumns({
+        # DataFrame-level let (r10): stage the unrolled enumeration
+        # ONCE, derive burst + needs from the column reference
+        ec = _fresh("rse")
+        staged = df.withColumn(
+            ec, _recurse_entries(F.col("v"), _RECURSE_NATIVE_DEPTH)
+        )
+        outs = F.transform(F.col(ec), lambda s: s["x"])
+        needs = F.exists(F.col(ec), lambda s: s["dp"])
+        flagged = staged.withColumns({
             # err rows: one passthrough entry (the UDF path used a
             # single "null" desc + kept v — same result)
             "__rnat": F.when(

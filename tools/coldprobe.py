@@ -52,7 +52,11 @@ def main() -> None:
         t3 = time.perf_counter()
         try:
             jvm = spark.sparkContext._jvm
-            code = jvm.org.apache.spark.sql.execution.debug.package.codegenString(jplan)
+            pkg = getattr(
+                getattr(jvm.org.apache.spark.sql.execution.debug, "package$"),
+                "MODULE$",
+            )
+            code = pkg.codegenString(jplan)
             nbytes = len(code)
             nunits = code.count("WholeStageCodegen subtree")
         except Exception:  # noqa: BLE001
