@@ -24,27 +24,30 @@ def vbool(b: Column) -> Column:
 
 
 def vlong(x: Column) -> Column:
-    return F.parse_json(x.cast("string"))
+    # direct cast to VARIANT (r10): one expression, BIGINT tower,
+    # SQL NULL passes through — probed identical to the old
+    # parse_json(cast-to-string) on values and NULL
+    return x.cast("variant")
 
 
 def vdouble(x: Column) -> Column:
-    # cast(double as string) yields '6.0' / '1.0E32' forms — but
-    # parse_json NORMALIZES plain-decimal text to DECIMAL, and
-    # DECIMAL(p,0) is the INT tower ('6.0' -> int 6: float-ness
-    # lost, wrong type tag AND wrong canonical text vs the
-    # reference's Float(6.0), json.rs:474).  Exponent notation is
-    # the one form parse_json keeps as DOUBLE, so force it: append
-    # E0 unless the cast already produced scientific notation.
-    # Caught by the jq_canonical_floats hash oracle (integral
-    # quotients must render 6e0, not 6).
-    s = x.cast("string")
-    sci = F.when(s.contains("E"), s).otherwise(F.concat(s, F.lit("E0")))
-    return F.parse_json(sci)
+    # direct cast to VARIANT (r10): the cast KEEPS the DOUBLE type,
+    # so the float tower survives without the old force-scientific-
+    # notation trick (parse_json normalizes plain-decimal text to
+    # DECIMAL(p,0) — the int tower — so the old path rendered the
+    # cast string as '6.0E0' before re-parsing; json.rs:474,
+    # jq_canonical_floats pins the tower). Probed byte-identical
+    # to_json forms on 6.0 / 1.0E32 / -0.0 / 2.5 / NULL.
+    return x.cast("variant")
 
 
 def vstring(s: Column) -> Column:
-    # JSON-escape via to_json(array(s)) then take element 0.
-    return F.variant_get(F.parse_json(F.to_json(F.array(s))), "$[0]", "variant")
+    # direct cast to VARIANT (r10) — replaces the 3-expression
+    # JSON-escape round-trip (variant_get(parse_json(to_json(
+    # array(s))), "$[0]")), which paid a JSON render + parse per row
+    # per call site. coalesce keeps the old NULL contract: SQL-NULL
+    # input yields the VOID variant (jq null), not SQL NULL.
+    return F.coalesce(s.cast("variant"), vnull())
 
 
 def vparse(text: Column) -> Column:
