@@ -4714,6 +4714,11 @@ class _Plan:
         self.layers: list[dict[str, Column]] = []
         self.filters: list[str] = []
         self.temps: list[str] = []
+        # set when a layer carries a Python/pandas UDF emission
+        # (setpath): lateral-alias substitution would inline the UDF's
+        # staged-arg trees back into the UDF call, so such plans keep
+        # real column boundaries (per-layer withColumns)
+        self.no_lateral = False
 
     def emit(self, depth: int, cols: dict[str, Column]) -> None:
         while len(self.layers) <= depth:
@@ -4727,6 +4732,7 @@ class _Plan:
             self.emit(depth, layer)
         self.filters += other.filters
         self.temps += other.temps
+        self.no_lateral = self.no_lateral or other.no_lateral
 
     # Below this many total emissions, all layers fold into ONE select
     # via lateral column aliases (Spark 3.4+: an expression may
@@ -4752,7 +4758,12 @@ class _Plan:
         # repeated janino failures + interpreted fallback, ~70 s for
         # 500 rows). Per-layer withColumns keeps real column
         # boundaries that the optimizer's cost veto respects.
-        if flat and len(flat) <= self.LATERAL_FOLD_MAX and not self.filters:
+        if (
+            flat
+            and len(flat) <= self.LATERAL_FOLD_MAX
+            and not self.filters
+            and not self.no_lateral
+        ):
             df = df.select("*", *[c.alias(n) for n, c in flat])
         else:
             for layer in self.layers:
@@ -4974,8 +4985,24 @@ def _plan_direct_raw(
             return _pemit(plan, cf(inp.v), inp.err, name, in_depth)
         if node.name in GENERATOR_BUILTINS:
             return None  # generators need stream fan-out
+        if node.name == "setpath" and len(node.args) == 2:
+            # same emission as the stream tier's run_setpath, shared
+            # into the layered plan (jq_paths' `upd` pair previously
+            # paid a full _stage round: save + setpath-stage + finish
+            # + tojson lift + restore = ~5 extra plan analyses)
+            a0 = _plan_direct(plan, node.args[0], None, inp, in_depth, cse)
+            if a0 is None:
+                return None
+            a1 = _plan_direct(plan, node.args[1], None, inp, in_depth, cse)
+            if a1 is None:
+                return None
+            cv = _col_builtin("setpath", inp.v, [a0[0], a1[0]])
+            plan.no_lateral = True  # pandas-UDF emission
+            return _pemit(
+                plan, cv, inp.err, name, max(a0[1], a1[1], in_depth)
+            )
         if node.args:
-            return None  # other multi-arg builtins (setpath) stage fully
+            return None  # other multi-arg builtins stage fully
         cv = _col_builtin(node.name, inp.v, [])
         return _pemit(plan, cv, inp.err, name, in_depth)
     if isinstance(node, ast.ListCons):
@@ -4994,12 +5021,19 @@ def _plan_direct_raw(
 
 
 def _stage_cv_many(
-    df: DataFrame, items: list[tuple[ast.Node, str]]
+    df: DataFrame,
+    items: list[tuple[ast.Node, str]],
+    force_land: bool = False,
 ) -> tuple[DataFrame, list[CV]]:
     """Stage several independent single-valued nodes against the same
     input v/err. Direct-stageable items share ONE layered plan (a wide
     dict's values land in ~3 withColumns instead of ~3 per value);
-    constants inline; everything else falls back to full _stage."""
+    constants inline; everything else falls back to full _stage.
+
+    force_land: every item ends up in REAL columns {name}_v/{name}_e
+    (consumers that read the columns after v/err have been replaced —
+    the single-burst dict assembly — need that; plain CV consumers
+    don't and skip the extra columns for constants/identity)."""
     out: dict[int, CV] = {}
     plan = _Plan()
     fallback: list[tuple[int, ast.Node, str]] = []
@@ -5008,6 +5042,10 @@ def _stage_cv_many(
     for i, (node, name) in enumerate(items):
         cv = _inline_cv(node)
         if cv is not None:
+            if force_land:
+                scratch = _Plan()
+                cv, _, _ = _pemit(scratch, cv, None, name, -1)
+                plan.merge(scratch)
             out[i] = cv
             continue
         # plan into a private scratch first: a mid-chain failure must
@@ -5030,7 +5068,9 @@ def _stage_cv_many(
         # FINAL columns — re-land those into {name}_v/{name}_e here.
         # Bare Identity/Literal items reference only the root v/err
         # (never dropped) and skip the extra column.
-        if landed is None and not isinstance(node, (ast.Identity, ast.Literal)):
+        if landed is None and (
+            force_land or not isinstance(node, (ast.Identity, ast.Literal))
+        ):
             cv, depth, landed = _pemit(scratch, cv, None, name, depth)
         plan.merge(scratch)
         out[i] = cv
@@ -5964,13 +6004,21 @@ def _stream_dict(pairs: tuple[ast.DictPair, ...]) -> StreamFn:
                                     extra_drops = [sn] + (
                                         [sen] if sen else []
                                     )
+                    # ONE shared layered plan for every scalar pair
+                    # (force_land: the assembly below reads the
+                    # {n}_v/{n}_e columns AFTER the fan-out replaced
+                    # v/err); non-direct pairs fall back to _stage
+                    # inside the same call. jq_paths: k2 (static
+                    # getpath) + upd (setpath|tojson) share ~3
+                    # withColumns instead of ~8 full-stage analyses.
                     staged: dict[int, str] = {}
+                    sitems: list[tuple[ast.Node, str]] = []
                     for pi, pair in enumerate(pairs):
                         if pi == mi:
                             continue
-                        n = _fresh("dsc")
-                        work = _stage(work, pair.value, n)
-                        staged[pi] = n
+                        staged[pi] = _fresh("dsc")
+                        sitems.append((pair.value, staged[pi]))
+                    work, _ = _stage_cv_many(work, sitems, force_land=True)
                     if arm and armed_hint:
                         # fused columns created during this dict's
                         # staging — drop them with everything else
