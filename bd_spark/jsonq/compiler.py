@@ -6355,6 +6355,41 @@ def _node_count(node: object) -> int:
 _INTERP_TIER_NODES = 300
 
 
+# Tier override for tests that pin ONE tier's machinery (the fused
+# native paths lane's differential tests would otherwise compare the
+# interp against itself after cost routing): "staged" | "interp" |
+# None (cost model decides).
+TIER_OVERRIDE: str | None = None
+
+
+def _walk_heavy_score(node: object) -> tuple[int, int]:
+    """(enumerations, rebuilds) count of whole-document-walk operations:
+    enumerations = `paths`/`leaf_paths` builtins, rebuilds = static- or
+    dynamic-path assignment/setpath nodes. Drives the cost-based tier
+    choice in compile_query — see the routing comment there."""
+    import dataclasses
+
+    enums = rebuilds = 0
+    if isinstance(node, ast.Builtin):
+        if node.name in ("paths", "leaf_paths"):
+            enums += 1
+        elif node.name == "setpath":
+            rebuilds += 1
+    elif isinstance(node, ast.Assign):
+        rebuilds += 1
+    if dataclasses.is_dataclass(node):
+        for f in dataclasses.fields(node):
+            e, r = _walk_heavy_score(getattr(node, f.name))
+            enums += e
+            rebuilds += r
+    elif isinstance(node, tuple):
+        for x in node:
+            e, r = _walk_heavy_score(x)
+            enums += e
+            rebuilds += r
+    return enums, rebuilds
+
+
 def _interp_tier(node: ast.Node) -> StreamFn:
     """Whole-query Arrow-batched interp evaluation: ship the AST into
     one mapInPandas; each input's output burst fans out with
@@ -6447,6 +6482,9 @@ def compile_query(node: ast.Node) -> StreamFn:
             "compile_query tier=interp (InterpOnly: bounded-recursion defs)"
         )
         return _interp_tier(node.expr)
+    if TIER_OVERRIDE == "interp":
+        _TIER.last = "interp"
+        return _interp_tier(node)
     n = _node_count(node)
     if n > _INTERP_TIER_NODES:
         _TIER.last = "interp"
@@ -6455,5 +6493,27 @@ def compile_query(node: ast.Node) -> StreamFn:
             n, _INTERP_TIER_NODES,
         )
         return _interp_tier(node)
+    # Cost-based routing (r11): a program doing MULTIPLE whole-document
+    # walks per row — path enumerations plus object rebuilds — is
+    # measurably faster on the Arrow interp tier than on the staged
+    # Catalyst lane, because the variant HOF trees those ops compile to
+    # evaluate as CodegenFallback (interpreted per row, JVM-side) while
+    # the interp walks plain Python dicts on Arrow batches ONCE per
+    # row for the whole program (jq_paths at sf0.1: 6.9 s staged vs
+    # 1.4 s interp warm — SCALE.md r11). Single-walk programs stay
+    # staged: one cheap enumeration doesn't amortize the whole-doc
+    # Python parse/serialize round-trip, and scalar navigations are
+    # 5-10x faster native. Both tiers are row-local and shuffle-free,
+    # so the 100 TB story is unchanged — this picks the faster
+    # per-byte constant.
+    if TIER_OVERRIDE != "staged":
+        enums, rebuilds = _walk_heavy_score(node)
+        if enums >= 1 and enums + rebuilds >= 2:
+            _TIER.last = "interp"
+            _LOG.info(
+                "compile_query tier=interp (walk-heavy: %d enum + %d rebuild)",
+                enums, rebuilds,
+            )
+            return _interp_tier(node)
     _TIER.last = "staged"
     return compile_stream(node)

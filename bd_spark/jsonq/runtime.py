@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bd_spark.jsonq import parser
+from bd_spark.jsonq import compiler, parser
 from bd_spark.jsonq.compiler import compile_query
 
 
@@ -151,6 +151,7 @@ class JsonQ:
                 session_token(stream.sparkSession),
                 query,
                 ordered,
+                compiler.TIER_OVERRIDE,  # tier-pinning tests
                 stream.schema.simpleString(),
                 stream._jdf.queryExecution().logical().semanticHash(),
             )

@@ -827,10 +827,12 @@ def test_fused_paths_dict_matches_interp(spark):
     staged enumeration union — values must equal the interp on
     mixed-depth docs (shallow native lane, deep Arrow lane, scalars,
     empties), and a NON-head paths (piped after a transform) must
-    not be fused (still correct)."""
+    not be fused (still correct). TIER_OVERRIDE pins the staged
+    tier: the r11 cost router would otherwise send these walk-heavy
+    programs to the interp, comparing the interp against itself."""
     import json as _json
 
-    from bd_spark.jsonq import interp, parser
+    from bd_spark.jsonq import compiler, interp, parser
     from bd_spark.jsonq.runtime import JsonQ
 
     docs = [
@@ -849,18 +851,23 @@ def test_fused_paths_dict_matches_interp(spark):
         # NOT fused (paths after a pipe stage) — correctness only
         '{q: ([{w: .} | paths] | length), n: (foreach paths as $x (0; . + 1))}',
     ]
-    for q in queries:
-        sp = jq.run_texts(q, docs)
-        it = [
-            e
-            for d in docs
-            for e in interp.run(parser.parse(q), _json.loads(d))
-        ]
-        assert len(sp) == len(it), q
-        for (sv, se), (iv, ie) in zip(sp, it):
-            assert (se is None) == (ie is None), (q, se, ie)
-            if se is None:
-                assert sv == iv, (q, sv, iv)
+    compiler.TIER_OVERRIDE = "staged"
+    try:
+        for q in queries:
+            sp = jq.run_texts(q, docs)
+            assert compiler.last_tier() == "staged", q
+            it = [
+                e
+                for d in docs
+                for e in interp.run(parser.parse(q), _json.loads(d))
+            ]
+            assert len(sp) == len(it), q
+            for (sv, se), (iv, ie) in zip(sp, it):
+                assert (se is None) == (ie is None), (q, se, ie)
+                if se is None:
+                    assert sv == iv, (q, sv, iv)
+    finally:
+        compiler.TIER_OVERRIDE = None
 
 
 def test_generator_pipe_paths_right_side(spark):
