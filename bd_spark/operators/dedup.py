@@ -32,9 +32,17 @@ from pyspark.sql import functions as F
 from bd_spark.catalog import rebalance
 from bd_spark.operators.hashing import (
     P31, h31, h60, horner_window, lit_longs, minhash_coefficients,
-    poly_hashes_from_codes, str_codes,
+    poly_gram_hashes, poly_hashes_from_codes, str_codes,
 )
 from bd_spark.operators.text import char_ngrams, let1, tokens, word_shingles
+
+# Gram-hash scheme of ghash columns (ngram_jaccard_pairs,
+# build_dedup_index, and every DedupIndexStore version): "poly31" =
+# hashing.poly_gram_hashes (P31 polynomial over codepoints). Persisted
+# stores stamp this per version; probing a store built under another
+# scheme is rejected at read() (silent empty joins otherwise).
+_GRAM_HASH_SCHEME = "poly31"
+
 
 def _verify_parallelism(df: DataFrame) -> int:
     """Partition count for CPU-heavy verify stages (exact Jaccard
@@ -543,11 +551,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     Every shuffle is on (block, hash) or id — uniform keys; frequent
     grams never enter the join.
     """
+    # r11: POLYNOMIAL per-position gram hash (hashing.poly_gram_hashes,
+    # DuckDB twin poly_gram_hash_duckdb) — same distinct-hash-set
+    # semantics as the old h31(md5(gram)) form (measured identical
+    # entry counts at sf0.1), but the generated code is ~5x smaller:
+    # the md5 tree's FIRST execution paid ~2.5 s of Janino compile
+    # (3.2 s cold vs 0.4 s warm for the same pass), which was most of
+    # this operator's >10 s cold rows.
     docs = rebalance(df).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         F.array_distinct(
-            F.transform(F.array_distinct(char_ngrams(F.col(text_col), n)), h31)
+            poly_gram_hashes(F.lower(F.trim(F.col(text_col))), n)
         ).alias("ghash"),
     ).persist()
     e = docs.select(
@@ -796,10 +811,12 @@ def build_dedup_index(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         F.md5(F.col(text_col)).alias("content_hash"),
+        # polynomial gram hash — keep in lockstep with
+        # ngram_jaccard_pairs (r11; see the comment there). Persisted
+        # indexes carry these values on disk: DedupIndexStore's
+        # FORMAT version gates stale stores.
         F.array_distinct(
-            F.transform(
-                F.array_distinct(char_ngrams(F.col(text_col), n)), h31
-            )
+            poly_gram_hashes(F.lower(F.trim(F.col(text_col))), n)
         ).alias("ghash"),
     )
 
@@ -1147,6 +1164,10 @@ class DedupIndexStore:
             "version": new_v, "index_v": vi, "freq_v": vf,
             "prefix_v": vp, "n": n, "threshold": threshold,
             "block_cols": list(block_cols), "ts": time.time(),
+            # gram-hash scheme stamp: persisted ghash values must be
+            # probed with the SAME hash (r11 switched md5-h31 -> the
+            # polynomial gram hash); read() rejects other schemes
+            "gram_hash": _GRAM_HASH_SCHEME,
         })
         m["current"] = new_v
         self._commit_manifest(m)
@@ -1163,6 +1184,14 @@ class DedupIndexStore:
         )
         if entry is None:
             raise ValueError(f"version {v} not in store")
+        scheme = entry.get("gram_hash", "md5h31")
+        if scheme != _GRAM_HASH_SCHEME:
+            raise ValueError(
+                f"store version {v} was built with gram-hash scheme "
+                f"{scheme!r}; this engine probes with "
+                f"{_GRAM_HASH_SCHEME!r} — rebuild the index (write a "
+                "new version) before running batches against it"
+            )
         return DedupIndexState(
             index=self._index.read(entry["index_v"]),
             freq=self._freq.read(entry["freq_v"]),
@@ -1224,8 +1253,12 @@ class DedupIndexStore:
         m["versions"] = keep_entries
         self._commit_manifest(m)  # manifest first: readers stop seeing
         # the dropped versions before any data disappears
-        kept = max(len({e["index_v"] for e in keep_entries}), 1)
-        self._index.vacuum(kept)
-        self._freq.vacuum(kept)
-        self._prefix.vacuum(kept)
+        # sub-stores vacuum by the EXPLICIT referenced-version sets
+        # (ADVICE r10): write() self-commits sub-versions before the
+        # parent manifest, so a crash can leave orphan sub-versions —
+        # count-based retention could keep an orphan and drop an older
+        # sub-version a kept parent entry still references
+        self._index.vacuum_keeping({e["index_v"] for e in keep_entries})
+        self._freq.vacuum_keeping({e["freq_v"] for e in keep_entries})
+        self._prefix.vacuum_keeping({e["prefix_v"] for e in keep_entries})
         return to_drop

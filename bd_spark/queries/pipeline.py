@@ -162,14 +162,17 @@ def pipe_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# verify twin: Jaccard over 31-bit-hashed gram sets, same h31 as Spark
+# verify twin: Jaccard over P31-polynomial-hashed gram sets — the
+# bit-identical DuckDB twin of hashing.poly_gram_hashes (r11; the
+# md5-h31 form's generated code paid ~2.5 s of first-exec compile)
 PIPE_DEDUP_NGRAM_SQL = f"""
 WITH g AS (
   SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
-         list_distinct([{_h31('x')} for x in
-           list_distinct([substr(s, i+1, 5)
-                          for i in range(greatest(length(s) - 4, 0))])]) AS grams
-  FROM (SELECT doc_id, lang, n_chars, lower(trim(text)) AS s FROM documents)
+         list_distinct([{poly_gram_hash_duckdb('cs', 5)}
+                        for i in range(greatest(len(cs) - 4, 0))]) AS grams
+  FROM (SELECT doc_id, lang, n_chars,
+               [unicode(ch) for ch in str_split(lower(trim(text)), '')] AS cs
+        FROM documents)
 )
 SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -211,10 +214,10 @@ PIPE_DEDUP_INCREMENTAL_SQL = f"""
 WITH base AS (
   SELECT doc_id, lang, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
          md5(text) AS content_hash,
-         list_distinct([{_h31('x')} for x in
-           list_distinct([substr(s, i+1, 5)
-                          for i in range(greatest(length(s) - 4, 0))])]) AS grams
-  FROM (SELECT doc_id, lang, n_chars, text, lower(trim(text)) AS s
+         list_distinct([{poly_gram_hash_duckdb('cs', 5)}
+                        for i in range(greatest(len(cs) - 4, 0))]) AS grams
+  FROM (SELECT doc_id, lang, n_chars, text,
+               [unicode(ch) for ch in str_split(lower(trim(text)), '')] AS cs
         FROM documents)
 ), corpus AS (
   SELECT * FROM base WHERE doc_id % 5 <> 0
@@ -285,15 +288,25 @@ def pipe_dedup_incremental_persisted(spark: SparkSession,
     key = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
     # fmt salt: bump when index/derivation semantics change, so a
     # stale on-disk store from an older code version is never reused
+    # (f2: r11 gram-hash scheme poly31 — the store's own gram_hash
+    # stamp would reject an f1 store loudly; the salt avoids even that)
     path = os.path.join(
-        tempfile.gettempdir(), f"bd_spark_dedup_index_f1_{key}_{stamp}"
+        tempfile.gettempdir(), f"bd_spark_dedup_index_f2_{key}_{stamp}"
     )
     store = dedup.DedupIndexStore(spark, path)
     if store.current_version() is None:
-        store.write(
-            corpus, "doc_id", "text", ["lang", "len_bucket"],
-            n=5, threshold=0.6,
-        )
+        try:
+            store.write(
+                corpus, "doc_id", "text", ["lang", "len_bucket"],
+                n=5, threshold=0.6,
+            )
+        except Exception:
+            # check-then-write race (ADVICE r10): a concurrent process
+            # won the first build and the loser's sub-store write
+            # failed on errorifexists — use the winner's committed
+            # state; re-raise only if nothing was committed
+            if store.current_version() is None:
+                raise
     return store.dedup_batch(shard, "doc_id", "text")
 
 

@@ -158,3 +158,31 @@ class VersionedStore:
         ]
         self._commit_manifest(m)
         return to_drop
+
+    def vacuum_keeping(self, keep_versions) -> list[int]:
+        """Drop data for every version NOT in ``keep_versions`` (the
+        current version is always kept). Callers holding an external
+        reference set — DedupIndexStore's parent manifest — use this
+        instead of count-based ``vacuum``: write() self-commits during
+        a parent transaction, so a crash between a sub-store write and
+        the parent commit leaves an ORPHAN sub-version; counting the
+        orphan against a keep budget could then drop an older version
+        a parent manifest still references (ADVICE r10). The manifest
+        commits BEFORE data removal, so a crash mid-vacuum leaves
+        orphan data, never dangling references."""
+        import shutil
+
+        m = self._load_manifest()
+        if m["current"] is None:
+            return []
+        keep = set(keep_versions) | {m["current"]}
+        to_drop = [
+            e["version"] for e in m["versions"] if e["version"] not in keep
+        ]
+        m["versions"] = [
+            e for e in m["versions"] if e["version"] in keep
+        ]
+        self._commit_manifest(m)
+        for v in to_drop:
+            shutil.rmtree(self._data_dir(v), ignore_errors=True)
+        return to_drop

@@ -141,6 +141,55 @@ def main() -> None:
                 print(f"# bench error {name}: {e}", file=sys.stderr)
                 break
         timings[name] = round(best, 3)
+    # per-row burst bands (VERDICT r10 next #2): interference on this
+    # box arrives in bursts that inflate a STRETCH of rows 3-7x, and 8
+    # sentinels cannot bracket 114 rows. bench_bands.json carries a
+    # warm floor per query (from the committed sentinel-clean records);
+    # any row whose min-of-reps exceeds factor*floor+slack re-runs
+    # ONCE in place, and rows still out of band are recorded as
+    # explicit burst_flags — a clean stamp now means every row is in
+    # band, not just the sentinels.
+    burst_flags: dict[str, dict] = {}
+    if sf == "0.1":
+        try:
+            here0 = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here0, "bench_bands.json")) as fh:
+                bands = json.load(fh)
+            factor, slack = bands["factor"], bands["slack"]
+            floors = bands["floors_sf01"]
+        except Exception:  # noqa: BLE001 — bands are best-effort
+            floors = {}
+        flagged = [
+            n for n, t in timings.items()
+            if n in floors and t > factor * floors[n] + slack
+        ]
+        # more than ~1/8 of the suite out of band = systemic
+        # contamination; re-running row by row would just measure the
+        # same burst again
+        if len(flagged) <= 16:
+            for n in flagged:
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                try:
+                    _force(qs[n](spark, sf_dir))
+                    dt = time.perf_counter() - t0
+                except Exception:  # noqa: BLE001
+                    continue
+                if dt < timings[n]:
+                    timings[n] = round(dt, 3)
+                if timings[n] > factor * floors[n] + slack:
+                    burst_flags[n] = {
+                        "warm": timings[n],
+                        "floor": floors[n],
+                        "band": round(factor * floors[n] + slack, 3),
+                    }
+        else:
+            for n in flagged:
+                burst_flags[n] = {
+                    "warm": timings[n],
+                    "floor": floors[n],
+                    "band": round(factor * floors[n] + slack, 3),
+                }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     # contamination check: sentinel warm floors out of band mean the
@@ -153,6 +202,9 @@ def main() -> None:
             ok = 0 <= got <= bound
             sentinels[n] = {"warm": got, "max": bound, "ok": ok}
             contaminated = contaminated or not ok
+        # a burst stretch wide enough to defeat per-row re-runs is
+        # window contamination even when no sentinel caught it
+        contaminated = contaminated or len(burst_flags) > 16
 
     full = {
         "metric": "headline_queries_total",
@@ -165,6 +217,7 @@ def main() -> None:
         "load_start": round(load_start, 2),
         "load_end": round(os.getloadavg()[0], 2),
         "sentinels": sentinels,
+        "burst_flags": burst_flags,
         "contaminated": contaminated,
     }
     here = os.path.dirname(os.path.abspath(__file__))

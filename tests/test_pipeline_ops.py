@@ -1123,3 +1123,69 @@ def test_dedup_index_store_batch_matches_inline(spark, tmp_path):
     with _pytest.raises(ValueError, match="threshold"):
         store.dedup_batch(shard, "doc_id", "text", threshold=0.4)
     spark.catalog.clearCache()
+
+
+def test_dedup_index_store_scheme_and_orphan_vacuum(spark, tmp_path):
+    """r11: (a) a store version stamped with a DIFFERENT gram-hash
+    scheme is refused at read() — probing poly31 hashes against
+    persisted md5-h31 values would silently produce empty joins;
+    (b) vacuum drops sub-store versions by the parent manifest's
+    EXPLICIT reference sets, so an orphan sub-version (crash between
+    a sub-store write and the parent commit) can never push a
+    still-referenced older sub-version out of a count-based keep
+    window (ADVICE r10)."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from bd_spark.operators import dedup
+
+    cols = ["doc_id", "text", "lang"]
+    corpus = spark.createDataFrame(
+        [(1, "some corpus text body one", "en"),
+         (2, "another corpus text body two", "en")], cols)
+    shard = spark.createDataFrame(
+        [(10, "some corpus text body one", "en")], cols)
+    store = dedup.DedupIndexStore(spark, str(tmp_path / "st"))
+    for _ in range(3):  # parent versions 0, 1, 2
+        store.write(corpus, "doc_id", "text", ["lang"], n=5, threshold=0.6)
+
+    # (a) scheme mismatch is a loud error
+    mpath = _os.path.join(str(tmp_path / "st"), "_state.json")
+    with open(mpath) as f:
+        m = _json.load(f)
+    assert all(e["gram_hash"] == "poly31" for e in m["versions"])
+    m["versions"][0]["gram_hash"] = "md5h31"
+    with open(mpath, "w") as f:
+        _json.dump(m, f)
+    with _pytest.raises(ValueError, match="gram-hash scheme"):
+        store.read(version=0)
+    m["versions"][0]["gram_hash"] = "poly31"
+    with open(mpath, "w") as f:
+        _json.dump(m, f)
+
+    # (b) orphan sub-version: simulate a crash that committed an
+    # index sub-version without a parent manifest entry
+    orphan_v = store._index.write(
+        dedup.build_dedup_index(corpus, "doc_id", "text", ["lang"], n=5)
+    )
+    assert orphan_v == 3
+    dropped = store.vacuum(keep=2)
+    assert dropped == [0]
+    # the still-referenced sub-versions (parent entries 1 and 2)
+    # survive even though the orphan inflated the sub-store's version
+    # count — count-based retention (keep newest 2) would have
+    # dropped sub-version 1 here
+    assert store._index.read(1) is not None
+    assert len(store.dedup_batch(shard, "doc_id", "text",
+                                 version=1).collect()) == 1
+    # the orphan is the sub-store's CURRENT version, so it is kept
+    # (harmless disk) until the next write+vacuum cycle supersedes it
+    store.write(corpus, "doc_id", "text", ["lang"], n=5, threshold=0.6)
+    store.vacuum(keep=2)
+    with _pytest.raises(ValueError):
+        store._index.read(orphan_v)
+    assert len(store.dedup_batch(shard, "doc_id", "text",
+                                 version=2).collect()) == 1
+    spark.catalog.clearCache()

@@ -63,6 +63,26 @@ def test_vacuum_keeps_current_and_window(spark, store):
         store.read(version=0)
 
 
+def test_vacuum_keeping_explicit_references(spark, store):
+    """vacuum_keeping (ADVICE r10): retention by an EXPLICIT
+    referenced-version set — an orphan newer version (e.g. left by a
+    crash between a sub-store write and a parent manifest commit)
+    must be dropped while an older but still-referenced version
+    survives; count-based vacuum would do the opposite."""
+    for i in range(4):  # versions 0..3; pretend a parent references 0, 3
+        store.write(spark.createDataFrame([(i, "x")], ["id", "val"]))
+    dropped = store.vacuum_keeping({0, 3})
+    assert sorted(dropped) == [1, 2]
+    assert _rows(store.read(version=0)) == [(0, "x")]
+    assert _rows(store.read(version=3)) == [(3, "x")]
+    with pytest.raises(ValueError):
+        store.read(version=1)
+    # the current version is always kept even when not referenced
+    dropped = store.vacuum_keeping(set())
+    assert sorted(dropped) == [0]
+    assert _rows(store.read()) == [(3, "x")]
+
+
 def test_streaming_ingest_commits_versions(spark, store, tmp_path):
     """Streaming -> store integration: a foreachBatch sink commits
     one append version per microbatch, so the store's history IS the
