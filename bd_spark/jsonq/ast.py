@@ -343,6 +343,14 @@ BUILTIN_ARITY = {
     "exp10": 0,
     "todate": 0,
     "fromdate": 0,
+    # broken-down UTC time quartet (jq manual: gmtime yields
+    # [year, month0, mday, hour, min, sec, wday0, yday0] in C struct
+    # tm field conventions — Sunday wday 0, 0-based yday)
+    "gmtime": 0,
+    "mktime": 0,
+    "strftime": 1,
+    "strptime": 1,
+    "delpaths": 1,
     "trim": 0,
     "ltrim": 0,
     "rtrim": 0,

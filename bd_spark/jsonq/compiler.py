@@ -51,6 +51,7 @@ ARG1_VALUE_BUILTINS = (
     "has", "in", "ltrimstr", "rtrimstr", "startswith", "endswith",
     "contains", "test", "join", "split", "getpath",
     "error", "index", "rindex", "indices",
+    "delpaths", "strftime", "strptime",
 )
 
 # generator builtins: multi-valued output, stream fan-out only
@@ -59,6 +60,15 @@ GENERATOR_BUILTINS = ("range", "paths", "leaf_paths", "scan", "splits",
 
 # arity-2 builtins whose arguments are both VALUE expressions
 ARG2_VALUE_BUILTINS = ("sub", "gsub", "pow")
+
+# builtins whose _col_builtin emission contains a pandas UDF: they
+# must never compile through the pure-column/packed lanes, whose
+# results can be spliced inside higher-order-function lambdas (Spark
+# rejects a Python UDF under transform/zip_with at analysis:
+# UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF). Stream/direct
+# staging keeps their emission at projection top level. (`del` is
+# handled separately: only int-segment paths emit the UDF.)
+UDF_EMITTING_BUILTINS = ("setpath", "delpaths", "strftime", "strptime")
 
 # arity-1 builtins whose argument is a lambda BODY applied per element
 HOF_BUILTINS = (
@@ -284,6 +294,11 @@ def compile_col(node: ast.Node) -> ColFn | None:
             except NotImplementedError:
                 return None
         if node.name == "del":
+            from bd_spark.jsonq.parser import static_path
+
+            segs = static_path(node.args[0])
+            if segs and any(not isinstance(s, str) for s in segs):
+                return None  # int segments emit the del-path pandas UDF
             return _compile_del(node)
         if node.name == "getpath" and len(node.args) == 1:
             # static-path fast lane (r6 VERDICT wrong #1): a literal
@@ -298,6 +313,8 @@ def compile_col(node: ast.Node) -> ColFn | None:
                 return lambda v: _col_getpath_static(v, segs)
         if node.name in GENERATOR_BUILTINS:
             return None  # generators need stream fan-out
+        if node.name in UDF_EMITTING_BUILTINS:
+            return None  # pandas UDF — illegal inside HOF lambdas
         if node.name == "capture":
             return _compile_capture(node)
         if node.name == "until":
@@ -775,18 +792,18 @@ _KIND_NUM_BUILTINS = (
     "length", "utf8bytelength", "tonumber", "floor", "ceil", "sqrt",
     "fabs", "abs",
     "round", "pow", "log", "log2", "log10", "exp", "exp2", "exp10",
-    "fromdate",
+    "fromdate", "mktime",
 )
 _KIND_STR_BUILTINS = (
     "tostring", "ascii_downcase", "ascii_upcase", "sub", "gsub",
     "implode", "join", "tojson",
-    "todate", "trim", "ltrim", "rtrim",
+    "todate", "trim", "ltrim", "rtrim", "strftime",
     "@html", "@uri", "@csv", "@tsv", "@base64", "@base64d",
 )
 _KIND_ARR_BUILTINS = (
     "keys", "chars", "explode", "to_entries", "sort", "unique",
     "map", "sort_by", "flatten",
-    "indices", "transpose",
+    "indices", "transpose", "gmtime", "strptime",
 )
 _KIND_BOOL_BUILTINS = (
     "test", "startswith", "endswith", "contains", "has", "in", "not",
@@ -1446,6 +1463,132 @@ def _col_setpath(v: Column, p: CV, nv: CV) -> CV:
     )
 
 
+_DELPATHS_UDF = None
+
+
+def _col_delpaths(v: Column, ps: CV) -> CV:
+    """`delpaths(ps)` — multi-path delete via the shared
+    interp.del_path walker (Arrow-batched, like setpath): paths are
+    deleted in reverse canonical order so earlier deletions cannot
+    shift later targets. Same emission pattern as _col_setpath."""
+    global _DELPATHS_UDF
+    if _DELPATHS_UDF is None:
+
+        def delps(docs, pss):
+            import json as js
+
+            import pandas as pd
+
+            from bd_spark.jsonq.interp import (
+                _order_key, _tname, del_path,
+            )
+
+            outs_j: list[str] = []
+            outs_e: list[str | None] = []
+            for d, pvj in zip(docs, pss):
+                try:
+                    pv = js.loads(pvj)
+                    if not isinstance(pv, list) or any(
+                        not isinstance(p, list) for p in pv
+                    ):
+                        raise ValueError(
+                            "delpaths arg must be array of paths,"
+                            f" got {_tname(pv)}"
+                        )
+                    cur = js.loads(d)
+                    for p in sorted(
+                        pv,
+                        key=lambda p: [_order_key(x) for x in p],
+                        reverse=True,
+                    ):
+                        cur = None if not p else del_path(cur, p)
+                    outs_j.append(
+                        js.dumps(
+                            cur, separators=(",", ":"), sort_keys=True
+                        )
+                    )
+                    outs_e.append(None)
+                except ValueError as ex:
+                    outs_j.append("null")
+                    outs_e.append(str(ex))
+            return pd.DataFrame({"j": outs_j, "e": outs_e})
+
+        _DELPATHS_UDF = F.pandas_udf(
+            delps, "j string, e string", F.PandasUDFType.SCALAR
+        )
+    r = _DELPATHS_UDF(V.vjson(v), V.vjson(ps.v))
+    err = _merge_err(ps.err, F.when(r["e"].isNotNull(), r["e"]))
+    return CV(
+        F.when(err.isNotNull(), V.vnull()).otherwise(F.parse_json(r["j"])),
+        err,
+    )
+
+
+_STRFTIME_UDF = None
+_STRPTIME_UDF = None
+
+
+def _col_strf(name: str, v: Column, fmt: CV) -> CV:
+    """`strftime(fmt)` / `strptime(fmt)` — CPython's C-dialect
+    strftime/strptime on Arrow batches (interp.strftime_jq /
+    strptime_jq are the single shared implementations, so both
+    engine tiers format identically). Arbitrary format strings rule
+    out a static Catalyst translation; the per-row payload is one
+    scalar, so the Arrow round-trip is cheap."""
+    global _STRFTIME_UDF, _STRPTIME_UDF
+    if _STRFTIME_UDF is None:
+
+        def _mk(fn_name):
+            def run(vals, fmts):
+                import json as js
+
+                import pandas as pd
+
+                from bd_spark.jsonq import interp as it
+
+                fn = (
+                    it.strftime_jq if fn_name == "strftime"
+                    else it.strptime_jq
+                )
+                outs_j: list[str] = []
+                outs_e: list[str | None] = []
+                for val, fm in zip(vals, fmts):
+                    try:
+                        fv = js.loads(fm)
+                        if not isinstance(fv, str):
+                            raise ValueError(
+                                f"{fn_name} format must be string,"
+                                f" got {it._tname(fv)}"
+                            )
+                        res = fn(js.loads(val), fv)
+                        outs_j.append(
+                            js.dumps(
+                                res,
+                                separators=(",", ":"),
+                                sort_keys=True,
+                            )
+                        )
+                        outs_e.append(None)
+                    except ValueError as ex:
+                        outs_j.append("null")
+                        outs_e.append(str(ex))
+                return pd.DataFrame({"j": outs_j, "e": outs_e})
+
+            return F.pandas_udf(
+                run, "j string, e string", F.PandasUDFType.SCALAR
+            )
+
+        _STRFTIME_UDF = _mk("strftime")
+        _STRPTIME_UDF = _mk("strptime")
+    udf = _STRFTIME_UDF if name == "strftime" else _STRPTIME_UDF
+    r = udf(V.vjson(v), V.vjson(fmt.v))
+    err = _merge_err(fmt.err, F.when(r["e"].isNotNull(), r["e"]))
+    return CV(
+        F.when(err.isNotNull(), V.vnull()).otherwise(F.parse_json(r["j"])),
+        err,
+    )
+
+
 _PATHS_UDF = {}
 
 
@@ -1756,6 +1899,10 @@ def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
         return _col_getpath(v, args[0])
     if name == "setpath":
         return _col_setpath(v, args[0], args[1])
+    if name == "delpaths":
+        return _col_delpaths(v, args[0])
+    if name in ("strftime", "strptime"):
+        return _col_strf(name, v, args[0])
     if name == "length":
         t = V.vtype(v)
         out = (
@@ -1909,6 +2056,75 @@ def _col_builtin(name: str, v: Column, args: list[CV]) -> CV:
             V.vlong(ts.cast("long")),
             F.concat(F.lit("fromdate on "), t),
             False,
+        )
+
+    if name == "gmtime":
+        # epoch seconds (number) -> broken-down UTC time array
+        # [year, month0, mday, hour, min, sec, wday0, yday0] (C struct
+        # tm conventions; interp.gm_broken_down is the oracle twin).
+        # All-native: session tz is UTC (catalog contract), so the
+        # Spark date fields ARE the UTC fields; Spark dayofweek is
+        # Sunday=1 (C wday is Sunday=0), dayofyear is 1-based.
+        t = V.vtype(v)
+        secs = V.as_double(v)
+        isint = t == "int"
+
+        def _bd(ts: Column) -> Column:
+            frac = secs - F.floor(secs)
+            sec = F.when(
+                isint | (frac == F.lit(0.0)),
+                V.vlong(F.second(ts).cast("long")),
+            ).otherwise(V.vdouble(F.second(ts) + frac))
+            return V.varray(F.array(
+                V.vlong(F.year(ts).cast("long")),
+                V.vlong((F.month(ts) - 1).cast("long")),
+                V.vlong(F.dayofmonth(ts).cast("long")),
+                V.vlong(F.hour(ts).cast("long")),
+                V.vlong(F.minute(ts).cast("long")),
+                sec,
+                V.vlong((F.dayofweek(ts) - 1).cast("long")),
+                V.vlong((F.dayofyear(ts) - 1).cast("long")),
+            ))
+
+        out = V.vlet(
+            F.timestamp_seconds(F.floor(secs).cast("long")), _bd
+        )
+        return _guarded(
+            V.is_number(t), out, F.concat(F.lit("gmtime on "), t), False
+        )
+
+    if name == "mktime":
+        # broken-down UTC array -> epoch seconds; wday/yday ignored
+        # (jq). Malformed array (wrong type / < 6 numeric heads) and
+        # out-of-range fields both error — the range dialect matches
+        # interp.mk_epoch exactly (try_make_timestamp nulls on
+        # overflow where C mktime would normalize; year clamped to
+        # Python datetime's 1..9999 so the tiers agree). Native:
+        # make_timestamp in the UTC session renders UTC wall time.
+        t = V.vtype(v)
+        arr = V.as_array(v)
+        shape_ok = (t == "array") & (F.size(arr) >= 6) & F.forall(
+            F.slice(arr, 1, 6), lambda x: V.is_number(V.vtype(x))
+        )
+
+        def _ep(a: Column) -> Column:
+            g = lambda i: F.floor(V.as_double(a[i])).cast("int")  # noqa: E731
+            y = g(0)
+            ts = F.try_make_timestamp(
+                y, g(1) + 1, g(2), g(3), g(4),
+                F.floor(V.as_double(a[5])).cast("decimal(16,6)"),
+            )
+            return F.when(
+                (y >= 1) & (y <= 9999), F.unix_timestamp(ts)
+            )
+
+        epl = F.when(shape_ok, V.vlet(arr, _ep))
+        err = F.when(
+            ~shape_ok, F.lit("mktime requires array of 6 numbers")
+        ).when(epl.isNull(), F.lit("mktime: time out of range"))
+        return CV(
+            F.when(err.isNotNull(), V.vnull()).otherwise(V.vlong(epl)),
+            err,
         )
 
     if name in ("trim", "ltrim", "rtrim"):
@@ -3793,6 +4009,11 @@ def compile_packed(node: ast.Node) -> PFn | None:  # noqa: PLR0911, PLR0912
                 return None
             return lambda p: _pk_chain(p, cf)
         if name == "del":
+            from bd_spark.jsonq.parser import static_path
+
+            segs = static_path(node.args[0])
+            if segs and any(not isinstance(s, str) for s in segs):
+                return None  # int segments emit the del-path pandas UDF
             cf = _compile_del(node)
             return lambda p: _pk_chain(p, cf)
         if name == "getpath" and len(node.args) == 1:
@@ -3807,6 +4028,8 @@ def compile_packed(node: ast.Node) -> PFn | None:  # noqa: PLR0911, PLR0912
                 )
         if name in GENERATOR_BUILTINS:
             return None  # generators
+        if name in UDF_EMITTING_BUILTINS:
+            return None  # pandas UDF — illegal inside HOF lambdas
         if name == "capture":
             try:
                 cf = _compile_capture(node)
@@ -4977,6 +5200,8 @@ def _plan_direct_raw(
                 return None
             acv, ad, _ = arg
             cv = _col_builtin(node.name, inp.v, [acv])
+            if node.name in ("delpaths", "strftime", "strptime"):
+                plan.no_lateral = True  # pandas-UDF emission (setpath rule)
             return _pemit(plan, cv, inp.err, name, max(ad, in_depth))
         if node.name in ARG2_VALUE_BUILTINS:
             a0 = _plan_direct(plan, node.args[0], None, inp, in_depth, cse)
@@ -6402,7 +6627,7 @@ def _walk_heavy_score(node: object) -> tuple[int, int]:
     if isinstance(node, ast.Builtin):
         if node.name in ("paths", "leaf_paths"):
             enums += 1
-        elif node.name == "setpath":
+        elif node.name in ("setpath", "delpaths"):
             rebuilds += 1
     elif isinstance(node, ast.Assign):
         rebuilds += 1

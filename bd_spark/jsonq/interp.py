@@ -716,6 +716,106 @@ def del_path(cur: object, keys: list) -> object:
     raise ValueError(f"del: bad path key {_tname(k)}")
 
 
+def gm_broken_down(secs: object) -> list:
+    """jq `gmtime`: epoch seconds -> broken-down UTC time
+    [year, month0, mday, hour, min, sec, wday, yday] in C struct tm
+    conventions (Sunday wday 0, 0-based yday; jq manual examples:
+    1425599507 -> [2015,2,5,23,51,47,4,63]). Fractional input keeps
+    its fraction in the sec field, like jq."""
+    import time as _time
+
+    ip = int(secs // 1)
+    frac = secs - ip
+    st = _time.gmtime(ip)
+    sec: object = st.tm_sec + frac if frac else st.tm_sec
+    return [
+        st.tm_year, st.tm_mon - 1, st.tm_mday, st.tm_hour, st.tm_min,
+        sec, (st.tm_wday + 1) % 7, st.tm_yday - 1,
+    ]
+
+
+def mk_epoch(bd: object) -> int:
+    """jq `mktime`: broken-down UTC time array -> epoch seconds.
+    Requires an array of >= 6 numbers (wday/yday are ignored, like
+    jq); raises ValueError otherwise. Dialect: out-of-range fields
+    (month 13, mday 32, hour 25...) are an error on BOTH engine
+    tiers, where C mktime would normalize — documented deviation,
+    keeps the native Catalyst lane (try_make_timestamp) and this
+    oracle twin exactly aligned."""
+    import calendar
+
+    if (
+        not isinstance(bd, list)
+        or len(bd) < 6
+        or any(
+            not (isinstance(x, (int, float)) and not isinstance(x, bool))
+            for x in bd[:6]
+        )
+    ):
+        raise ValueError("mktime requires array of 6 numbers")
+    y, mo, d, h, mi, s = (int(x) for x in bd[:6])
+    if not (
+        0 <= mo <= 11 and 1 <= d <= 31 and 0 <= h <= 23
+        and 0 <= mi <= 59 and 0 <= s <= 59
+    ):
+        raise ValueError("mktime: time out of range")
+    try:
+        ep = calendar.timegm((y, mo + 1, d, h, mi, s, 0, 1, 0))
+    except (ValueError, OverflowError):
+        raise ValueError("mktime: time out of range") from None
+    # mday past the month's end (Feb 30): timegm silently rolls over;
+    # reject by round-tripping the date
+    import time as _time
+
+    if _time.gmtime(ep)[2] != d:
+        raise ValueError("mktime: time out of range")
+    return ep
+
+
+def strftime_jq(v: object, fmt: str) -> str:
+    """jq `strftime(fmt)`: format a time (UTC) — input is epoch
+    seconds or a broken-down array (gmtime's shape, whose wday/yday
+    feed %A/%j). CPython's strftime supplies the C format dialect."""
+    import time as _time
+
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return _time.strftime(fmt, _time.gmtime(int(v // 1)))
+    if isinstance(v, list):
+        bd = v + [0] * (8 - len(v)) if len(v) < 8 else v
+        if any(
+            not (isinstance(x, (int, float)) and not isinstance(x, bool))
+            for x in bd[:8]
+        ):
+            raise ValueError("strftime requires parsed datetime inputs")
+        y, mo, d, h, mi, s, wd, yd = (int(x) for x in bd[:8])
+        # C wday (Sunday 0) -> Python struct_time wday (Monday 0);
+        # C yday 0-based -> Python 1-based
+        st = _time.struct_time(
+            (y, mo + 1, d, h, mi, s, (wd - 1) % 7, yd + 1, 0)
+        )
+        return _time.strftime(fmt, st)
+    raise ValueError(f"strftime on {_tname(v)}")
+
+
+def strptime_jq(v: object, fmt: str) -> list:
+    """jq `strptime(fmt)`: parse a datetime string into the
+    broken-down array (gmtime's shape); errors on mismatch."""
+    import time as _time
+
+    if not isinstance(v, str):
+        raise ValueError(f"strptime on {_tname(v)}")
+    try:
+        st = _time.strptime(v, fmt)
+    except ValueError:
+        raise ValueError(
+            f"date {v!r} does not match format {fmt!r}"
+        ) from None
+    return [
+        st.tm_year, st.tm_mon - 1, st.tm_mday, st.tm_hour, st.tm_min,
+        st.tm_sec, (st.tm_wday + 1) % 7, st.tm_yday - 1,
+    ]
+
+
 def all_paths(v: object, leaf_only: bool = False) -> list[list]:
     """Every path below the root, document order with the engine's
     sorted-object-key convention (matches `.[]` / `..`)."""
@@ -869,6 +969,45 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
                     out.append((set_path(v, pv, nv), None))
                 except ValueError as ex:
                     out.append(_err(str(ex)))
+        return out
+    if name == "delpaths":
+        out = []
+        for pv, pe in _eval(args[0], v):
+            if pe is not None:
+                out.append((None, pe))
+                continue
+            if not isinstance(pv, list) or any(
+                not isinstance(p, list) for p in pv
+            ):
+                out.append(
+                    _err(
+                        "delpaths arg must be array of paths,"
+                        f" got {_tname(pv)}"
+                    )
+                )
+                continue
+            # jq: delete in reverse canonical order so earlier
+            # deletions cannot shift what later paths refer to
+            cur = v
+            try:
+                # elementwise key, NOT _order_key: its container
+                # fallback is canonical-text order, where ["a",10]
+                # sorts before ["a",9] and same-array index deletes
+                # would shift each other
+                for p in sorted(
+                    pv,
+                    key=lambda p: [_order_key(x) for x in p],
+                    reverse=True,
+                ):
+                    if not p:
+                        # root path: jq's root deletion yields null
+                        # (symmetric with setpath([]; x) root replace)
+                        cur = None
+                    else:
+                        cur = del_path(cur, p)
+                out.append((cur, None))
+            except ValueError as ex:
+                out.append(_err(str(ex)))
         return out
     if name in ("paths", "leaf_paths"):
         return [(p, None) for p in all_paths(v, name == "leaf_paths")]
@@ -1159,6 +1298,33 @@ def _builtin(name: str, args: tuple[ast.Node, ...], v: object) -> list[Entry]:  
         except ValueError:
             return [_err(f"fromdate on {_tname(v)}")]
         return [(calendar.timegm(st), None)]
+    if name == "gmtime":
+        if not _is_num(v):
+            return [_err(f"gmtime on {_tname(v)}")]
+        return [(gm_broken_down(v), None)]
+    if name == "mktime":
+        try:
+            return [(mk_epoch(v), None)]
+        except ValueError as ex:
+            return [_err(str(ex))]
+    if name in ("strftime", "strptime"):
+        outs = []
+        for a, ae in _eval(args[0], v):
+            if ae is not None:
+                outs.append((None, ae))
+                continue
+            if not isinstance(a, str):
+                outs.append(_err(f"{name} format must be string,"
+                                 f" got {_tname(a)}"))
+                continue
+            try:
+                if name == "strftime":
+                    outs.append((strftime_jq(v, a), None))
+                else:
+                    outs.append((strptime_jq(v, a), None))
+            except ValueError as ex:
+                outs.append(_err(str(ex)))
+        return outs
     if name in ("trim", "ltrim", "rtrim"):
         import re as _re
 

@@ -195,8 +195,22 @@ def static_path(node: ast.Node) -> tuple | None:
 # evaluate through the interp tier (compiler._INTERP_TIER_NODES).
 _PRELUDE_SRC = """
 def values: select(. != null);
+def nulls: select(type == "null");
+def booleans: select(type == "boolean");
+def numbers: select(type == "number");
+def strings: select(type == "string");
+def arrays: select(type == "array");
+def objects: select(type == "object");
+def iterables: select(type == "array" or type == "object");
+def scalars: select(type != "array" and type != "object");
 def trimstr(s): ltrimstr(s) | rtrimstr(s);
 def keys_unsorted: keys;
+def todateiso8601: todate;
+def fromdateiso8601: fromdate;
+def combinations: if length == 0 then []
+                  else .[0][] as $x
+                       | (.[1:] | combinations) as $w
+                       | [$x] + $w end;
 def walk(f): if type == "object" or type == "array"
              then map_values(walk(f)) else . end | f;
 def recurse(f): .[., (f | recurse(f))];

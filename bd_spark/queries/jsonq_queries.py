@@ -921,6 +921,71 @@ FROM (
 """
 
 
+def jq_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broken-down-time quartet (r11, beyond-reference jq):
+    `gmtime` to the C-struct-tm array (all-native Catalyst date
+    fields in the UTC session), `mktime` back (native
+    try_make_timestamp, range-checked), and `strftime`/`strptime`
+    with arbitrary C-dialect format strings (Arrow-batched pandas
+    UDF over interp.strftime_jq — one scalar per row). One row-local
+    projection chain, zero shuffle; the interp implementations are
+    the differential twins."""
+    ev = table(spark, "events", sf_dir).select("event_id", "props")
+    jq = JsonQ(spark)
+    stream = jq.stream_from_table(ev)
+    out = jq.run(
+        ". as $e | (.props | fromjson | .k) as $k"
+        " | (1704067200 + ($k * 7919)) as $t"
+        " | ($t | gmtime) as $bd"
+        " | {id: $e.event_id,"
+        "    y: ($bd | .[0]), mo: ($bd | .[1]), d: ($bd | .[2]),"
+        "    wd: ($bd | .[6]), yd: ($bd | .[7]),"
+        "    rt: ($bd | mktime),"
+        '    lbl: ($t | strftime("%A %j")),'
+        "    iso: ($t | todateiso8601),"
+        '    pe: ($t | todate | strptime("%Y-%m-%dT%H:%M:%SZ")'
+        "         | mktime)}",
+        stream,
+        ordered=False,
+    )
+    return out.select(
+        F.try_variant_get("v", "$.id", "long").alias("id"),
+        F.try_variant_get("v", "$.y", "long").alias("y"),
+        F.try_variant_get("v", "$.mo", "long").alias("mo"),
+        F.try_variant_get("v", "$.d", "long").alias("d"),
+        F.try_variant_get("v", "$.wd", "long").alias("wd"),
+        F.try_variant_get("v", "$.yd", "long").alias("yd"),
+        F.try_variant_get("v", "$.rt", "long").alias("rt"),
+        F.try_variant_get("v", "$.lbl", "string").alias("lbl"),
+        F.try_variant_get("v", "$.iso", "string").alias("iso"),
+        F.try_variant_get("v", "$.pe", "long").alias("pe"),
+    )
+
+
+JQ_DATETIME_SQL = """
+WITH p AS (
+  SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), t AS (
+  SELECT event_id, 1704067200 + k * 7919 AS ts FROM p
+), d AS (
+  SELECT event_id, ts, timezone('UTC', to_timestamp(ts)) AS tu FROM t
+)
+SELECT event_id AS id,
+       CAST(year(tu) AS BIGINT) AS y,
+       CAST(month(tu) - 1 AS BIGINT) AS mo,
+       CAST(day(tu) AS BIGINT) AS d,
+       CAST(dayofweek(tu) AS BIGINT) AS wd,
+       CAST(dayofyear(tu) - 1 AS BIGINT) AS yd,
+       ts AS rt,
+       strftime(tu, '%A %j') AS lbl,
+       strftime(tu, '%Y-%m-%dT%H:%M:%SZ') AS iso,
+       ts AS pe
+FROM d
+"""
+
+
 QUERIES = {
     "jq_props_k": jq_props_k,
     "jq_token_count": jq_token_count,
@@ -946,6 +1011,7 @@ QUERIES = {
     "jq_defs": jq_defs,
     "jq_interp_recurse": jq_interp_recurse,
     "jq_tostream": jq_tostream,
+    "jq_datetime": jq_datetime,
 }
 
 ORACLES = {
@@ -973,4 +1039,5 @@ ORACLES = {
     "jq_defs": JQ_DEFS_SQL,
     "jq_interp_recurse": JQ_INTERP_RECURSE_SQL,
     "jq_tostream": JQ_TOSTREAM_SQL,
+    "jq_datetime": JQ_DATETIME_SQL,
 }

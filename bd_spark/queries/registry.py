@@ -179,6 +179,7 @@ EXTRA = [
     "jq_tostream",             # tostream/fromstream event round-trip (r8)
     "pipe_dedup_incremental",  # cross-shard dedup vs fingerprint index (r9)
     "pipe_dedup_incremental_persisted",  # O(shard) batch vs committed state (r10)
+    "jq_datetime",             # gmtime/mktime/strftime/strptime quartet (r11)
 ]
 
 # Benched every round but deliberately oracle-free: sketch outputs are

@@ -586,6 +586,45 @@ CORPUS = [
     ("map(select(.ok) | .n)", '[{"ok": true, "n": 1}, {"ok": false, "n": 2}]',
      [[1]]),
     ("map(.x?)", '[{"x": 1}, {"y": 2}]', [[1]]),  # `?` drops inside map too
+    # broken-down time quartet (r11; jq manual examples — gmtime's
+    # array is C struct tm order [Y, mon0, mday, H, M, S, wday0, yday0])
+    ("gmtime", "1425599507", [[2015, 2, 5, 23, 51, 47, 4, 63]]),
+    ("gmtime", "0", [[1970, 0, 1, 0, 0, 0, 4, 0]]),
+    ("gmtime | mktime", "1425599507", [1425599507]),
+    ("mktime", "[2015, 2, 5, 23, 51, 47]", [1425599507]),
+    ("mktime", "[2015, 2, 5, 23, 51, 47, 4, 63]", [1425599507]),
+    ('strftime("%Y-%m-%dT%H:%M:%SZ")', "1425599507",
+     ["2015-03-05T23:51:47Z"]),
+    # wday/yday in the array feed %A / %j
+    ('strftime("%A %j")', "[2015, 2, 5, 23, 51, 47, 4, 63]",
+     ["Thursday 064"]),
+    ('strptime("%Y-%m-%dT%H:%M:%SZ")', '"2015-03-05T23:51:47Z"',
+     [[2015, 2, 5, 23, 51, 47, 4, 63]]),
+    ('strptime("%Y-%m-%dT%H:%M:%SZ") | mktime', '"2015-03-05T23:51:47Z"',
+     [1425599507]),
+    ("todateiso8601", "1425599507", ["2015-03-05T23:51:47Z"]),
+    ("fromdateiso8601", '"2015-03-05T23:51:47Z"', [1425599507]),
+    # delpaths (r11): reverse canonical delete order keeps
+    # same-array index deletes from shifting each other
+    ('delpaths([["a","b"],["d"]])', '{"a":{"b":1,"c":2},"d":3}',
+     [{"a": {"c": 2}}]),
+    ("delpaths([[0],[2]])", "[10,20,30]", [[20]]),
+    ("delpaths([[0,0],[0,1]])", "[[1,2],[3,4]]", [[[], [3, 4]]]),
+    ('delpaths([["x"],["a","z"]])', '{"a":{"b":1}}', [{"a": {"b": 1}}]),
+    ("delpaths([])", '{"a":1}', [{"a": 1}]),
+    # type-filter prelude defs (jq stdlib)
+    ("[.[] | numbers]", '[1,"a",null,true,[2],{"b":1},2.5]', [[1, 2.5]]),
+    ("[.[] | strings]", '[1,"a",null,"b"]', [["a", "b"]]),
+    ("[.[] | nulls]", '[1,null,2]', [[None]]),
+    ("[.[] | booleans]", '[1,true,false,"x"]', [[True, False]]),
+    ("[.[] | arrays]", '[[1],{"a":2},3]', [[[1]]]),
+    ("[.[] | objects]", '[[1],{"a":2},3]', [[{"a": 2}]]),
+    ("[.[] | iterables]", '[[1],{"a":2},3,"s"]', [[[1], {"a": 2}]]),
+    ("[.[] | scalars]", '[[1],{"a":2},3,"s",null]', [[3, "s", None]]),
+    # combinations (jq stdlib; self-recursive def -> interp tier)
+    ("[combinations]", "[[1,2],[3,4]]",
+     [[[1, 3], [1, 4], [2, 3], [2, 4]]]),
+    ("[combinations]", "[]", [[[]]]),
 ]
 
 
