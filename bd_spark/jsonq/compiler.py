@@ -6616,32 +6616,61 @@ _INTERP_TIER_NODES = 300
 TIER_OVERRIDE: str | None = None
 
 
-def _walk_heavy_score(node: object) -> tuple[int, int]:
-    """(enumerations, rebuilds) count of whole-document-walk operations:
-    enumerations = `paths`/`leaf_paths` builtins, rebuilds = static- or
-    dynamic-path assignment/setpath nodes. Drives the cost-based tier
-    choice in compile_query — see the routing comment there."""
+# array ops whose staged emission evaluates a lambda (or a variant
+# comparator) per ELEMENT as CodegenFallback — the per-element
+# interpreted-variant tax the r11 tier probe measured (see
+# _walk_heavy_score and the routing comment in compile_query)
+_HOF_SIGNAL_BUILTINS = frozenset((
+    "map", "any", "all", "sort", "unique",
+    "sort_by", "unique_by", "group_by", "min_by", "max_by",
+))
+
+
+def _walk_heavy_score(node: object) -> tuple[int, int, int, int]:
+    """(enumerations, rebuilds, hofs, collects) — the cost signals of
+    per-row interpreted work that drives the tier choice in
+    compile_query:
+      enumerations — `paths`/`leaf_paths` whole-document walks;
+      rebuilds     — setpath/delpaths builtins and `del`/`|=`/`=`
+                     assignment nodes (whole-document rewrites);
+      hofs         — _HOF_SIGNAL_BUILTINS applications (per-element
+                     lambda/comparator trees, CodegenFallback);
+      collects     — list/dict constructions collecting a MULTIVALUED
+                     burst (stream fan-out + reassembly)."""
     import dataclasses
 
-    enums = rebuilds = 0
+    enums = rebuilds = hofs = collects = 0
     if isinstance(node, ast.Builtin):
         if node.name in ("paths", "leaf_paths"):
             enums += 1
-        elif node.name in ("setpath", "delpaths"):
+        elif node.name in ("setpath", "delpaths", "del"):
             rebuilds += 1
+        elif node.name in _HOF_SIGNAL_BUILTINS:
+            hofs += 1
     elif isinstance(node, ast.Assign):
         rebuilds += 1
+    elif isinstance(node, ast.ListCons):
+        if node.expr is not None and is_multivalued(node.expr):
+            collects += 1
+    elif isinstance(node, ast.DictCons):
+        collects += sum(
+            1 for p in node.pairs if is_multivalued(p.value)
+        )
     if dataclasses.is_dataclass(node):
         for f in dataclasses.fields(node):
-            e, r = _walk_heavy_score(getattr(node, f.name))
+            e, r, h, c = _walk_heavy_score(getattr(node, f.name))
             enums += e
             rebuilds += r
+            hofs += h
+            collects += c
     elif isinstance(node, tuple):
         for x in node:
-            e, r = _walk_heavy_score(x)
+            e, r, h, c = _walk_heavy_score(x)
             enums += e
             rebuilds += r
-    return enums, rebuilds
+            hofs += h
+            collects += c
+    return enums, rebuilds, hofs, collects
 
 
 def _interp_tier(node: ast.Node) -> StreamFn:
@@ -6685,6 +6714,12 @@ def _interp_tier(node: ast.Node) -> StreamFn:
                             else interp.dumps_tagged(ov)
                         )
                         rows["err"].append(oe)
+                if not rows["seq"]:
+                    # every input row produced ZERO outputs (empty
+                    # generators): pd.DataFrame of empty lists would
+                    # default the ord column to float64, which Arrow
+                    # cannot convert to array<bigint> — yield nothing
+                    continue
                 yield pd.DataFrame(rows)
 
         src = df.select(
@@ -6761,12 +6796,24 @@ def compile_query(node: ast.Node) -> StreamFn:
     # so the 100 TB story is unchanged — this picks the faster
     # per-byte constant.
     if TIER_OVERRIDE != "staged":
-        enums, rebuilds = _walk_heavy_score(node)
-        if enums >= 1 and enums + rebuilds >= 2:
+        enums, rebuilds, hofs, collects = _walk_heavy_score(node)
+        # r11 tier probe (SCALE.md): ANY per-element HOF/comparator op
+        # (sort/map/group_by families — CodegenFallback per element on
+        # the staged lane) or >=2 whole-doc rebuilds or >=2 multivalued
+        # burst collects measured 1.8-5.7x faster through the interp's
+        # single Python walk per row; pure scalar navigation (no such
+        # signal) measured 1.3-2.6x faster staged and stays there.
+        if (
+            (enums >= 1 and enums + rebuilds >= 2)
+            or hofs >= 1
+            or rebuilds >= 2
+            or collects >= 2
+        ):
             _TIER.last = "interp"
             _LOG.info(
-                "compile_query tier=interp (walk-heavy: %d enum + %d rebuild)",
-                enums, rebuilds,
+                "compile_query tier=interp (walk-heavy: %d enum + %d "
+                "rebuild + %d hof + %d collect)",
+                enums, rebuilds, hofs, collects,
             )
             return _interp_tier(node)
     _TIER.last = "staged"

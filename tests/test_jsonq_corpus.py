@@ -639,8 +639,17 @@ def corpus_results(jq):
     (plan assembly is Py4J + driver-JVM work that releases the GIL;
     compiler._ENV is thread-local). The parametrized tests below
     assert against this cache, keeping per-case test nodes while the
-    wall clock drops ~4x (VERDICT r5 next #8)."""
+    wall clock drops ~4x (VERDICT r5 next #8).
+
+    TIER_OVERRIDE pins the STAGED engine (r11): this corpus is the
+    staged machinery's conformance gate — without the pin the cost
+    router would send every HOF/collect-bearing case to the interp
+    tier, silently shrinking staged coverage. test_interp.py runs the
+    same corpus through the interp engine; InterpOnly programs
+    (walk/tostream) still route to interp regardless of the pin."""
     from concurrent.futures import ThreadPoolExecutor
+
+    from bd_spark.jsonq import compiler
 
     def run(case):
         query, doc, _ = case
@@ -649,8 +658,12 @@ def corpus_results(jq):
         except Exception as e:  # noqa: BLE001 — asserted per-case
             return ("__raised__", f"{type(e).__name__}: {e}")
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        return list(ex.map(run, CORPUS))
+    compiler.TIER_OVERRIDE = "staged"
+    try:
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            return list(ex.map(run, CORPUS))
+    finally:
+        compiler.TIER_OVERRIDE = None
 
 
 @pytest.mark.parametrize(
@@ -799,17 +812,24 @@ def test_typed_lanes_match_generic(spark):
         " * 99999999999999999999)",
     ]
     jq = JsonQ(spark)
-    for q in queries:
-        typed = jq.run_texts(q, docs)
-        orig = compiler._static_elem_kind
-        compiler._static_elem_kind = lambda n: None  # force generic
-        try:
-            JsonQ._PLAN_CACHE.clear()
-            generic = jq.run_texts(q, docs)
-        finally:
-            compiler._static_elem_kind = orig
-            JsonQ._PLAN_CACHE.clear()
-        assert typed == generic, q
+    # pin staged: the differential is typed-vs-generic STAGED lanes;
+    # the r11 router would send these sort_by/group_by programs to
+    # the interp tier on both sides, comparing it against itself
+    compiler.TIER_OVERRIDE = "staged"
+    try:
+        for q in queries:
+            typed = jq.run_texts(q, docs)
+            orig = compiler._static_elem_kind
+            compiler._static_elem_kind = lambda n: None  # force generic
+            try:
+                JsonQ._PLAN_CACHE.clear()
+                generic = jq.run_texts(q, docs)
+            finally:
+                compiler._static_elem_kind = orig
+                JsonQ._PLAN_CACHE.clear()
+            assert typed == generic, q
+    finally:
+        compiler.TIER_OVERRIDE = None
 
 
 def test_setpath_static_lane_matches_dynamic(spark):

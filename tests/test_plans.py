@@ -163,9 +163,17 @@ def test_jq_regex_rowlocal_native(spark, sf_dir):
     explode/implode/with_entries) compiles to native Java-regex
     Catalyst expressions: no shuffle, no Python UDF anywhere in the
     plan."""
+    from bd_spark.jsonq import compiler
     from bd_spark.queries.jsonq_queries import jq_regex
 
-    plan = _plan(jq_regex(spark, sf_dir))
+    # pin the staged tier: this test asserts the STAGED emission is
+    # native (the r11 cost router sends jq_regex to the interp tier,
+    # whose mapInPandas would trip the ArrowEvalPython assertion)
+    compiler.TIER_OVERRIDE = "staged"
+    try:
+        plan = _plan(jq_regex(spark, sf_dir))
+    finally:
+        compiler.TIER_OVERRIDE = None
     # the only allowed exchange is the deliberate round-robin input
     # rebalance (spreads the 1-file parquet scan across cores); any
     # hash/range exchange / join / generate means a list collect fell
@@ -336,19 +344,27 @@ def test_literal_path_program_all_native(spark, sf_dir):
     stage, no join, no shuffle beyond the input rebalance (r6 VERDICT
     wrong #1)."""
     from bd_spark.catalog import table
+    from bd_spark.jsonq import compiler
     from bd_spark.jsonq.runtime import JsonQ
 
     ev = table(spark, "events", sf_dir).select("event_id", "props")
     jq = JsonQ(spark)
     stream = jq.stream_from_text_column(ev, "props", seq_col="event_id")
-    out = jq.run(
-        '{k2: getpath(["k"]),'
-        ' upd: (setpath(["k2"]; getpath(["k"]) * 2) | tojson),'
-        ' gone: (del(.k) | keys | join(","))}',
-        stream,
-        ordered=False,
-    )
-    plan = _plan(out)
+    # pin staged: the assertion is about the STAGED literal-path
+    # lanes; the r11 router would send this 2-rebuild program to the
+    # interp tier (mapInPandas) otherwise
+    compiler.TIER_OVERRIDE = "staged"
+    try:
+        out = jq.run(
+            '{k2: getpath(["k"]),'
+            ' upd: (setpath(["k2"]; getpath(["k"]) * 2) | tojson),'
+            ' gone: (del(.k) | keys | join(","))}',
+            stream,
+            ordered=False,
+        )
+        plan = _plan(out)
+    finally:
+        compiler.TIER_OVERRIDE = None
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan and "mapInPandas" not in plan
     assert "Join" not in plan

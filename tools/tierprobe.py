@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import _force  # noqa: E402
 from bd_spark.jsonq import compiler  # noqa: E402
-from bd_spark.queries.registry import queries  # noqa: E402
+from bd_spark.queries.registry import all_queries, extra_queries  # noqa: E402
 from bd_spark.session import get_spark  # noqa: E402
 
 
@@ -31,7 +31,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("tierprobe")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = queries()
+    qs = {**all_queries(), **extra_queries()}
     print(f"load={os.getloadavg()[0]:.2f} sf={sf_dir} runs={n}")
     for name in args:
         fn = qs[name]
@@ -47,9 +47,10 @@ def main() -> None:
                     t0 = time.perf_counter()
                     df = fn(spark, sf_dir)
                     t1 = time.perf_counter()
-                    rows = _force(df)
+                    _force(df)
                     times.append(time.perf_counter() - t1)
                     build = t1 - t0
+                rows = fn(spark, sf_dir).count()
                 row[tier or "auto"] = (
                     build, times[0], min(times[1:] or times), rows
                 )
