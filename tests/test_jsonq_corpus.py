@@ -625,6 +625,9 @@ CORPUS = [
     ("[combinations]", "[[1,2],[3,4]]",
      [[[1, 3], [1, 4], [2, 3], [2, 4]]]),
     ("[combinations]", "[]", [[[]]]),
+    # literal-path setpath in a map body: the parser's Assign desugar
+    # keeps it native (no UDF ever enters the lambda)
+    ('map(setpath(["b"]; 2))', '[{"a": 1}]', [[{"a": 1, "b": 2}]]),
 ]
 
 
@@ -967,3 +970,27 @@ def test_generator_pipe_paths_right_side(spark):
             assert (se is None) == (ie is None), (q, se, ie)
             if se is None:
                 assert sv == iv, (q, sv, iv)
+
+
+def test_udf_builtin_in_hof_body_routes(spark):
+    """UDF-emitting builtins (delpaths/strftime — pandas UDFs) inside
+    a map body are NOT staged-compilable (a Python UDF cannot live in
+    a Catalyst lambda; _col_hof raises), but the r11 cost router sends
+    map-bearing programs to the interp tier, where they evaluate
+    correctly. Values must equal the direct interp run. Literal-path
+    setpath stays corpus-tested on the staged tier (Assign desugar)."""
+    import json as _json
+
+    from bd_spark.jsonq import compiler, interp, parser
+    from bd_spark.jsonq.runtime import JsonQ
+
+    jq = JsonQ(spark)
+    cases = [
+        ('map(delpaths([["a"]]))', '[{"a": 1, "c": 3}]'),
+        ('map(strftime("%Y"))', "[0, 1425599507]"),
+    ]
+    for q, doc in cases:
+        sp = jq.run_texts(q, [doc])
+        assert compiler.last_tier() == "interp", q
+        it = interp.run(parser.parse(q), _json.loads(doc))
+        assert sp == it, (q, sp, it)
