@@ -385,16 +385,27 @@ def _recurse(v: object) -> list[object]:
 
 def _dict_cons(pairs: tuple[ast.DictPair, ...], v: object) -> list[Entry]:
     # each pair yields (key, value) combinations; the full object set
-    # is the cartesian product across pairs, rightmost varying fastest
-    per_pair: list[list[tuple[object, object]]] = []
+    # is the cartesian product across pairs, rightmost varying fastest.
+    # Error entries in a key/value stream stay IN the product and
+    # surface as in-band error outputs (staged-tier dialect; r11 fuzz
+    # found this path silently dropping rows instead)
+    per_pair: list[list[tuple[Entry, Entry]]] = []
     for p in pairs:
-        ks = [k for k, err in _eval(p.key, v) if err is None]
-        vs = [x for x, err in _eval(p.value, v) if err is None]
+        ks = _eval(p.key, v)
+        vs = _eval(p.value, v)
         per_pair.append(list(itertools.product(ks, vs)))
     out: list[Entry] = []
     for combo in itertools.product(*per_pair):
+        err = None
+        for (_k, ke), (_x, xe) in combo:
+            err = ke if ke is not None else xe
+            if err is not None:
+                break
+        if err is not None:
+            out.append((None, err))
+            continue
         obj: dict = {}
-        for k, val in combo:
+        for (k, _ke), (val, _xe) in combo:
             if isinstance(k, str):  # non-string keys skipped (ops.rs:683-704)
                 obj[k] = val  # dup last-wins
         out.append((obj, None))

@@ -612,6 +612,14 @@ class Parser:
         # needs the explicit pipe (`.a | [0]`), exactly like jq.
         while self.at("["):
             node = ast.Pipe(node, self.parse_bracket_suffix())
+        # jq postfix `?` on any primary term — `(E)?`, `keys?`,
+        # `map(f)?`, `[...]?` — sugar for `try E` (errors drop).
+        # Dot-forms consume their own `?` via opt flags before this
+        # loop, so this only fires on the parenthesized/call forms
+        # that previously raised "trailing input at '?'" (r11 fuzz).
+        while self.at("?"):
+            self.take()
+            node = ast.Try(node)
         return node
 
     def _parse_primary_core(self) -> ast.Node:
