@@ -197,6 +197,16 @@ def kmeans_fit(corpus: DataFrame, k: int, iters: int = 2,
     """
     cents = _seed_vectors(corpus, k, id_col, vec_col, "k-means seeds")
     dim = len(cents[0])
+    # the iteration-invariant projection, shared by every iteration's
+    # means pass (measured: persist()ing it or repartitioning the
+    # one-file local scan both LOSE at this row count — the extra
+    # exchange/cache stages cost more than the single-task eval they
+    # parallelize; per-action driver constants dominate, §1.1)
+    proj = (
+        corpus.withColumn("_dv", _dvec(F.col(vec_col)))
+        .withColumn("_nv", l2norm(F.col("_dv")))
+        .select("_dv", "_nv")
+    )
     for _ in range(iters):
         cents_mat = _lit_mat(cents)
         cnorms = _lit_vec(sum(x * x for x in cv) ** 0.5 for cv in cents)
@@ -222,9 +232,7 @@ def kmeans_fit(corpus: DataFrame, k: int, iters: int = 2,
         # generator extraction re-analyze the struct with canonical
         # col1/col2 field names, breaking getField("cid")
         means = (
-            corpus.withColumn("_dv", _dvec(F.col(vec_col)))
-            .withColumn("_nv", l2norm(F.col("_dv")))
-            .select(cid.alias("cid"), "_dv")
+            proj.select(cid.alias("cid"), "_dv")
             .select("cid", F.posexplode("_dv").alias("dim", "x"))
             .groupBy("cid", "dim")
             .agg(F.round(F.avg("x"), 6).alias("m"))
@@ -456,16 +464,31 @@ def semantic_dedup(corpus: DataFrame, k: int = 16, threshold: float = 0.95,
     Returns (id, cid, is_dup) — total over the corpus."""
     cents = kmeans_fit(corpus, k, train_iters, id_col, vec_col)
     assigned = _assign_cids(corpus, cents, id_col, vec_col).persist()
+    # Per-ROW norms before the pair join: cosine() would recompute
+    # both vectors' l2 norms per PAIR (~n²/k interpreted HOF folds);
+    # computing them once per side shifts that to O(n) while leaving
+    # the arithmetic bit-identical (same fold, same divisor order:
+    # dot/(norm_a*norm_b)) — guide §1.2 "don't compute things you
+    # throw away" applied to the verify stage.
     a = assigned.select(
-        F.col("cid"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
-    )
+        F.col("cid"), F.col(id_col).alias("_ida"),
+        _dvec(F.col(vec_col)).alias("_va"),
+    ).withColumn("_na", l2norm(F.col("_va")))
     b = assigned.select(
-        F.col("cid"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
-    )
+        F.col("cid"), F.col(id_col).alias("_idb"),
+        _dvec(F.col(vec_col)).alias("_vb"),
+    ).withColumn("_nb", l2norm(F.col("_vb")))
     dup_ids = (
         a.join(b, "cid")
         .where(F.col("_ida") < F.col("_idb"))
-        .where(F.round(cosine(F.col("_va"), F.col("_vb")), 9) >= threshold)
+        .where(
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                9,
+            )
+            >= threshold
+        )
         .select(F.col("_idb").alias(id_col))
         .distinct()
     )

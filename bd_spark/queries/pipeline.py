@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bd_spark.catalog import table
+from bd_spark.catalog import rebalance, table
 from bd_spark.operators import dedup, multimodal, similarity
 from bd_spark.operators import text as T
 from bd_spark.operators.hashing import (
@@ -649,7 +649,7 @@ FROM e GROUP BY label, dim
 def pipe_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality metrics + composite score per document (Gopher/C4-style
     filters), all row-local codegen expressions."""
-    docs = table(spark, "documents", sf_dir)
+    docs = rebalance(table(spark, "documents", sf_dir))
     m = T.quality_metrics(F.col("text"))
     return docs.select(
         "doc_id",
@@ -694,7 +694,7 @@ FROM m
 
 def pipe_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language ID (argmax over 5 fixed lists)."""
-    docs = table(spark, "documents", sf_dir)
+    docs = rebalance(table(spark, "documents", sf_dir))
     scores = T.lang_scores(F.col("text"))
     return docs.select(
         "doc_id",
@@ -741,7 +741,7 @@ FROM s
 def pipe_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: global min-hash fingerprint + the
     winnowing fingerprint set (k=5 token shingles, window w=4)."""
-    docs = table(spark, "documents", sf_dir)
+    docs = rebalance(table(spark, "documents", sf_dir))
     return docs.select(
         "doc_id",
         T.fingerprint_minhash(F.col("text")).alias("fp"),
@@ -962,7 +962,7 @@ def pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joins are doc_id-keyed shuffles. Nothing is all-pairs and
     no stage needs a driver-side action.
     """
-    docs = table(spark, "documents", sf_dir)
+    docs = rebalance(table(spark, "documents", sf_dir))
     m = T.quality_metrics(F.col("text"))
     scored = docs.select(
         "doc_id",
@@ -1417,7 +1417,7 @@ def pipe_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (top-2-gram fraction,
     duplicate-5-gram fraction, longest same-token run) — row-local
     codegen over documents (operators.text.repetition_metrics)."""
-    docs = table(spark, "documents", sf_dir)
+    docs = rebalance(table(spark, "documents", sf_dir))
     m = T.repetition_metrics(F.col("text"))
     return docs.select(
         "doc_id",
@@ -1540,7 +1540,7 @@ def pipe_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter plumbing): sigmoid of the mean hashed-feature weight per
     document — row-local codegen, deterministic md5-derived weights
     (operators.text.hashed_linear_score)."""
-    docs = table(spark, "documents", sf_dir)
+    docs = rebalance(table(spark, "documents", sf_dir))
     return docs.select(
         "doc_id",
         F.round(T.hashed_linear_score(F.col("text")), 6).alias("score"),
@@ -1599,7 +1599,7 @@ def pipe_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the identical iterations in SQL via the string-replace
     merge representation, so the learned merge TABLE and the per-doc
     piece counts are both hash-gated."""
-    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = rebalance(table(spark, "documents", sf_dir)).select("doc_id", "text")
     merges = T.bpe_train(docs, "text", n_merges=4)
     pieces = T.bpe_apply(F.col("text"), merges)
     return docs.select(
@@ -1725,7 +1725,7 @@ def pipe_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram LM, per-document cross-entropy (operators.text.lm_score).
     Training = two map-side-combinable counts; scoring = vocab joins
     on uniform word keys — no window, no collect."""
-    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = rebalance(table(spark, "documents", sf_dir)).select("doc_id", "text")
     return T.lm_score(docs, "doc_id", "text", min_count=3, alpha=0.5)
 
 
