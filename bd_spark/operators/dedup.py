@@ -424,9 +424,23 @@ def connected_components(ids: DataFrame, pairs: DataFrame,
     )
 
 
+# Edge sets at or under this size short-circuit the distributed star
+# loop into one driver-side union-find (see connected_components_star):
+# ~16 bytes/edge keeps the collect a few MB, far below any driver
+# limit, while the duplicate-pair graphs the pipeline queries produce
+# locally are thousands of edges — each star round otherwise costs
+# 2 window shuffles + a localCheckpoint + a signature job of pure
+# fixed overhead. At corpus scale take(limit+1) overflows on the
+# first partitions and the distributed O(log n)-round path runs
+# unchanged.
+CC_DRIVER_EDGE_LIMIT = 200_000
+
+
 def connected_components_star(ids: DataFrame, pairs: DataFrame,
                               id_col: str = "id",
-                              max_iter: int = 30) -> DataFrame:
+                              max_iter: int = 30,
+                              small_graph_limit: int | None = None,
+                              ) -> DataFrame:
     """Connected components by ALTERNATING STAR CONTRACTION
     (large-star / small-star, Kiveris et al., "Connected Components
     in MapReduce and Beyond") — same fixed point as
@@ -461,6 +475,55 @@ def connected_components_star(ids: DataFrame, pairs: DataFrame,
         return ids.select(
             F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
         )
+
+    # small-graph lane: a bounded take() + driver union-find produces
+    # the IDENTICAL (node -> component min) labels in one job instead
+    # of O(log n) rounds x (2 window shuffles + checkpoint + signature
+    # job). Guarded exactly like the broadcast-threshold lanes: at
+    # scale the take overflows and the distributed loop runs.
+    limit = CC_DRIVER_EDGE_LIMIT if small_graph_limit is None else small_graph_limit
+    if limit > 0:
+        head = edges.take(limit + 1)
+        if len(head) <= limit:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in head:
+                a, b = r[0], r[1]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # smaller root wins -> every root is its
+                    # component's min id (matches the star fixed point)
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            rows = [(x, find(x)) for x in parent]
+            rows = [(x, m) for x, m in rows if x != m]
+            from pyspark.sql import types as Ty
+
+            et = edges.schema["a"].dataType
+            labels = ids.sparkSession.createDataFrame(
+                rows,
+                Ty.StructType([
+                    Ty.StructField("id", et), Ty.StructField("label", et)
+                ]),
+            )
+            return (
+                ids.select(F.col(id_col).alias("id"))
+                .join(labels, "id", "left")
+                .select(
+                    "id", F.coalesce("label", F.col("id")).alias("cluster")
+                )
+            )
 
     def signature(e: DataFrame):
         return e.agg(

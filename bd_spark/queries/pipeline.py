@@ -1277,7 +1277,9 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts (eval corpora are tiny next to the training corpus) —
     one map-side train scan, zero train shuffle."""
     docs = table(spark, "documents", sf_dir)
-    train = docs.where(F.col("doc_id") % 10 != 0)
+    # the train scan is the heavy side (13-char gram set per doc,
+    # row-local): spread the one-file local scan (cluster no-op)
+    train = rebalance(docs.where(F.col("doc_id") % 10 != 0))
     eval_df = docs.where(F.col("doc_id") % 10 == 0)
     return T.decontaminate(train, eval_df, "doc_id", "text", n=13)
 

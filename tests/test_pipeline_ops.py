@@ -646,11 +646,21 @@ def test_star_contraction_matches_hashmin(spark):
             r.id: r.cluster
             for r in dedup.connected_components(ids, pairs, max_iter=25).collect()
         }
+        # default lane (small graphs take the driver union-find) AND
+        # the distributed star loop forced via small_graph_limit=0:
+        # the size guard may only pick a plan, never change labels
         b = {
             r.id: r.cluster
             for r in dedup.connected_components_star(ids, pairs).collect()
         }
-        assert a == b, f"label mismatch on {name}"
+        c = {
+            r.id: r.cluster
+            for r in dedup.connected_components_star(
+                ids, pairs, small_graph_limit=0
+            ).collect()
+        }
+        assert a == b, f"label mismatch on {name} (driver lane)"
+        assert a == c, f"label mismatch on {name} (distributed lane)"
 
 
 def test_decontaminate_broadcast_and_shuffle_paths_agree(spark):
@@ -744,6 +754,13 @@ def test_star_contraction_random_graphs_vs_union_find(spark):
             for r in dedup.connected_components_star(ids, pairs).collect()
         }
         assert got == want, f"seed {seed}: mismatch"
+        got_dist = {
+            r.id: r.cluster
+            for r in dedup.connected_components_star(
+                ids, pairs, small_graph_limit=0
+            ).collect()
+        }
+        assert got_dist == want, f"seed {seed}: mismatch (distributed)"
 
 
 def test_token_budget_semantics(spark):
