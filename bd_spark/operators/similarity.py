@@ -157,6 +157,70 @@ def lsh_band_bucket(vec_col: Column, dim: int, band: int, rows: int) -> Column:
     return bucket
 
 
+# Bounded driver-training lane (r11): when the training corpus fits
+# this many rows, the Lloyd iterations run on the driver over ONE
+# bounded collect — replacing 1 + iters Spark jobs whose cost at
+# bench scale is pure job/plan overhead (measured: kmeans_fit(16,2)
+# 1.38 s for 2000x64 vectors = ~0.45 s/job of fixed overhead, the
+# arithmetic itself is microseconds).  Guarded exactly like
+# CC_DRIVER_EDGE_LIMIT: limit(B+1) overflows at corpus scale and the
+# distributed map-side-agg loop runs unchanged.  The driver twin
+# reproduces the distributed arithmetic bit-for-bit:
+#   - folds run left-to-right per row via a dim-sweeping numpy
+#     accumulator (acc starts 0.0, += term d — the exact add sequence
+#     of the zip_with/aggregate fold, vectorized ACROSS rows),
+#   - Spark round(x, d) (HALF_UP over BigDecimal(Double.toString)) is
+#     twinned by Decimal(repr(x)).quantize(ROUND_HALF_UP),
+#   - argmax tie-breaks use java.lang.Double.compare's total order
+#     (array_sort's comparator for double struct fields).
+# Lane equivalence is pinned by tests forcing both lanes.
+KMEANS_DRIVER_ROW_LIMIT = 100_000
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Spark ``round(x, digits)`` twin for doubles: HALF_UP over the
+    shortest-round-trip decimal rendering (scala BigDecimal(double)
+    goes through Double.toString; repr() is the python equivalent)."""
+    import decimal
+    import math
+
+    if not math.isfinite(x):
+        return x
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-digits),
+            rounding=decimal.ROUND_HALF_UP,
+        )
+    )
+
+
+def _jdouble_key(x: float) -> int:
+    """java.lang.Double.compare total-order key: -inf < ... < -0.0 <
+    0.0 < ... < +inf < NaN (doubleToLongBits with the negative range
+    magnitude-inverted)."""
+    import math
+    import struct as _struct
+
+    if math.isnan(x):
+        bits = 0x7FF8000000000000
+    else:
+        bits = _struct.unpack(">q", _struct.pack(">d", x))[0]
+    return bits if bits >= 0 else bits ^ 0x7FFFFFFFFFFFFFFF
+
+
+def _bounded_rows(corpus: DataFrame, id_col: str, vec_col: str,
+                  limit: int):
+    """The corpus as [(id, [float,...])] in scan-partition row order
+    when it fits ``limit`` rows, else None.  ONE job; limit(B+1)
+    short-circuits at scale (executeTake semantics)."""
+    if limit <= 0:
+        return None
+    rows = corpus.select(id_col, vec_col).limit(limit + 1).collect()
+    if len(rows) > limit:
+        return None
+    return [(r[0], [float(x) for x in r[1]]) for r in rows]
+
+
 def _seed_vectors(corpus: DataFrame, k: int, id_col: str, vec_col: str,
                   what: str) -> list[list[float]]:
     """The `k` lowest-id corpus vectors in id order — the deterministic
@@ -171,8 +235,62 @@ def _seed_vectors(corpus: DataFrame, k: int, id_col: str, vec_col: str,
     return [vec for _, vec in rows]
 
 
+def _kmeans_fit_driver(rows, k: int, iters: int) -> list[list[float]]:
+    """Driver twin of the distributed Lloyd loop below — identical
+    arithmetic (see KMEANS_DRIVER_ROW_LIMIT).  ``rows`` must be in
+    scan-partition row order (the distributed per-(cid,dim) sums
+    accumulate in that order)."""
+    import numpy as np
+
+    n = len(rows)
+    if n < k:
+        raise ValueError(f"corpus has {n} rows; need >= {k} k-means seeds")
+    dim = len(rows[0][1])
+    V = np.array([v for _, v in rows], dtype=np.float64)
+    order = sorted(range(n), key=lambda i: rows[i][0])
+    cents = [[float(x) for x in V[i]] for i in order[:k]]
+    # per-row l2 norm, fold order ((0.0 + x0*x0) + x1*x1) + ...
+    nv = np.zeros(n)
+    for d in range(dim):
+        nv += V[:, d] * V[:, d]
+    nv = np.sqrt(nv)
+    for _ in range(iters):
+        # assignment: argmax round-9 cosine, ties -> lowest cid
+        # (min over (Double.compare key of -round9(cos), cid))
+        coss = np.empty((k, n))
+        for c, cv in enumerate(cents):
+            cn = sum(x * x for x in cv) ** 0.5
+            dotv = np.zeros(n)
+            for d in range(dim):
+                dotv += V[:, d] * cv[d]
+            coss[c] = dotv / (nv * cn)
+        keys = [
+            [_jdouble_key(-_round_half_up(float(coss[c, i]), 9))
+             for i in range(n)]
+            for c in range(k)
+        ]
+        cid = [
+            min(range(k), key=lambda c: (keys[c][i], c)) for i in range(n)
+        ]
+        # update: per-(cid, dim) mean in row order, round-6; empty
+        # clusters keep their previous centroid
+        sums = np.zeros((k, dim))
+        counts = [0] * k
+        for i in range(n):
+            sums[cid[i]] += V[i]
+            counts[cid[i]] += 1
+        cents = [
+            [_round_half_up(float(sums[c][d] / counts[c]), 6)
+             for d in range(dim)]
+            if counts[c] else cents[c]
+            for c in range(k)
+        ]
+    return cents
+
+
 def kmeans_fit(corpus: DataFrame, k: int, iters: int = 2,
                id_col: str = "vec_id", vec_col: str = "embedding",
+               driver_row_limit: int | None = None,
                ) -> list[list[float]]:
     """Deterministic fixed-iteration SPHERICAL k-means (Lloyd):
     centroids a downstream cosine-assignment index (ivf_topk) should
@@ -194,7 +312,18 @@ def kmeans_fit(corpus: DataFrame, k: int, iters: int = 2,
     argmax against literal centroids (k x dim doubles); the update is
     posexplode -> groupBy(cid, dim) avg — uniform keys, map-side
     combinable, k*dim result rows collected to the driver (tiny).
+
+    Small-corpus short-circuit (r11): under KMEANS_DRIVER_ROW_LIMIT
+    rows the whole loop runs on the driver over ONE bounded collect
+    (_kmeans_fit_driver — bit-equal arithmetic, lane-pinned by test);
+    at corpus scale the limit(B+1) overflows and this distributed
+    loop runs unchanged.
     """
+    limit = (KMEANS_DRIVER_ROW_LIMIT if driver_row_limit is None
+             else driver_row_limit)
+    rows = _bounded_rows(corpus, id_col, vec_col, limit)
+    if rows is not None and rows and len({len(v) for _, v in rows}) == 1:
+        return _kmeans_fit_driver(rows, k, iters)
     cents = _seed_vectors(corpus, k, id_col, vec_col, "k-means seeds")
     dim = len(cents[0])
     # the iteration-invariant projection, shared by every iteration's
@@ -738,9 +867,69 @@ def embedding_near_dupes(df: DataFrame, dim: int, threshold: float = 0.95,
 
 
 # ---------------------------------------------------------------- PQ
+def _pq_fit_driver(rows, m: int, ksub: int,
+                   iters: int) -> list[list[list[float]]]:
+    """Driver twin of the distributed per-subspace Lloyd loop in
+    pq_codebooks — identical arithmetic (see KMEANS_DRIVER_ROW_LIMIT;
+    encode = round-9 squared-L2 argmin with the _subdist2 fold order,
+    ties -> lowest code; update = row-order round-6 means, empty
+    codes keep their previous value)."""
+    import numpy as np
+
+    n = len(rows)
+    if n < ksub:
+        raise ValueError(f"corpus has {n} rows; need >= {ksub} codebook seeds")
+    dim = len(rows[0][1])
+    if not dim:
+        raise ValueError("unreadable/empty vector in training corpus")
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    V = np.array([v for _, v in rows], dtype=np.float64)
+    order = sorted(range(n), key=lambda i: rows[i][0])
+    seeds = [[float(x) for x in V[i]] for i in order[:ksub]]
+    books = [
+        [vec[j * dsub:(j + 1) * dsub] for vec in seeds]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        new_books = []
+        for j in range(m):
+            dists = np.empty((ksub, n))
+            for c, code in enumerate(books[j]):
+                acc = np.zeros(n)
+                for i2 in range(dsub):
+                    diff = V[:, j * dsub + i2] - code[i2]
+                    acc += diff * diff
+                dists[c] = acc
+            keys = [
+                [_jdouble_key(_round_half_up(float(dists[c][i]), 9))
+                 for i in range(n)]
+                for c in range(ksub)
+            ]
+            codes = [
+                min(range(ksub), key=lambda c: (keys[c][i], c))
+                for i in range(n)
+            ]
+            sums = np.zeros((ksub, dsub))
+            counts = [0] * ksub
+            for i in range(n):
+                sums[codes[i]] += V[i, j * dsub:(j + 1) * dsub]
+                counts[codes[i]] += 1
+            new_books.append([
+                [_round_half_up(float(sums[c][d] / counts[c]), 6)
+                 for d in range(dsub)]
+                if counts[c] else books[j][c]
+                for c in range(ksub)
+            ])
+        books = new_books
+    return books
+
+
 def pq_codebooks(corpus: DataFrame, m: int = 8, ksub: int = 16,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 train_iters: int = 0) -> list[list[list[float]]]:
+                 train_iters: int = 0,
+                 driver_row_limit: int | None = None) -> list[list[list[float]]]:
     """Deterministic product-quantization codebooks.
 
     ``train_iters=0``: subspace j's ``ksub`` codes are the j-th
@@ -757,7 +946,18 @@ def pq_codebooks(corpus: DataFrame, m: int = 8, ksub: int = 16,
     (subspace, code, dim, x), groupBy-avg (uniform keys, map-side
     combinable), collect m*ksub*dsub means (tiny).
 
-    Returns codebooks[j][c] = list of dsub floats."""
+    Returns codebooks[j][c] = list of dsub floats.
+
+    Small-corpus short-circuit (r11): under KMEANS_DRIVER_ROW_LIMIT
+    rows the whole loop runs on the driver over ONE bounded collect
+    (_pq_fit_driver — bit-equal arithmetic, lane-pinned by test); at
+    corpus scale the limit(B+1) overflows and this distributed loop
+    runs unchanged."""
+    limit = (KMEANS_DRIVER_ROW_LIMIT if driver_row_limit is None
+             else driver_row_limit)
+    rows = _bounded_rows(corpus, id_col, vec_col, limit)
+    if rows is not None and rows and len({len(v) for _, v in rows}) == 1:
+        return _pq_fit_driver(rows, m, ksub, train_iters)
     seeds = _seed_vectors(corpus, ksub, id_col, vec_col, "codebook seeds")
     if not seeds[0]:
         raise ValueError(f"unreadable/empty vector in column {vec_col!r}")

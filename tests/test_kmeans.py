@@ -70,6 +70,34 @@ def test_pq_training_reduces_quantization_error(emb, vecs):
     assert S.pq_codebooks(emb, m=4, ksub=8, train_iters=2) == b2
 
 
+def test_kmeans_driver_lane_matches_distributed(emb):
+    """The bounded driver-training lane (KMEANS_DRIVER_ROW_LIMIT,
+    r11) must reproduce the distributed Lloyd loop EXACTLY — same
+    seeds, same round-9 argmax assignment with Double.compare
+    tie-breaks, same round-6 row-order means.  driver_row_limit=0
+    forces the distributed lane; the default takes the driver lane at
+    this corpus size."""
+    driver = S.kmeans_fit(emb, 16, iters=2)
+    dist = S.kmeans_fit(emb, 16, iters=2, driver_row_limit=0)
+    assert driver == dist
+    # non-default shapes: k smaller than dim, odd k
+    assert S.kmeans_fit(emb, 5, iters=1) == S.kmeans_fit(
+        emb, 5, iters=1, driver_row_limit=0
+    )
+
+
+def test_pq_driver_lane_matches_distributed(emb):
+    """Same lane pin for the per-subspace PQ trainer."""
+    driver = S.pq_codebooks(emb, m=4, ksub=8, train_iters=2)
+    dist = S.pq_codebooks(
+        emb, m=4, ksub=8, train_iters=2, driver_row_limit=0
+    )
+    assert driver == dist
+    assert S.pq_codebooks(emb, m=8, ksub=4, train_iters=1) == S.pq_codebooks(
+        emb, m=8, ksub=4, train_iters=1, driver_row_limit=0
+    )
+
+
 def test_semantic_dedup_flags_planted_twins(spark, emb):
     """SemDeDup: exact planted twins (same vector, higher id) must be
     flagged as duplicates with the lower-id original kept; the
