@@ -718,17 +718,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         # this extra exchange is trivially cheap at any scale
         .repartition(_verify_parallelism(df))
     )
-    ga = docs.select(F.col("id").alias("id_a"), F.col("ghash").alias("grams_a"))
-    gb = docs.select(F.col("id").alias("id_b"), F.col("ghash").alias("grams_b"))
-    # verify-join sides: when they fit the broadcast budget, the
-    # verify runs map-side and the (large) arrays never shuffle (that
-    # shuffle dominated the whole pipeline); beyond the budget the
-    # same guard as freq degrades it to a shuffle join on the uniform
-    # id key.  Budget 24 bytes/entry (long + JVM array/row overhead)
-    # times TWO relations — both sides get broadcast, so the driver
-    # and every executor hold two full copies of the hash-set frame.
+    # verify-join side: ONE canonical (id, ghash) projection probed
+    # twice (id_a fetch, id_b fetch) so the exchange-reuse rule
+    # builds a SINGLE broadcast relation — the r11 rewrite from two
+    # alias-renamed projections (ga/gb), which canonicalized
+    # differently and built two ~identical hash relations (measured
+    # 4.2 -> 3.5 s at sf0.1; guide §2.4 "share one exchange").  When
+    # it fits the broadcast budget the verify runs map-side and the
+    # (large) arrays never shuffle (that shuffle dominated the whole
+    # pipeline); beyond the budget the same guard as freq degrades it
+    # to a shuffle join on the uniform id key.  Budget 24
+    # bytes/entry (long + JVM array/row overhead) times TWO probe
+    # sides sharing one relation.
+    g = docs.select("id", "ghash")
     if est_rows * 2 * 24 < freq_broadcast_threshold:
-        ga, gb = F.broadcast(ga), F.broadcast(gb)
+        g = F.broadcast(g)
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size("grams_a") + F.size("grams_b") - inter
     jacc = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
@@ -739,8 +743,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # vanishingly-rare but real oracle divergence (r9 ADVICE). The
     # oracle SQL applies the same unrounded filter.
     return (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
+        cand.join(g.alias("gA"), F.col("id_a") == F.col("gA.id"))
+        .join(g.alias("gB"), F.col("id_b") == F.col("gB.id"))
+        .select(
+            "id_a", "id_b",
+            F.col("gA.ghash").alias("grams_a"),
+            F.col("gB.ghash").alias("grams_b"),
+        )
         .where(jacc >= threshold)
         .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
     )
