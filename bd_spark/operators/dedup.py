@@ -992,11 +992,12 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, id_col: str,
     dedup_batch persists nothing index-sized."""
     state_given = freq is not None and index_prefix is not None
     newi = build_dedup_index(new_df, id_col, text_col, block_cols, n).persist()
-    newi.count()  # one deliberate action: materialize before fan-out
-    # the shard fingerprint feeds FOUR consumers (exact probe, its
-    # prefix, the verify gram fetch, the final left joins); uncached,
-    # each re-runs the shard fingerprint computation. The
-    # materializing action doubles as the broadcast size estimate.
+    # ONE deliberate action: materialize the cache before fan-out AND
+    # compute the broadcast size estimate (r11 — this was a separate
+    # count() plus an agg, two jobs over the same cache).  The shard
+    # fingerprint feeds FOUR consumers (exact probe, its prefix, the
+    # verify gram fetch, the final left joins); uncached, each re-runs
+    # the shard fingerprint computation.
     try:
         bcast_budget = int(
             new_df.sparkSession.conf.get(
@@ -1008,7 +1009,9 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, id_col: str,
     # the SHARD side is small by construction: broadcast its prefix
     # and its gram arrays whenever they fit, so the (large) index
     # side never shuffles for the candidate or verify joins
-    shard_entries = newi.agg(F.sum(F.size("ghash"))).first()[0] or 0
+    shard_entries = (
+        newi.agg(F.sum(F.size("ghash"))).first()[0] or 0
+    )
     shard_fits = shard_entries * 48 < bcast_budget
     if not state_given:
         # inline derivation (one-shot callers): the index feeds three
