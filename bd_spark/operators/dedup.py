@@ -440,6 +440,7 @@ def connected_components_star(ids: DataFrame, pairs: DataFrame,
                               id_col: str = "id",
                               max_iter: int = 30,
                               small_graph_limit: int | None = None,
+                              labels_only: bool = False,
                               ) -> DataFrame:
     """Connected components by ALTERNATING STAR CONTRACTION
     (large-star / small-star, Kiveris et al., "Connected Components
@@ -466,12 +467,24 @@ def connected_components_star(ids: DataFrame, pairs: DataFrame,
     iff it is a set of min-centered stars; detected by an order-
     insensitive signature (count + sum + sum of per-edge hashes) —
     one aggregate job per round, no exceptAll shuffle.
+
+    ``labels_only=True`` returns just the RELABELED nodes —
+    (id, label) rows with label != id, label = the component min —
+    and never touches ``ids`` (pass None). Every node absent from the
+    frame is its own component's representative, so callers that only
+    need "drop the non-representatives" anti-join against it instead
+    of paying the ids-join + full-map filter (r11: pipe_curate's
+    reps detour was two extra scans of the corpus cache).
     """
     raw = pairs.select(
         F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
     ).where(F.col("a") != F.col("b"))
     edges = raw.distinct().localCheckpoint()
     if edges.isEmpty():
+        if labels_only:
+            return edges.select(
+                F.col("a").alias("id"), F.col("b").alias("label")
+            )
         return ids.select(
             F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
         )
@@ -511,12 +524,14 @@ def connected_components_star(ids: DataFrame, pairs: DataFrame,
             from pyspark.sql import types as Ty
 
             et = edges.schema["a"].dataType
-            labels = ids.sparkSession.createDataFrame(
+            labels = edges.sparkSession.createDataFrame(
                 rows,
                 Ty.StructType([
                     Ty.StructField("id", et), Ty.StructField("label", et)
                 ]),
             )
+            if labels_only:
+                return labels
             return (
                 ids.select(F.col(id_col).alias("id"))
                 .join(labels, "id", "left")
@@ -568,6 +583,9 @@ def connected_components_star(ids: DataFrame, pairs: DataFrame,
     labels = edges.groupBy(F.col("b").alias("id")).agg(
         F.min("a").alias("label")
     )
+    if labels_only:
+        # b > a on every edge, so label < id always: no self-labels
+        return labels
     return (
         ids.select(F.col(id_col).alias("id"))
         .join(labels, "id", "left")
@@ -674,6 +692,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .where(F.col("rk") <= prefix_len)
         .select("id", *block_cols, "gh", "nh", "rk")
     )
+    # r11: when the candidate self-join goes BROADCAST (small-corpus
+    # lane), its build side sits under a BroadcastExchange that can
+    # never be exchange-reused against the stream side — the ENTIRE
+    # freq+join+window prefix pipeline was in the plan TWICE (measured
+    # in plans/r11/pipe_dedup_ngram: two Window + two freq
+    # HashAggregate subtrees). Persisting the (prefix-filtered, tiny
+    # by the same estimate that allows the broadcast) frame computes
+    # it once and both sides read the cache. Beyond the budget the
+    # planner picks a sort-merge join whose two identical row
+    # exchanges ReuseExchange already dedups — so the persist is only
+    # needed (and only taken) on the small lane. Lifecycle: released
+    # by the caller's clearCache like the docs persist above.
+    if est_bytes < freq_broadcast_threshold:
+        prefix = prefix.persist()
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cond = F.col("pa.id") < F.col("pb.id")
     for c in block_cols:

@@ -964,13 +964,24 @@ def pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = rebalance(table(spark, "documents", sf_dir))
     m = T.quality_metrics(F.col("text"))
+    # r11: ONE materialization of the scored corpus (localCheckpoint)
+    # feeds every downstream stage. Without it the giant quality/
+    # langid regex trees sat in EVERY branch of every action's plan
+    # (the exact-rep agg + the semi-join left side re-evaluated them,
+    # and the composed pipeline paid ~1.3 s of pure driver
+    # plan/analysis per rep — stageprof measured a 1.27 s stage-free
+    # gap). Checkpointing truncates the lineage so the 7 downstream
+    # jobs plan against a materialized scan (guide §3.3/§5); the
+    # scorer runs exactly once. At cluster scale this is the worked-
+    # example "fingerprints only" pass: materialize the decision
+    # inputs, accept that executor loss forces a stage re-run.
     scored = docs.select(
         "doc_id",
         "text",
         T.lang_id(F.col("text")).alias("lang_pred"),
         m["n_tokens"].alias("n_tokens"),
         F.round(T.quality_score(F.col("text")), 6).alias("q"),
-    )
+    ).localCheckpoint()
     kept = scored.where(F.col("q") >= 0.9)
     exact_reps = (
         kept.groupBy(F.md5("text").alias("content_hash"))
@@ -982,13 +993,16 @@ def pipe_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree's quality/langid expressions evaluate once
     uniq = kept.join(exact_reps, "doc_id", "left_semi").persist()
     pairs = dedup.minhash_lsh_dedup(uniq, "doc_id", "text", threshold=0.7)
-    comps = dedup.connected_components_star(
-        uniq.select(F.col("doc_id").alias("id")), pairs
-    )
-    reps = comps.where(F.col("id") == F.col("cluster")).select(
-        F.col("id").alias("doc_id")
-    )
-    final = uniq.join(reps, "doc_id", "left_semi")
+    # r11: only the RELABELED nodes matter here — a doc survives iff
+    # its id is its component's min, i.e. iff it never got a label.
+    # labels_only + one anti join replaces the full component map +
+    # reps filter + semi join (which re-scanned the uniq cache twice:
+    # once for the ids frame, once for the final join). Same rows by
+    # construction (see connected_components_star docstring).
+    nonreps = dedup.connected_components_star(
+        None, pairs, labels_only=True
+    ).select(F.col("id").alias("doc_id"))
+    final = uniq.join(nonreps, "doc_id", "left_anti")
     return final.groupBy("lang_pred").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
