@@ -1024,12 +1024,14 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, id_col: str,
     dedup_batch persists nothing index-sized."""
     state_given = freq is not None and index_prefix is not None
     newi = build_dedup_index(new_df, id_col, text_col, block_cols, n).persist()
-    # ONE deliberate action: materialize the cache before fan-out AND
-    # compute the broadcast size estimate (r11 — this was a separate
-    # count() plus an agg, two jobs over the same cache).  The shard
-    # fingerprint feeds FOUR consumers (exact probe, its prefix, the
-    # verify gram fetch, the final left joins); uncached, each re-runs
-    # the shard fingerprint computation.
+    # ONE deliberate action: materialize the cache(s) before fan-out
+    # AND compute the broadcast size estimate(s) (r11 — this was a
+    # separate count() plus an agg, then on the inline path a THIRD
+    # job for the index estimate; the serial driver actions plus their
+    # per-plan analysis cost ~1 s/batch at sf0.1, stageprof).  The
+    # shard fingerprint feeds FOUR consumers (exact probe, its prefix,
+    # the verify gram fetch, the final left joins); uncached, each
+    # re-runs the shard fingerprint computation.
     try:
         bcast_budget = int(
             new_df.sparkSession.conf.get(
@@ -1041,22 +1043,37 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, id_col: str,
     # the SHARD side is small by construction: broadcast its prefix
     # and its gram arrays whenever they fit, so the (large) index
     # side never shuffles for the candidate or verify joins
-    shard_entries = (
-        newi.agg(F.sum(F.size("ghash"))).first()[0] or 0
-    )
-    shard_fits = shard_entries * 48 < bcast_budget
-    if not state_given:
+    if state_given:
+        shard_entries = newi.agg(F.sum(F.size("ghash"))).first()[0] or 0
+    else:
         # inline derivation (one-shot callers): the index feeds three
-        # consumers — persist it, size-guard the freq broadcast with
-        # one deliberate O(index) action
+        # consumers — persist it, and size-guard BOTH broadcasts with
+        # one tagged-union job: the two cache-materializing subtrees
+        # run as independent stages of the same job, in parallel,
+        # instead of two serial driver actions.
         index = index.persist()
-        idx_entries = index.agg(F.sum(F.size("ghash"))).first()[0] or 0
+        sums = {
+            r["is_shard"]: r["s"]
+            for r in (
+                newi.select(
+                    F.lit(True).alias("is_shard"),
+                    F.size("ghash").alias("ns"),
+                )
+                .union(index.select(F.lit(False), F.size("ghash")))
+                .groupBy("is_shard")
+                .agg(F.sum("ns").alias("s"))
+                .collect()
+            )
+        }
+        shard_entries = sums.get(True) or 0
+        idx_entries = sums.get(False) or 0
         freq = derive_gram_freq(index, block_cols)
         if idx_entries * 48 < bcast_budget:
             freq = F.broadcast(freq)
         index_prefix = derive_index_prefix(
             index, freq, block_cols, threshold
         )
+    shard_fits = shard_entries * 48 < bcast_budget
     # else: persisted-state path — freq/prefix are parquet-backed, so
     # the file-source sizeInBytes stats drive Catalyst's own
     # broadcast decision for the (shard-grams x freq) join; no
