@@ -642,13 +642,30 @@ def decontaminate(train, eval_df, id_col: str, text_col: str,
             )
         except (TypeError, ValueError):
             broadcast_threshold = 10 << 20
+    # r11 (stageprof): three serialization points removed from the
+    # eval side — (1) rebalance: locally a filtered single-file scan
+    # is ONE task, serializing the CPU-dense 13-gram enumeration;
+    # (2) the explicit hash repartition keeps the distinct's merge at
+    # full width (AQE coalesced the few-MB gram shuffle to ONE
+    # 0.9 s task — partition count by bytes, not CPU); (3) persist +
+    # the count below materialize the gram set once, so the main
+    # job's broadcast build reads the cache instead of re-running
+    # the explode+distinct. Eval corpora are small by definition
+    # (docstring), so the cache is broadcast-sized.
+    from bd_spark.catalog import rebalance as _rebalance
+
+    spark = train.sparkSession
+    width = spark.sparkContext.defaultParallelism
     eval_grams = (
-        eval_df.select(
+        _rebalance(eval_df.select(F.col(eval_text_col)))
+        .select(
             F.explode(
                 F.array_distinct(char_ngrams(F.col(eval_text_col), n))
             ).alias("gh")
         )
+        .repartition(width, "gh")
         .distinct()
+        .persist()
     )
     tr = train.select(
         F.col(id_col).alias("id"),
@@ -668,7 +685,16 @@ def decontaminate(train, eval_df, id_col: str, text_col: str,
         if n_eval * (16 + n) < broadcast_threshold
         else eval_grams
     )
-    ex = tr.select("id", F.explode("ghash").alias("gh"))
+    # explode_OUTER, deliberately (r11): a plain explode lets
+    # InferFiltersFromGenerate synthesize `size(ghash) > 0 AND
+    # isnotnull(ghash)` and predicate pushdown drags that filter —
+    # containing the ENTIRE 13-gram regex — below the rebalance
+    # exchange into the single-task file scan (stageprof: a 1.0 s
+    # 1-task stage evaluating the grams serially, then again above
+    # for the projection). The rule only fires on non-outer
+    # generates; the extra (id, null) row an empty doc produces is
+    # dropped by the inner join below, so results are identical.
+    ex = tr.select("id", F.explode_outer("ghash").alias("gh"))
     # ghash is distinct per doc, eval_grams is distinct, so count(*)
     # counts DISTINCT matched grams — same n_hits as a set intersect
     matched = ex.join(ev, "gh").groupBy("id").agg(
@@ -875,8 +901,17 @@ def lm_score(docs, id_col: str = "doc_id", text_col: str = "text",
     form via joins against the vocab on uniform word keys (AQE
     skew-splittable; Catalyst broadcasts the vocab while it fits),
     then joins the count tables, which are |vocab|- not corpus-sized.
-    No window, no collect, no per-language serialization; the token
-    stream is scanned twice (counts, scoring) rather than persisted.
+    No window, no collect, no per-language serialization.
+
+    r11 cost shape: the model's bigram table is derived FROM the
+    per-doc bigram pre-aggregate (``pmc``) rather than from a second
+    pass over the mapped-pair stream — the two aggregations share one
+    exchange (ReuseExchange), so the tokenize+map subtree runs once
+    and the scoring join's left side shrinks to distinct (doc,
+    bigram) rows. Persisting base/uni instead was measured NEUTRAL to
+    slightly negative at sf0.1 (cache writes serialize work that
+    duplicated subtrees run on otherwise-idle cores) and was not
+    kept.
     """
     base = docs.select(id_col, tokens(F.col(text_col)).alias("ws"))
     uni = (
@@ -922,7 +957,15 @@ def lm_score(docs, id_col: str = "doc_id", text_col: str = "text",
             .otherwise(F.col("w2")).alias("w2m"),
         )
     )
-    bg = pm.groupBy("w1m", "w2m").agg(F.count("*").alias("cb"))
+    # r11: ONE pass over the bigram stream — pre-aggregate per-doc
+    # mapped-bigram counts, then derive the model's bigram table FROM
+    # that aggregate (bg = sum of per-doc counts) instead of running
+    # the pm subtree once for bg and again for the scoring join. The
+    # scoring sum weights each distinct (doc, bigram) row by cnt, so
+    # avg-over-instances is sum(cnt*lp)/sum(cnt) — identical modulo
+    # double rounding far below the round-6 output convention.
+    pmc = pm.groupBy(id_col, "w1m", "w2m").agg(F.count("*").alias("cnt"))
+    bg = pmc.groupBy("w1m", "w2m").agg(F.sum("cnt").alias("cb"))
     unim = vocab.select(
         F.col("w").alias("w1m"), F.col("cnt").alias("cu")
     ).unionByName(
@@ -932,11 +975,12 @@ def lm_score(docs, id_col: str = "doc_id", text_col: str = "text",
         )
     )
     sc = (
-        pm.join(bg, ["w1m", "w2m"])
+        pmc.join(bg, ["w1m", "w2m"])
         .join(unim, "w1m")
         .crossJoin(F.broadcast(tots.select("vsize")))
         .select(
             id_col,
+            "cnt",
             F.log(
                 (F.col("cb") + F.lit(alpha))
                 / (F.col("cu") + F.lit(alpha) * (F.col("vsize") + 1))
@@ -944,8 +988,9 @@ def lm_score(docs, id_col: str = "doc_id", text_col: str = "text",
         )
     )
     return sc.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(-F.avg("lp"), 6).alias("xent"),
+        F.sum("cnt").alias("n_bigrams"),
+        F.round(-(F.sum(F.col("cnt") * F.col("lp")) / F.sum("cnt")), 6)
+        .alias("xent"),
     )
 
 
