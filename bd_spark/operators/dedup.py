@@ -1080,9 +1080,17 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, id_col: str,
     # index-sized action, persist, or manual hint here. At 100 TB,
     # store freq bucketed by (block, gh) so even an over-threshold
     # freq join only shuffles the shard side (operators.bucketing).
+    # exact probe: broadcast the SHARD side when it fits so the
+    # (large) index is only streamed, never shuffled or broadcast —
+    # at 100 TB Catalyst's stats would otherwise pick whichever side
+    # file-stats call small, which locally is the index (guide §3.1:
+    # pick the strategy deliberately; the shard is the side that is
+    # small BY CONSTRUCTION)
+    ex_shard = newi.select("id", "content_hash")
+    if shard_fits:
+        ex_shard = F.broadcast(ex_shard)
     ex = (
-        newi.select("id", "content_hash")
-        .join(
+        ex_shard.join(
             index.select(
                 F.col("id").alias("exact_src"), "content_hash"
             ),
@@ -1174,6 +1182,13 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, id_col: str,
             F.col("m.jaccard").alias("jaccard"),
         )
     )
+    # final left joins: ex/best are <= one row per shard doc, so they
+    # broadcast whenever the shard itself fits — turns two
+    # shard-sized SortMergeJoins (3 exchanges + sorts) into
+    # BroadcastHashJoins over the cached shard ids (guide §2.4/§3.1)
+    if shard_fits:
+        ex = F.broadcast(ex)
+        best = F.broadcast(best)
     return (
         newi.select("id")
         .join(ex, "id", "left")

@@ -42,6 +42,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 class VersionedStore:
@@ -100,6 +101,12 @@ class VersionedStore:
             "version": new_v,
             "mode": mode,
             "ts": time.time(),
+            # recorded so read() can skip parquet schema inference —
+            # every spark.read.parquet without an explicit schema runs
+            # a footer-read job first (one serial driver round-trip
+            # per open; r11 stageprof: ~0.3 s of 1-task jobs at the
+            # head of every dedup_batch). O(one JSON string).
+            "schema": out.schema.json(),
         })
         m["current"] = new_v
         self._commit_manifest(m)
@@ -116,6 +123,11 @@ class VersionedStore:
         known = {e["version"] for e in m["versions"]}
         if v not in known:
             raise ValueError(f"version {v} not in store (have {sorted(known)})")
+        entry = next(e for e in m["versions"] if e["version"] == v)
+        schema_json = entry.get("schema")
+        if schema_json:  # skip the footer-read schema-inference job
+            schema = StructType.fromJson(json.loads(schema_json))
+            return self.spark.read.schema(schema).parquet(self._data_dir(v))
         return self.spark.read.parquet(self._data_dir(v))
 
     def data_bytes(self, version: int | None = None) -> int:
