@@ -1185,8 +1185,12 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, id_col: str,
     # final left joins: ex/best are <= one row per shard doc, so they
     # broadcast whenever the shard itself fits — turns two
     # shard-sized SortMergeJoins (3 exchanges + sorts) into
-    # BroadcastHashJoins over the cached shard ids (guide §2.4/§3.1)
-    if shard_fits:
+    # BroadcastHashJoins over the cached shard ids (guide §2.4/§3.1).
+    # Persisted path only: on the inline path ex/best embed the
+    # inline-derived index/freq/prefix subtrees, and a broadcast
+    # build side cannot exchange-reuse the stream side — hinting
+    # there makes those subtrees compute twice (measured +1 s).
+    if shard_fits and state_given:
         ex = F.broadcast(ex)
         best = F.broadcast(best)
     return (
