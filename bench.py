@@ -149,8 +149,19 @@ def main() -> None:
     # ONCE in place, and rows still out of band are recorded as
     # explicit burst_flags — a clean stamp now means every row is in
     # band, not just the sentinels.
+    #
+    # Floors AND sentinel bounds are calibrated on local[32]: at any
+    # other core count (the driver re-runs this bench at fewer cores
+    # to measure per-query scaling) every row is legitimately slower,
+    # and applying the 32-core bounds would falsely stamp that record
+    # contaminated and waste up to 16 re-runs. Guards apply only at
+    # the calibration count; other counts carry their timings with an
+    # explicit bands_inapplicable note instead of a fake verdict.
+    _BAND_CALIBRATION_CPUS = 32
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    calibrated = cpus == _BAND_CALIBRATION_CPUS
     burst_flags: dict[str, dict] = {}
-    if sf == "0.1":
+    if sf == "0.1" and calibrated:
         try:
             here0 = os.path.dirname(os.path.abspath(__file__))
             with open(os.path.join(here0, "bench_bands.json")) as fh:
@@ -196,7 +207,7 @@ def main() -> None:
     # whole record is suspect — mark it rather than ship it as truth
     contaminated = False
     sentinels: dict[str, dict] = {}
-    if sf == "0.1":
+    if sf == "0.1" and calibrated:
         for n, bound in _SENTINELS_SF01.items():
             got = timings.get(n, -1.0)
             ok = 0 <= got <= bound
@@ -220,6 +231,11 @@ def main() -> None:
         "burst_flags": burst_flags,
         "contaminated": contaminated,
     }
+    if sf == "0.1" and not calibrated:
+        full["bands_inapplicable"] = (
+            f"cpus={cpus} != calibration {_BAND_CALIBRATION_CPUS}; "
+            "floors/sentinels not checked (timings still valid)"
+        )
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_results.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
