@@ -6626,20 +6626,53 @@ _HOF_SIGNAL_BUILTINS = frozenset((
 ))
 
 
-def _walk_heavy_score(node: object) -> tuple[int, int, int, int]:
-    """(enumerations, rebuilds, hofs, collects) — the cost signals of
-    per-row interpreted work that drives the tier choice in
-    compile_query:
+# Builtins whose staged emission runs the variant type-dispatch tower
+# per application: a `transform(array(schema_of_variant(x)), λ)[0]`
+# vlet plus kind-branched arith/format trees, ALL CodegenFallback
+# (HigherOrderFunction never enters codegen) — i.e. ~5-7 interpreted
+# JVM expression evaluations per row per op (measured: physical-plan
+# SchemaOfVariant sites — jq_formats 92, jq_bitwise 95, jq_defs 104
+# vs jq_value_arith 14, jq_fold 24). Binary/Unary/Slice nodes pay the
+# same tower; HOF names are kept OUT of this set (they are their own
+# routing signal above). The scalar-dispatch count drives the 5th
+# router signal in compile_query.
+_SCALAR_DISPATCH_BUILTINS = (
+    frozenset(_KIND_NUM_BUILTINS)
+    | frozenset(_KIND_STR_BUILTINS)
+    | frozenset(_KIND_ARR_BUILTINS)
+    | frozenset(("index", "rindex", "ltrimstr", "rtrimstr", "fromjson"))
+) - _HOF_SIGNAL_BUILTINS
+
+
+# Route to the interp tier when a program accumulates at least this
+# many scalar-dispatch ops. Calibrated from the r11 tierprobe sweep
+# (SCALE.md): every staged-WINNING registry program counts <= 4
+# (jq_fold 4, jq_select 4, jq_value_arith 2, jq_doc_filter 3,
+# jq_canonical 2-3, jq_token_count 2, jq_tostream 3, jq_event_nav 1),
+# every interp-winning one counts >= 9 (jq_datetime 10, jq_overloads
+# 11, jq_defs 12, jq_slices 13, jq_bitwise 16, jq_formats 22) — the
+# threshold sits in the empty middle of that gap, not on a query.
+_SCALAR_DISPATCH_THRESHOLD = 8
+
+
+def _walk_heavy_score(node: object) -> tuple[int, int, int, int, int]:
+    """(enumerations, rebuilds, hofs, collects, scalars) — the cost
+    signals of per-row interpreted work that drives the tier choice
+    in compile_query:
       enumerations — `paths`/`leaf_paths` whole-document walks;
       rebuilds     — setpath/delpaths builtins and `del`/`|=`/`=`
                      assignment nodes (whole-document rewrites);
       hofs         — _HOF_SIGNAL_BUILTINS applications (per-element
                      lambda/comparator trees, CodegenFallback);
       collects     — list/dict constructions collecting a MULTIVALUED
-                     burst (stream fan-out + reassembly)."""
+                     burst (stream fan-out + reassembly);
+      scalars      — Binary/Unary/Slice nodes and
+                     _SCALAR_DISPATCH_BUILTINS applications, each an
+                     interpreted variant type-dispatch tower per row
+                     on the staged lane."""
     import dataclasses
 
-    enums = rebuilds = hofs = collects = 0
+    enums = rebuilds = hofs = collects = scalars = 0
     if isinstance(node, ast.Builtin):
         if node.name in ("paths", "leaf_paths"):
             enums += 1
@@ -6647,8 +6680,12 @@ def _walk_heavy_score(node: object) -> tuple[int, int, int, int]:
             rebuilds += 1
         elif node.name in _HOF_SIGNAL_BUILTINS:
             hofs += 1
+        elif node.name in _SCALAR_DISPATCH_BUILTINS:
+            scalars += 1
     elif isinstance(node, ast.Assign):
         rebuilds += 1
+    elif isinstance(node, (ast.Binary, ast.Unary, ast.Slice)):
+        scalars += 1
     elif isinstance(node, ast.ListCons):
         if node.expr is not None and is_multivalued(node.expr):
             collects += 1
@@ -6658,19 +6695,21 @@ def _walk_heavy_score(node: object) -> tuple[int, int, int, int]:
         )
     if dataclasses.is_dataclass(node):
         for f in dataclasses.fields(node):
-            e, r, h, c = _walk_heavy_score(getattr(node, f.name))
+            e, r, h, c, s = _walk_heavy_score(getattr(node, f.name))
             enums += e
             rebuilds += r
             hofs += h
             collects += c
+            scalars += s
     elif isinstance(node, tuple):
         for x in node:
-            e, r, h, c = _walk_heavy_score(x)
+            e, r, h, c, s = _walk_heavy_score(x)
             enums += e
             rebuilds += r
             hofs += h
             collects += c
-    return enums, rebuilds, hofs, collects
+            scalars += s
+    return enums, rebuilds, hofs, collects, scalars
 
 
 def _interp_tier(node: ast.Node) -> StreamFn:
@@ -6796,24 +6835,32 @@ def compile_query(node: ast.Node) -> StreamFn:
     # so the 100 TB story is unchanged — this picks the faster
     # per-byte constant.
     if TIER_OVERRIDE != "staged":
-        enums, rebuilds, hofs, collects = _walk_heavy_score(node)
+        enums, rebuilds, hofs, collects, scalars = _walk_heavy_score(node)
         # r11 tier probe (SCALE.md): ANY per-element HOF/comparator op
         # (sort/map/group_by families — CodegenFallback per element on
         # the staged lane) or >=2 whole-doc rebuilds or >=2 multivalued
         # burst collects measured 1.8-5.7x faster through the interp's
         # single Python walk per row; pure scalar navigation (no such
         # signal) measured 1.3-2.6x faster staged and stays there.
+        # The scalar-dispatch signal (r11 close): a program stacking
+        # MANY scalar ops pays the variant dispatch tower per op per
+        # row — each an interpreted transform()/comparator HOF — so
+        # past _SCALAR_DISPATCH_THRESHOLD ops one Arrow interp walk
+        # is cheaper (tierprobe: jq_formats 6.02→2.41, jq_defs
+        # 0.81→0.42, jq_datetime 2.30→1.68 warm; plan build collapses
+        # from O(ops) staged projections to one mapInPandas).
         if (
             (enums >= 1 and enums + rebuilds >= 2)
             or hofs >= 1
             or rebuilds >= 2
             or collects >= 2
+            or scalars >= _SCALAR_DISPATCH_THRESHOLD
         ):
             _TIER.last = "interp"
             _LOG.info(
                 "compile_query tier=interp (walk-heavy: %d enum + %d "
-                "rebuild + %d hof + %d collect)",
-                enums, rebuilds, hofs, collects,
+                "rebuild + %d hof + %d collect + %d scalar-dispatch)",
+                enums, rebuilds, hofs, collects, scalars,
             )
             return _interp_tier(node)
     _TIER.last = "staged"

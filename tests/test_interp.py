@@ -68,6 +68,44 @@ def test_interp_tier_marker(spark):
     assert out == [({"a": {"b": 3}}, None)]
 
 
+def test_scalar_dispatch_routing():
+    """The r11-close router signal: a program stacking many scalar
+    ops (Binary/Unary/Slice/scalar builtins — each an interpreted
+    variant dispatch tower per row on the staged lane) routes to the
+    interp tier past _SCALAR_DISPATCH_THRESHOLD; a few-scalar program
+    stays staged. Pinned at the _walk_heavy_score level (counts) and
+    at compile_query (tier marker), both sides of the threshold."""
+    from bd_spark.jsonq import compiler
+
+    # 10 scalar binops, no other signal -> routes
+    heavy = parser.parse(
+        ".a + .b - .c * .d / .e % 2 + .f + .g + .h + .i + .j"
+    )
+    scores = compiler._walk_heavy_score(heavy)
+    assert scores[:4] == (0, 0, 0, 0)
+    assert scores[4] >= compiler._SCALAR_DISPATCH_THRESHOLD
+    compiler.compile_query(heavy)
+    assert compiler.last_tier() == "interp"
+
+    # 2 scalar ops -> stays staged
+    light = parser.parse(".a + .b | length")
+    assert (
+        compiler._walk_heavy_score(light)[4]
+        < compiler._SCALAR_DISPATCH_THRESHOLD
+    )
+    compiler.compile_query(light)
+    assert compiler.last_tier() == "staged"
+
+    # builtins in the dispatch set count; HOF names are excluded
+    # from it (they are their own signal)
+    fmt = parser.parse(
+        "{a: (.x | todate), b: (.y | round), c: (.z | @base64)}"
+    )
+    assert compiler._walk_heavy_score(fmt)[4] == 3
+    assert "map" not in compiler._SCALAR_DISPATCH_BUILTINS
+    assert "sort_by" not in compiler._SCALAR_DISPATCH_BUILTINS
+
+
 def test_interp_map_error_propagation_and_empty_drop():
     """map body errors propagate (reference `thunk(value)?`,
     ops.rs:1640); empty body output drops the element/key; first

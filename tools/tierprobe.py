@@ -28,6 +28,16 @@ def main() -> None:
     if args and args[0] == "-n":
         n = int(args[1])
         args = args[2:]
+    # -t a,b picks the two compared tiers (staged|interp|auto).
+    # Default auto,interp predates the r11 scalar-dispatch signal;
+    # for rows the cost model now routes, compare staged,auto or the
+    # probe measures the interp tier against itself.
+    tiers: list[str | None] = [None, "interp"]
+    if args and args[0] == "-t":
+        tiers = [
+            None if t == "auto" else t for t in args[1].split(",")
+        ]
+        args = args[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("tierprobe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -36,7 +46,7 @@ def main() -> None:
     for name in args:
         fn = qs[name]
         row = {}
-        for tier in (None, "interp"):
+        for tier in tiers:
             compiler.TIER_OVERRIDE = tier
             try:
                 times = []
@@ -56,11 +66,12 @@ def main() -> None:
                 )
             finally:
                 compiler.TIER_OVERRIDE = None
-        a, b = row["auto"], row["interp"]
+        la, lb = (t or "auto" for t in tiers)
+        a, b = row[la], row[lb]
         flag = "" if a[3] == b[3] else "  ROWS-MISMATCH"
         print(
-            f"{name:18s} auto: build={a[0]:5.2f} warm={a[2]:5.2f} | "
-            f"interp: build={b[0]:5.2f} warm={b[2]:5.2f} "
+            f"{name:18s} {la}: build={a[0]:5.2f} warm={a[2]:5.2f} | "
+            f"{lb}: build={b[0]:5.2f} warm={b[2]:5.2f} "
             f"rows={a[3]}/{b[3]} load={os.getloadavg()[0]:.2f}{flag}"
         )
 
