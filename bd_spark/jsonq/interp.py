@@ -42,6 +42,20 @@ def run_values(node: ast.Node, doc: object) -> list[object]:
     return [v for v, err in run(node, doc) if err is None]
 
 
+def _has_float(v: object) -> bool:
+    """True when any value in the tree is a Python float — the only
+    case dumps_tagged must leave C-speed json.dumps for the tagged
+    recursion (r12: float-free trees, the common case, dump in one
+    json.dumps call instead of one Python frame per element)."""
+    if isinstance(v, float):
+        return True
+    if isinstance(v, list):
+        return any(_has_float(x) for x in v)
+    if isinstance(v, dict):
+        return any(_has_float(x) for x in v.values())
+    return False
+
+
 def dumps_tagged(v: object) -> str:
     """JSON text whose numeric tower SURVIVES a parse_json round-trip:
     plain json.dumps renders the float 4.0 as "4.0", which parse_json
@@ -51,6 +65,8 @@ def dumps_tagged(v: object) -> str:
     for ÷0, json input has no literals for them)."""
     import json as _j
 
+    if isinstance(v, (dict, list)) and not _has_float(v):
+        return _j.dumps(v, ensure_ascii=False, separators=(",", ":"))
     if isinstance(v, float):
         s = repr(v)
         return s if ("e" in s or "E" in s) else s + "E0"
@@ -106,206 +122,278 @@ def _truthy(v: object) -> bool:
     return not (v is None or v is False)  # json.rs:553-557
 
 
-def _eval(node: ast.Node, v: object) -> list[Entry]:  # noqa: PLR0911, PLR0912
-    if isinstance(node, ast.Identity):
-        return [(v, None)]
+def _eval(node: ast.Node, v: object) -> list[Entry]:
+    """Single-node evaluation, dispatched by exact node type (r12:
+    the former isinstance chain walked up to ~20 checks per node
+    visit — hot interp-tier programs visit ~100 nodes per row — so
+    dispatch is now one dict lookup; the handler bodies below are the
+    old branch bodies, moved verbatim)."""
+    try:
+        h = _EVAL_DISPATCH[type(node)]
+    except KeyError:
+        raise TypeError(f"unknown node {node!r}") from None
+    return h(node, v)
 
-    if isinstance(node, ast.Literal):
-        return [(parse_one(node.text), None)]
 
-    if isinstance(node, ast.Index):
-        return _index(v, node.key, node.opt)
+def _e_identity(node: ast.Identity, v: object) -> list[Entry]:
+    return [(v, None)]
 
-    if isinstance(node, ast.Identifier):
-        # bare symbol: object key; int-looking symbols fall back to
-        # array position (ops.rs:332-340)
-        if isinstance(v, list):
-            try:
-                return _index(v, int(node.name), node.opt)
-            except ValueError:
-                pass
-        return _index(v, node.name, node.opt)
 
-    if isinstance(node, ast.Slice):
-        return _slice(v, node.start, node.end, node.opt)
+# parsed scalar literals, keyed by literal text — literal nodes are
+# re-visited once per ROW on the interp tier, and re-parsing "3600"
+# 170k times was 23% of interp.run in the r12 jq_formats profile.
+# Containers are NOT cached: parse_one returns fresh mutable
+# dicts/lists and callers may hold references across rows.
+_LIT_CACHE: dict[str, object] = {}
 
-    if isinstance(node, ast.IterValues):
-        if isinstance(v, list):
-            return [(x, None) for x in v]
-        if isinstance(v, dict):
-            return [(v[k], None) for k in sorted(v)]
-        return [] if node.opt else [_err(f"cannot iterate {_tname(v)}")]
 
-    if isinstance(node, ast.Iter):
-        # round-robin one element per branch per cycle (ops.rs:480-540),
-        # NOT branch-major — multi-valued branches interleave
-        import itertools
+def _e_literal(node: ast.Literal, v: object) -> list[Entry]:
+    try:
+        return [(_LIT_CACHE[node.text], None)]
+    except KeyError:
+        pass
+    val = parse_one(node.text)
+    if not isinstance(val, (dict, list)) and len(_LIT_CACHE) < 65536:
+        _LIT_CACHE[node.text] = val
+    return [(val, None)]
 
-        bursts = [_eval(item, v) for item in node.items]
-        out: list[Entry] = []
-        for cycle in itertools.zip_longest(*bursts):
-            out.extend(e for e in cycle if e is not None)
-        return out
 
-    if isinstance(node, ast.ListCons):
-        if node.expr is None:
-            return [([], None)]
-        outs = _eval(node.expr, v)
-        # an error in the burst errors the whole collect (matches the
-        # engine, which carries one err per row)
-        for _, err in outs:
-            if err is not None:
-                return [(None, err)]
-        return [(vals, None) for vals in [[x for x, _ in outs]]]
+def _e_index(node: ast.Index, v: object) -> list[Entry]:
+    return _index(v, node.key, node.opt)
 
-    if isinstance(node, ast.DictCons):
-        return _dict_cons(node.pairs, v)
 
-    if isinstance(node, ast.Pipe):
-        return list(_eval_stream(node.right, _eval(node.left, v)))
+def _e_identifier(node: ast.Identifier, v: object) -> list[Entry]:
+    # bare symbol: object key; int-looking symbols fall back to
+    # array position (ops.rs:332-340)
+    if isinstance(v, list):
+        try:
+            return _index(v, int(node.name), node.opt)
+        except ValueError:
+            pass
+    return _index(v, node.name, node.opt)
 
-    if isinstance(node, ast.Recurse):
-        return [(x, None) for x in _recurse(v)]
 
-    if isinstance(node, ast.Unary):
-        return _unary(node.op, node.expr, v)
+def _e_slice(node: ast.Slice, v: object) -> list[Entry]:
+    return _slice(v, node.start, node.end, node.opt)
 
-    if isinstance(node, ast.Binary):
-        return _binary(node.op, node.left, node.right, v)
 
-    if isinstance(node, ast.Assign):
-        def _path_ok(x: object, segs: tuple) -> bool:
-            for k in segs:
-                if x is None:
-                    return True  # remaining levels are fresh objects
-                if not isinstance(x, dict):
-                    return False
-                x = x.get(k)
-            return True
+def _e_itervalues(node: ast.IterValues, v: object) -> list[Entry]:
+    if isinstance(v, list):
+        return [(x, None) for x in v]
+    if isinstance(v, dict):
+        return [(v[k], None) for k in sorted(v)]
+    return [] if node.opt else [_err(f"cannot iterate {_tname(v)}")]
 
-        def _set_in(x: object, segs: tuple, val: object) -> object:
-            if not segs:
-                return val
-            base = dict(x) if isinstance(x, dict) else {}
-            base[segs[0]] = _set_in(base.get(segs[0]), segs[1:], val)
-            return base
 
-        if not _path_ok(v, node.path):
-            return [_err("cannot set path ." + ".".join(node.path))]
-        if node.update:
-            old = v
-            for k in node.path:
-                old = old.get(k) if isinstance(old, dict) else None
-            rhs_in = old
+def _e_iter(node: ast.Iter, v: object) -> list[Entry]:
+    # round-robin one element per branch per cycle (ops.rs:480-540),
+    # NOT branch-major — multi-valued branches interleave
+    bursts = [_eval(item, v) for item in node.items]
+    out: list[Entry] = []
+    for cycle in itertools.zip_longest(*bursts):
+        out.extend(e for e in cycle if e is not None)
+    return out
+
+
+def _e_listcons(node: ast.ListCons, v: object) -> list[Entry]:
+    if node.expr is None:
+        return [([], None)]
+    outs = _eval(node.expr, v)
+    # an error in the burst errors the whole collect (matches the
+    # engine, which carries one err per row)
+    for _, err in outs:
+        if err is not None:
+            return [(None, err)]
+    return [(vals, None) for vals in [[x for x, _ in outs]]]
+
+
+def _e_dictcons(node: ast.DictCons, v: object) -> list[Entry]:
+    return _dict_cons(node.pairs, v)
+
+
+def _e_pipe(node: ast.Pipe, v: object) -> list[Entry]:
+    return list(_eval_stream(node.right, _eval(node.left, v)))
+
+
+def _e_recurse(node: ast.Recurse, v: object) -> list[Entry]:
+    return [(x, None) for x in _recurse(v)]
+
+
+def _e_unary(node: ast.Unary, v: object) -> list[Entry]:
+    return _unary(node.op, node.expr, v)
+
+
+def _e_binary(node: ast.Binary, v: object) -> list[Entry]:
+    return _binary(node.op, node.left, node.right, v)
+
+
+def _assign_path_ok(x: object, segs: tuple) -> bool:
+    for k in segs:
+        if x is None:
+            return True  # remaining levels are fresh objects
+        if not isinstance(x, dict):
+            return False
+        x = x.get(k)
+    return True
+
+
+def _assign_set_in(x: object, segs: tuple, val: object) -> object:
+    if not segs:
+        return val
+    base = dict(x) if isinstance(x, dict) else {}
+    base[segs[0]] = _assign_set_in(base.get(segs[0]), segs[1:], val)
+    return base
+
+
+def _e_assign(node: ast.Assign, v: object) -> list[Entry]:
+    if not _assign_path_ok(v, node.path):
+        return [_err("cannot set path ." + ".".join(node.path))]
+    if node.update:
+        old = v
+        for k in node.path:
+            old = old.get(k) if isinstance(old, dict) else None
+        rhs_in = old
+    else:
+        rhs_in = v
+    outs: list[Entry] = []
+    for rv, re_ in _eval(node.value, rhs_in):
+        if re_ is not None:
+            outs.append((None, re_))
         else:
-            rhs_in = v
-        outs: list[Entry] = []
-        for rv, re_ in _eval(node.value, rhs_in):
-            if re_ is not None:
-                outs.append((None, re_))
-            else:
-                outs.append((_set_in(v, node.path, rv), None))
-        return outs
+            outs.append((_assign_set_in(v, node.path, rv), None))
+    return outs
 
-    if isinstance(node, ast.Try):
-        return [e for e in _eval(node.expr, v) if e[1] is None]
 
-    if isinstance(node, ast.If):
-        for c, b in node.branches:
-            couts = _eval(c, v)
-            cv, ce = couts[0] if couts else (None, "empty condition")
-            if ce is not None:
-                return [(None, ce)]
-            if _truthy(cv):
-                return _eval(b, v)
-        return _eval(node.orelse, v)
+def _e_try(node: ast.Try, v: object) -> list[Entry]:
+    return [e for e in _eval(node.expr, v) if e[1] is None]
 
-    if isinstance(node, ast.Builtin):
-        return _builtin(node.name, node.args, v)
 
-    if isinstance(node, ast.Var):
-        for n, bv in reversed(_VARS):
-            if n == node.name:
-                return [(bv, None)]
-        raise ValueError(f"${node.name} is not defined")
+def _e_if(node: ast.If, v: object) -> list[Entry]:
+    for c, b in node.branches:
+        couts = _eval(c, v)
+        cv, ce = couts[0] if couts else (None, "empty condition")
+        if ce is not None:
+            return [(None, ce)]
+        if _truthy(cv):
+            return _eval(b, v)
+    return _eval(node.orelse, v)
 
-    if isinstance(node, ast.BindAs):
-        outs: list[Entry] = []
-        for sv, serr in _eval(node.source, v):
-            if serr is not None:
-                outs.append((None, serr))
-                continue
-            _VARS.append((node.name, sv))
-            try:
-                # materialize eagerly so the binding can't escape scope
-                outs.extend(list(_eval(node.body, v)))
-            finally:
-                _VARS.pop()
-        return outs
 
-    if isinstance(node, ast.Reduce):
-        inits = _eval(node.init, v)
-        acc, aerr = inits[0] if inits else (None, "empty init")
-        if aerr is not None:
-            return [(None, aerr)]
-        for ev, eerr in _eval(node.source, v):
-            if eerr is not None:
-                return [(None, eerr)]
-            _VARS.append((node.name, ev))
-            try:
-                ups = list(_eval(node.update, acc))
-            finally:
-                _VARS.pop()
-            if not ups:
-                continue  # `?`-dropped update leaves the accumulator
-            acc, uerr = ups[0]
-            if uerr is not None:
-                return [(None, uerr)]
-        return [(acc, None)]
+def _e_builtin(node: ast.Builtin, v: object) -> list[Entry]:
+    return _builtin(node.name, node.args, v)
 
-    if isinstance(node, ast.Foreach):
-        inits = _eval(node.init, v)
-        acc, aerr = inits[0] if inits else (None, "empty init")
-        if aerr is not None:
-            return [(None, aerr)]
-        outs: list[Entry] = []
-        for ev, eerr in _eval(node.source, v):
-            if eerr is not None:
-                outs.append((None, eerr))  # abort after emitted states
-                break
-            _VARS.append((node.name, ev))
-            try:
-                ups = list(_eval(node.update, acc))
-            finally:
-                _VARS.pop()
-            if not ups:
-                continue  # `?`-dropped update: no emit, state unchanged
-            acc, uerr = ups[0]
-            if uerr is not None:
-                outs.append((None, uerr))
-                break
-            outs.append((acc, None))
-        return outs
 
-    if isinstance(node, ast.StrInterp):
-        import json as _j
+def _e_var(node: ast.Var, v: object) -> list[Entry]:
+    for n, bv in reversed(_VARS):
+        if n == node.name:
+            return [(bv, None)]
+    raise ValueError(f"${node.name} is not defined")
 
-        pieces: list[str] = []
-        for p in node.parts:
-            if isinstance(p, str):
-                pieces.append(p)
-                continue
-            pouts = _eval(p, v)
-            pv, perr = pouts[0] if pouts else (None, "empty interpolation")
-            if perr is not None:
-                return [(None, perr)]
-            pieces.append(
-                pv if isinstance(pv, str)
-                else _j.dumps(pv, separators=(",", ":"), sort_keys=True)
-            )
-        return [("".join(pieces), None)]
 
-    raise TypeError(f"unknown node {node!r}")
+def _e_bindas(node: ast.BindAs, v: object) -> list[Entry]:
+    outs: list[Entry] = []
+    for sv, serr in _eval(node.source, v):
+        if serr is not None:
+            outs.append((None, serr))
+            continue
+        _VARS.append((node.name, sv))
+        try:
+            # materialize eagerly so the binding can't escape scope
+            outs.extend(list(_eval(node.body, v)))
+        finally:
+            _VARS.pop()
+    return outs
+
+
+def _e_reduce(node: ast.Reduce, v: object) -> list[Entry]:
+    inits = _eval(node.init, v)
+    acc, aerr = inits[0] if inits else (None, "empty init")
+    if aerr is not None:
+        return [(None, aerr)]
+    for ev, eerr in _eval(node.source, v):
+        if eerr is not None:
+            return [(None, eerr)]
+        _VARS.append((node.name, ev))
+        try:
+            ups = list(_eval(node.update, acc))
+        finally:
+            _VARS.pop()
+        if not ups:
+            continue  # `?`-dropped update leaves the accumulator
+        acc, uerr = ups[0]
+        if uerr is not None:
+            return [(None, uerr)]
+    return [(acc, None)]
+
+
+def _e_foreach(node: ast.Foreach, v: object) -> list[Entry]:
+    inits = _eval(node.init, v)
+    acc, aerr = inits[0] if inits else (None, "empty init")
+    if aerr is not None:
+        return [(None, aerr)]
+    outs: list[Entry] = []
+    for ev, eerr in _eval(node.source, v):
+        if eerr is not None:
+            outs.append((None, eerr))  # abort after emitted states
+            break
+        _VARS.append((node.name, ev))
+        try:
+            ups = list(_eval(node.update, acc))
+        finally:
+            _VARS.pop()
+        if not ups:
+            continue  # `?`-dropped update: no emit, state unchanged
+        acc, uerr = ups[0]
+        if uerr is not None:
+            outs.append((None, uerr))
+            break
+        outs.append((acc, None))
+    return outs
+
+
+def _e_strinterp(node: ast.StrInterp, v: object) -> list[Entry]:
+    import json as _j
+
+    pieces: list[str] = []
+    for p in node.parts:
+        if isinstance(p, str):
+            pieces.append(p)
+            continue
+        pouts = _eval(p, v)
+        pv, perr = pouts[0] if pouts else (None, "empty interpolation")
+        if perr is not None:
+            return [(None, perr)]
+        pieces.append(
+            pv if isinstance(pv, str)
+            else _j.dumps(pv, separators=(",", ":"), sort_keys=True)
+        )
+    return [("".join(pieces), None)]
+
+
+_EVAL_DISPATCH: dict[type, object] = {
+    ast.Identity: _e_identity,
+    ast.Literal: _e_literal,
+    ast.Index: _e_index,
+    ast.Identifier: _e_identifier,
+    ast.Slice: _e_slice,
+    ast.IterValues: _e_itervalues,
+    ast.Iter: _e_iter,
+    ast.ListCons: _e_listcons,
+    ast.DictCons: _e_dictcons,
+    ast.Pipe: _e_pipe,
+    ast.Recurse: _e_recurse,
+    ast.Unary: _e_unary,
+    ast.Binary: _e_binary,
+    ast.Assign: _e_assign,
+    ast.Try: _e_try,
+    ast.If: _e_if,
+    ast.Builtin: _e_builtin,
+    ast.Var: _e_var,
+    ast.BindAs: _e_bindas,
+    ast.Reduce: _e_reduce,
+    ast.Foreach: _e_foreach,
+    ast.StrInterp: _e_strinterp,
+}
 
 
 _VARS: list[tuple[str, object]] = []
