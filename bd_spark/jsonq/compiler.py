@@ -6650,8 +6650,15 @@ _SCALAR_DISPATCH_BUILTINS = (
 # (jq_fold 4, jq_select 4, jq_value_arith 2, jq_doc_filter 3,
 # jq_canonical 2-3, jq_token_count 2, jq_tostream 3, jq_event_nav 1),
 # every interp-winning one counts >= 9 (jq_datetime 10, jq_overloads
-# 11, jq_defs 12, jq_slices 13, jq_bitwise 16, jq_formats 22) — the
+# 11, jq_defs 12, jq_slices 13, jq_bitwise 17, jq_formats 22) — the
 # threshold sits in the empty middle of that gap, not on a query.
+# (Counts are auditable offline: tools/routercount.py. r11 ADVICE #1
+# proposed down-weighting comparisons/booleans; the r12 tierprobe -p
+# re-probe REFUTED it: a 6-comparison program measured interp-winning
+# 0.49 vs 0.91 s and a branchy if/elif one 0.44 vs 0.56 s — every
+# Binary, comparisons included, pays an interpreted zip_with tower
+# per row on the staged lane, so full-weight counting routes
+# comparison-heavy programs correctly. SCALE.md r12.)
 _SCALAR_DISPATCH_THRESHOLD = 8
 
 
@@ -6862,6 +6869,23 @@ def compile_query(node: ast.Node) -> StreamFn:
                 "rebuild + %d hof + %d collect + %d scalar-dispatch)",
                 enums, rebuilds, hofs, collects, scalars,
             )
-            return _interp_tier(node)
+            # Cost-routed programs (unlike InterpOnly / node-count
+            # programs) always HAVE a working staged compilation — the
+            # routing is a speed choice. The interp tier only supports
+            # core-column streams, so a stream carrying extra columns
+            # falls back to the staged lane at run time instead of
+            # raising (r11 ADVICE #4); the staged fn is compiled
+            # lazily, once, only if such a stream ever arrives.
+            interp_fn = _interp_tier(node)
+            staged_fn: list[StreamFn | None] = [None]
+
+            def run_routed(df: DataFrame) -> DataFrame:
+                if _carries(df):
+                    if staged_fn[0] is None:
+                        staged_fn[0] = compile_stream(node)
+                    return staged_fn[0](df)
+                return interp_fn(df)
+
+            return run_routed
     _TIER.last = "staged"
     return compile_stream(node)

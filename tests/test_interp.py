@@ -106,6 +106,35 @@ def test_scalar_dispatch_routing():
     assert "sort_by" not in compiler._SCALAR_DISPATCH_BUILTINS
 
 
+def test_cost_routed_program_falls_back_on_carrying_stream(spark):
+    """r11 ADVICE #4: a cost-routed (interp-tier) program applied to a
+    stream CARRYING non-core columns must fall back to the staged
+    lane at run time — not raise NotImplementedError — and produce
+    the same values (the two tiers are differential twins)."""
+    from pyspark.sql import functions as F
+
+    from bd_spark.jsonq import compiler
+    from bd_spark.jsonq.runtime import JsonQ
+
+    jq = JsonQ(spark)
+    prog = ".a + .b - .c * .d / .e % 2 + .f + .g + .h + .i + .j"
+    fn = compiler.compile_query(parser.parse(prog))
+    assert compiler.last_tier() == "interp"
+    stream = jq.stream_from_texts(
+        ['{"a":1,"b":2,"c":3,"d":4,"e":5,"f":6,"g":7,"h":8,"i":9,"j":10}']
+    )
+    core_vals = [
+        r.j for r in fn(stream).select(F.to_json("v").alias("j")).collect()
+    ]
+    carrying = stream.withColumn("extra", F.lit(42))
+    out = fn(carrying)  # staged fallback — previously raised
+    rows = out.select(
+        F.to_json("v").alias("j"), F.col("extra")
+    ).collect()
+    assert [r.j for r in rows] == core_vals
+    assert all(r.extra == 42 for r in rows)  # carry survives
+
+
 def test_interp_map_error_propagation_and_empty_drop():
     """map body errors propagate (reference `thunk(value)?`,
     ops.rs:1640); empty body output drops the element/key; first

@@ -85,14 +85,14 @@ def main() -> None:
         measure on the same data the registry rows do."""
         from pyspark.sql import functions as F
 
+        from bd_spark.catalog import table
         from bd_spark.jsonq.runtime import JsonQ
-        from bd_spark.queries.common import table
 
         def fn(spark, sf_dir):
             docs = table(spark, "documents", sf_dir)
             jq = JsonQ(spark)
             stream = jq.stream_from_table(
-                docs.select("doc_id", "n_chars", "n_tokens", "lang")
+                docs.select("doc_id", "n_chars", "lang", "source")
             )
             out = jq.run(prog, stream, ordered=False)
             return out.select(F.to_json("v").alias("j"))
