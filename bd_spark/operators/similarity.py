@@ -855,6 +855,19 @@ def embedding_near_dupes(df: DataFrame, dim: int, threshold: float = 0.95,
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+    # Spread the verify stage: the candidate distinct's output is a
+    # few MB of long pairs, so byte-based AQE coalescing collapses the
+    # post-distinct stage (vector joins + 64-dim cosine per pair —
+    # CPU-dense, ~5 us/pair) to ONE task (stageprof r12: 0.52 s
+    # single-task stage; the r11 minPartitionNum floor is inert in
+    # Spark 4 — removed upstream). Hash-repartitioning the tiny pair
+    # table by its key restores one-partition-per-core before the
+    # expensive work, the same floor rebalance() applies to scans
+    # (guide §2.2); explicit REPARTITION_BY_NUM is exempt from AQE
+    # coalescing. A/B at sf0.1: warm 2.6-3.2 -> 2.1-2.2 s.
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
     va = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
     vb = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
     cos = cosine(F.col("va"), F.col("vb"))

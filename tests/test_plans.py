@@ -246,6 +246,19 @@ def test_embed_neardup_candidates_shuffle_ids_only(spark, sf_dir, queries):
     for frag in plan.split("Exchange hashpartitioning")[1:]:
         keyspec = frag.split(")")[0]
         assert "vec" not in keyspec
+    # r12: the candidate pairs are explicitly re-spread before the
+    # CPU-dense cosine verify (byte-based AQE coalescing collapsed
+    # that stage to one task; REPARTITION_BY_NUM is exempt) — pin the
+    # spread so a refactor can't silently drop it
+    assert any(
+        "hashpartitioning(id_a" in line and "REPARTITION_BY_NUM" in line
+        for line in plan.splitlines()
+    )
+    # (formatted explain renders partitioning on Arguments: lines, so
+    # also sweep those for vectors leaking into a hash exchange)
+    for line in plan.splitlines():
+        if "Arguments: hashpartitioning" in line:
+            assert "vec#" not in line.split(")")[0]
 
 
 def test_lm_score_no_window_no_cartesian_blowup(spark, sf_dir):
